@@ -1,0 +1,29 @@
+import os
+import sys
+
+# Force tests onto a virtual 8-device CPU mesh: multi-chip sharding is
+# validated without TPU hardware, and CI machines need no accelerator.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+SAMPLE_AMV = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
+
+
+@pytest.fixture(scope="session")
+def sample_amv_path():
+    if not os.path.exists(SAMPLE_AMV):
+        pytest.skip("sample corpus AMV1.amv not available")
+    return SAMPLE_AMV
+
+
+@pytest.fixture(scope="session")
+def sample_amv_bytes(sample_amv_path):
+    with open(sample_amv_path, "rb") as f:
+        return f.read()
