@@ -1,0 +1,141 @@
+"""AMV MJPEG-variant video codec: host entropy <-> TPU transform split.
+
+Decode: host Huffman scan decode produces per-block quantized levels
+(zigzag); everything after — DC prediction, dequant, IDCT, MCU->plane
+assembly, the AMV vertical flip — runs as one jitted TPU program over a
+whole batch of frames.
+
+Encode: flip/pad, block extraction, FDCT and quantization run on device for
+the batch; the host packs Huffman bits (mjpegenc.c semantics) from the
+returned levels.
+
+Reference semantics: sp5xdec.c + mjpegdec.c (decode), mjpegenc.c +
+mpegvideo_enc.c (encode); see kernels/idct.py and kernels/fdct.py for the
+exact arithmetic provenance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bitstream import jpeg_tables as T
+from ..bitstream.entropy import (huffman_decode_frames, huffman_encode_frame)
+from ..kernels import idct as KI
+from ..kernels import fdct as KF
+
+_QM_RASTER = np.zeros((6, 64), dtype=np.int32)
+_QM_RASTER[:4, T.ZIGZAG] = T.SP5X_QUANT_LUMA_ZZ
+_QM_RASTER[4:, T.ZIGZAG] = T.SP5X_QUANT_CHROMA_ZZ
+
+_ZZ = jnp.asarray(T.ZIGZAG)
+
+
+@partial(jax.jit, static_argnames=("mb_w", "mb_h", "width", "height"))
+def decode_transform(levels_zz: jnp.ndarray, mb_w: int, mb_h: int,
+                     width: int, height: int):
+    """Quantized levels -> YUV420 planes (flipped to display orientation).
+
+    levels_zz: int16 [F, n_mcu, 6, 64] in ZIGZAG order; position 0 holds the
+               DC *difference* (pre-prediction).
+    Returns (y uint8 [F, H, W], cb uint8 [F, H/2, W/2], cr likewise).
+    """
+    F, M = levels_zz.shape[0], levels_zz.shape[1]
+    lv = levels_zz.astype(jnp.int32)
+
+    # --- DC prediction (decode_block:387-389), init 1024 per scan ----------
+    qm0_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
+    qm0_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
+    dc_y = jnp.cumsum(lv[:, :, :4, 0].reshape(F, M * 4) * qm0_l, axis=1)
+    dc_y = (dc_y + 1024).reshape(F, M, 4)
+    dc_cb = jnp.cumsum(lv[:, :, 4, 0] * qm0_c, axis=1) + 1024
+    dc_cr = jnp.cumsum(lv[:, :, 5, 0] * qm0_c, axis=1) + 1024
+    dc = jnp.concatenate([dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
+
+    # --- zigzag -> raster + dequant + IDCT ---------------------------------
+    raster = jnp.zeros_like(lv).at[..., _ZZ].set(lv)
+    qm = jnp.asarray(_QM_RASTER)[None, None]
+    pix = KI.dequantize_idct(raster, dc, qm)  # uint8 [F, M, 6, 8, 8]
+
+    # --- MCU assembly + AMV flip (mjpeg_decode_scan:672-723) ----------------
+    mcu = pix.reshape(F, mb_h, mb_w, 6, 8, 8)
+    yb = mcu[:, :, :, :4].reshape(F, mb_h, mb_w, 2, 2, 8, 8)
+    ycoded = yb.transpose(0, 1, 3, 5, 2, 4, 6).reshape(F, 16 * mb_h, 16 * mb_w)
+    cbc = mcu[:, :, :, 4].transpose(0, 1, 3, 2, 4).reshape(F, 8 * mb_h, 8 * mb_w)
+    crc = mcu[:, :, :, 5].transpose(0, 1, 3, 2, 4).reshape(F, 8 * mb_h, 8 * mb_w)
+    y = ycoded[:, height - 1::-1, :width]
+    ch, cw = height // 2, width // 2
+    cb = cbc[:, ch - 1::-1, :cw]
+    cr = crc[:, ch - 1::-1, :cw]
+    return y, cb, cr
+
+
+def decode_frames(payloads: list[bytes], width: int, height: int):
+    """Decode a batch of AMV '00dc' payloads to YUV420 planes (numpy)."""
+    mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+    levels = huffman_decode_frames(payloads, mb_w * mb_h)
+    y, cb, cr = decode_transform(
+        jnp.asarray(levels), mb_w, mb_h, width, height)
+    return np.asarray(y), np.asarray(cb), np.asarray(cr)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("mb_w", "mb_h", "qscale"))
+def encode_transform(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
+                     mb_w: int, mb_h: int, qscale: int = 2):
+    """YUV420 frames -> quantized levels [F, n_mcu, 6, 64] (zigzag order).
+
+    Implements the flip + bottom/right edge replication
+    (amv_encode_picture:467-471 + ff_emulated_edge_mc) and the
+    fdct+quantize path on device.
+    """
+    F, H, W = y.shape
+    qmat = jnp.asarray(
+        ((1 << 22) // (8 * _encoder_quant_matrix(qscale).astype(np.int64)))
+        .astype(np.int32))
+
+    def flip_pad(p, th, tw):
+        p = p[:, ::-1]
+        h, w = p.shape[1], p.shape[2]
+        p = jnp.pad(p, ((0, 0), (0, th - h), (0, tw - w)), mode="edge")
+        return p
+
+    yc = flip_pad(y, 16 * mb_h, 16 * mb_w)
+    cbc = flip_pad(cb, 8 * mb_h, 8 * mb_w)
+    crc = flip_pad(cr, 8 * mb_h, 8 * mb_w)
+
+    # extract blocks: Y -> [F, mb_h, mb_w, 2, 2, 8, 8]
+    yb = yc.reshape(F, mb_h, 2, 8, mb_w, 2, 8).transpose(0, 1, 4, 2, 5, 3, 6)
+    cbb = cbc.reshape(F, mb_h, 8, mb_w, 8).transpose(0, 1, 3, 2, 4)
+    crb = crc.reshape(F, mb_h, 8, mb_w, 8).transpose(0, 1, 3, 2, 4)
+    blocks = jnp.concatenate([
+        yb.reshape(F, mb_h * mb_w, 4, 8, 8),
+        cbb.reshape(F, mb_h * mb_w, 1, 8, 8),
+        crb.reshape(F, mb_h * mb_w, 1, 8, 8),
+    ], axis=2)
+
+    levels_raster = KF.fdct_quantize(blocks, qmat)  # [F, M, 6, 64]
+    return levels_raster[..., _ZZ]  # zigzag order for the entropy coder
+
+
+def _encoder_quant_matrix(qscale: int) -> np.ndarray:
+    m = np.empty(64, dtype=np.int32)
+    m[0] = T.MPEG1_INTRA_MATRIX[0]
+    m[1:] = np.clip((T.MPEG1_INTRA_MATRIX[1:] * qscale) >> 3, 0, 255)
+    return m
+
+
+def encode_frames(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                  qscale: int = 2) -> list[bytes]:
+    """Encode YUV420 frames into AMV '00dc' payloads."""
+    F, H, W = y.shape
+    mb_w, mb_h = (W + 15) // 16, (H + 15) // 16
+    levels = np.asarray(encode_transform(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), mb_w, mb_h, qscale))
+    return [huffman_encode_frame(levels[f]) for f in range(F)]
