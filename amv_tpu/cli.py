@@ -1,0 +1,187 @@
+"""ffmpeg-shaped CLI for the TPU AMV codec framework.
+
+Mirrors the reference's canonical invocations (AMVmuxer/Makefile:24-33):
+
+  # decode .amv -> WAV / raw YUV / BMP or JPEG frame dumps
+  python -m amv_tpu -i clip.amv out.wav
+  python -m amv_tpu -i clip.amv out.yuv
+  python -m amv_tpu -i clip.amv frames/frame_%04d.bmp
+  python -m amv_tpu -i clip.amv frames/frame_%04d.jpg
+
+  # encode raw YUV420 + WAV -> .amv (the `ffmpeg ... -f amv` equivalent)
+  python -m amv_tpu -i in.yuv -i in.wav -f amv -r 16 -s 160x120 out.amv
+
+  # structural comparison (compare_amv equivalent)
+  python -m amv_tpu --compare good.amv bad.amv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import struct
+import sys
+
+import numpy as np
+
+
+def _write_bmp(path: str, rgb: np.ndarray):
+    h, w, _ = rgb.shape
+    row = (w * 3 + 3) & ~3
+    img = np.zeros((h, row), dtype=np.uint8)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up, BGR
+    img[:, :w * 3] = bgr.reshape(h, w * 3)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + img.size, 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img.size, 2835, 2835, 0, 0)
+    with open(path, "wb") as f:
+        f.write(hdr + img.tobytes())
+
+
+def _export_jpeg(path: str, payload: bytes, width: int, height: int):
+    """Canonical JPEG reconstruction of one AMV frame (sp5xdec.c:50-88).
+
+    The image is stored upside-down (AMV convention) — viewers show it
+    flipped; this matches the reference's raw frame export semantics."""
+    from .bitstream.jpeg_tables import canned_jpeg_header
+    with open(path, "wb") as f:
+        f.write(canned_jpeg_header(width, height))
+        f.write(payload[2:len(payload) - 2])
+        f.write(b"\xFF\xD9")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="amv_tpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("-i", dest="inputs", action="append", default=[],
+                   help="input file (repeatable)")
+    p.add_argument("-f", dest="format", default=None, help="force format (amv)")
+    p.add_argument("-r", dest="fps", type=int, default=16, help="frame rate")
+    p.add_argument("-s", dest="size", default=None, help="WxH frame size")
+    p.add_argument("-ar", dest="sample_rate", type=int, default=22050)
+    p.add_argument("-ac", dest="channels", type=int, default=1)
+    p.add_argument("-qscale", dest="qscale", type=int, default=2)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--compare", nargs=2, metavar=("GOOD", "BAD"),
+                   help="structural diff of two AMV files")
+    p.add_argument("--color", choices=["bt601", "amvlib"], default="bt601")
+    p.add_argument("output", nargs="?", help="output file")
+    args = p.parse_args(argv)
+
+    if args.compare:
+        from .verify.compare import compare_amv
+        a = open(args.compare[0], "rb").read()
+        b = open(args.compare[1], "rb").read()
+        issues = compare_amv(a, b)
+        for msg in issues:
+            print(msg)
+        print("Check successfully finished" if not issues
+              else f"{len(issues)} mismatches")
+        return 1 if issues else 0
+
+    if not args.inputs or not args.output:
+        p.error("need -i input(s) and an output")
+
+    out = args.output
+    ext = os.path.splitext(out)[1].lower()
+
+    if args.format == "amv" or ext == ".amv":
+        return _encode(args)
+    return _decode(args)
+
+
+def _decode(args):
+    from .pipeline.decode import decode_file
+    from .containers import wav
+    src = args.inputs[0]
+    out = args.output
+    ext = os.path.splitext(out)[1].lower()
+
+    if ext == ".wav":
+        dec = decode_file(src, video=False, max_frames=args.max_frames)
+        wav.write_pcm(out, dec.pcm, dec.info.sample_rate, dec.info.channels)
+        print(f"wrote {out}: {len(dec.pcm)} samples @ {dec.info.sample_rate} Hz")
+        return 0
+
+    if ext in (".jpg", ".jpeg"):
+        from .containers import riff
+        s = riff.read(src)
+        n = len(s.video_chunks[:args.max_frames] if args.max_frames
+                else s.video_chunks)
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        for i in range(n):
+            _export_jpeg(out % i if "%" in out else out,
+                         s.video_chunks[i], s.info.width, s.info.height)
+            if "%" not in out:
+                break
+        print(f"wrote {n if '%' in out else 1} JPEG frame(s)")
+        return 0
+
+    dec = decode_file(src, max_frames=args.max_frames)
+    if ext == ".yuv":
+        with open(out, "wb") as f:
+            for fidx in range(dec.y.shape[0]):
+                f.write(dec.y[fidx].tobytes())
+                f.write(dec.cb[fidx].tobytes())
+                f.write(dec.cr[fidx].tobytes())
+        print(f"wrote {out}: {dec.y.shape[0]} frames "
+              f"{dec.info.width}x{dec.info.height} yuv420p")
+        return 0
+    if ext == ".bmp":
+        from .kernels.color import yuv420_to_rgb
+        rgb = yuv420_to_rgb(dec.y, dec.cb, dec.cr, mode=args.color)
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        for i in range(rgb.shape[0]):
+            _write_bmp(out % i if "%" in out else out, rgb[i])
+            if "%" not in out:
+                break
+        print(f"wrote {rgb.shape[0] if '%' in out else 1} BMP frame(s)")
+        return 0
+    raise SystemExit(f"unsupported output format: {ext}")
+
+
+def _encode(args):
+    from .pipeline.encode import encode_to_file
+    from .containers import wav
+    if args.size:
+        w, h = map(int, args.size.lower().split("x"))
+    else:
+        raise SystemExit("encode requires -s WxH")
+    yuv_path = wav_path = None
+    for src in args.inputs:
+        e = os.path.splitext(src)[1].lower()
+        if e == ".wav":
+            wav_path = src
+        else:
+            yuv_path = src
+    if yuv_path is None:
+        raise SystemExit("encode requires a raw .yuv input")
+    frame_bytes = w * h * 3 // 2
+    raw = open(yuv_path, "rb").read()
+    n_frames = len(raw) // frame_bytes
+    if args.max_frames:
+        n_frames = min(n_frames, args.max_frames)
+    y = np.empty((n_frames, h, w), np.uint8)
+    cb = np.empty((n_frames, h // 2, w // 2), np.uint8)
+    cr = np.empty((n_frames, h // 2, w // 2), np.uint8)
+    for i in range(n_frames):
+        o = i * frame_bytes
+        y[i] = np.frombuffer(raw, np.uint8, w * h, o).reshape(h, w)
+        cb[i] = np.frombuffer(raw, np.uint8, w * h // 4, o + w * h).reshape(h // 2, w // 2)
+        cr[i] = np.frombuffer(raw, np.uint8, w * h // 4, o + w * h * 5 // 4).reshape(h // 2, w // 2)
+    if wav_path:
+        pcm, rate = wav.read_pcm(wav_path)
+        if pcm.ndim > 1:
+            pcm = pcm.mean(axis=1).astype(np.int16)
+        if rate != args.sample_rate:
+            print(f"warning: wav rate {rate} != -ar {args.sample_rate}; using {rate}")
+            args.sample_rate = rate
+    else:
+        pcm = np.zeros(n_frames * args.sample_rate // args.fps, np.int16)
+    size = encode_to_file(args.output, y, cb, cr, pcm, fps=args.fps,
+                          sample_rate=args.sample_rate, qscale=args.qscale)
+    print(f"wrote {args.output}: {size} bytes, {n_frames} frames")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

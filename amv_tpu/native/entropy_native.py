@@ -1,0 +1,124 @@
+"""ctypes bindings for the native entropy codec (libamventropy.so).
+
+Builds on first import if the shared object is missing and a C compiler is
+available; importing this module raises on any failure, and callers
+(amv_tpu.bitstream.entropy) fall back to the pure-Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libamventropy.so")
+
+
+def _build():
+    subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+
+
+if not os.path.exists(_SO) or (
+        os.path.getmtime(_SO) < os.path.getmtime(os.path.join(_DIR, "entropy.c"))):
+    _build()
+
+_lib = ctypes.CDLL(_SO)
+
+_lib.amv_decode_frames.restype = ctypes.c_int
+_lib.amv_decode_frames.argtypes = [
+    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_int16)]
+
+_lib.amv_encode_frame.restype = ctypes.c_int64
+_lib.amv_encode_frame.argtypes = [
+    ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+
+_lib.amv_ref_decode_frame.restype = ctypes.c_int
+_lib.amv_ref_decode_frame.argtypes = [
+    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_uint8)]
+
+_lib.amv_ref_encode_frame.restype = ctypes.c_int64
+_lib.amv_ref_encode_frame.argtypes = [
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+
+_lib.adpcm_ref_decode.restype = ctypes.c_int64
+_lib.adpcm_ref_decode.argtypes = [
+    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_int16)]
+
+
+def decode_frames(payloads: list[bytes], n_mcu: int) -> np.ndarray:
+    blob = b"".join(payloads)
+    offsets = np.zeros(len(payloads), dtype=np.int64)
+    sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    out = np.zeros((len(payloads), n_mcu, 6, 64), dtype=np.int16)
+    rc = _lib.amv_decode_frames(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(payloads), n_mcu,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    if rc != 0:
+        raise ValueError(f"native huffman decode failed (rc={rc})")
+    return out
+
+
+def encode_frame(levels_zz: np.ndarray) -> bytes:
+    levels = np.ascontiguousarray(levels_zz, dtype=np.int16)
+    n_mcu = levels.shape[0]
+    cap = levels.size * 4 + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    n = _lib.amv_encode_frame(
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n_mcu,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise ValueError(f"native huffman encode failed (rc={n})")
+    return out[:n].tobytes()
+
+
+def ref_decode_frame(payload: bytes, width: int, height: int):
+    """Full single-core C decode (benchmark anchor)."""
+    y = np.zeros((height, width), dtype=np.uint8)
+    cb = np.zeros((height // 2, width // 2), dtype=np.uint8)
+    cr = np.zeros_like(cb)
+    rc = _lib.amv_ref_decode_frame(
+        payload, len(payload), width, height,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise ValueError(f"native ref decode failed (rc={rc})")
+    return y, cb, cr
+
+
+def ref_encode_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     qscale: int = 2) -> bytes:
+    h, w = y.shape
+    cap = w * h * 4 + 65536
+    out = np.zeros(cap, dtype=np.uint8)
+    n = _lib.amv_ref_encode_frame(
+        np.ascontiguousarray(y).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.ascontiguousarray(cb).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.ascontiguousarray(cr).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w, h, qscale,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise ValueError(f"native ref encode failed (rc={n})")
+    return out[:n].tobytes()
+
+
+def ref_adpcm_decode(data: bytes, predictor: int, step_index: int) -> np.ndarray:
+    out = np.zeros(2 * len(data), dtype=np.int16)
+    n = _lib.adpcm_ref_decode(
+        data, len(data), predictor, step_index,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return out[:n]

@@ -1,0 +1,68 @@
+"""Multi-chip sharding for the AMV codec pipeline.
+
+The codec has no cross-frame or cross-chunk state (video frames are
+independent intra-only pictures; each audio chunk carries its own codec
+state), so scaling is pure data parallelism over ICI:
+
+* 'dp' axis: frames / audio chunks sharded across chips;
+* 'sp' axis (sequence-parallel analog): the MCU axis within a frame is
+  sharded for very large frames, with the DC-prediction cumulative sum as
+  the only cross-shard dependency (XLA lowers the sharded cumsum to a
+  log-depth collective chain over ICI).
+
+The reference has no distributed runtime at all (SURVEY.md §2.5); this
+module is the TPU-native replacement designed per the scaling-book recipe:
+pick a mesh, annotate in/out shardings, let XLA insert collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..codecs.amv_video import decode_transform, encode_transform
+from ..kernels import adpcm as KA
+
+
+def make_mesh(devices=None, dp: int | None = None, sp: int | None = None) -> Mesh:
+    """Build a 2D ('dp', 'sp') mesh over the given devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None or sp is None:
+        sp = 2 if n % 2 == 0 and n > 1 else 1
+        dp = n // sp
+    arr = np.asarray(devices[:dp * sp]).reshape(dp, sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def sharded_decode_step(mesh: Mesh, mb_w: int, mb_h: int,
+                        width: int, height: int):
+    """Jitted video decode transform with frames on dp, MCUs on sp."""
+    in_s = NamedSharding(mesh, P("dp", "sp"))
+    out_s = NamedSharding(mesh, P("dp"))
+    fn = partial(decode_transform, mb_w=mb_w, mb_h=mb_h,
+                 width=width, height=height)
+    return jax.jit(fn, in_shardings=(in_s,),
+                   out_shardings=(out_s, out_s, out_s))
+
+
+def sharded_encode_step(mesh: Mesh, mb_w: int, mb_h: int, qscale: int = 2):
+    """Jitted video encode transform with frames sharded on dp."""
+    in_s = NamedSharding(mesh, P("dp"))
+    out_s = NamedSharding(mesh, P("dp", "sp"))
+    fn = partial(encode_transform, mb_w=mb_w, mb_h=mb_h, qscale=qscale)
+    return jax.jit(fn, in_shardings=(in_s, in_s, in_s),
+                   out_shardings=out_s)
+
+
+def sharded_adpcm_decode(mesh: Mesh):
+    """Jitted ADPCM decode with chunks sharded on dp."""
+    chunk_s = NamedSharding(mesh, P("dp"))
+    return jax.jit(KA.decode_chunks,
+                   in_shardings=(chunk_s, chunk_s, chunk_s),
+                   out_shardings=chunk_s)
