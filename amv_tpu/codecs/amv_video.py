@@ -32,6 +32,7 @@ _QM_RASTER[:4, T.ZIGZAG] = T.SP5X_QUANT_LUMA_ZZ
 _QM_RASTER[4:, T.ZIGZAG] = T.SP5X_QUANT_CHROMA_ZZ
 
 _ZZ = jnp.asarray(T.ZIGZAG)
+_UNZZ = jnp.asarray(T.UNZIGZAG)
 
 
 @partial(jax.jit, static_argnames=("mb_w", "mb_h", "width", "height"))
@@ -56,7 +57,9 @@ def decode_transform(levels_zz: jnp.ndarray, mb_w: int, mb_h: int,
     dc = jnp.concatenate([dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
 
     # --- zigzag -> raster + dequant + IDCT ---------------------------------
-    raster = jnp.zeros_like(lv).at[..., _ZZ].set(lv)
+    # raster[j] = levels[unzigzag[j]]: a gather, which compiles much faster
+    # than the equivalent scatter on every backend
+    raster = jnp.take(lv, _UNZZ, axis=-1)
     qm = jnp.asarray(_QM_RASTER)[None, None]
     pix = KI.dequantize_idct(raster, dc, qm)  # uint8 [F, M, 6, 8, 8]
 

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The axon site plugin force-registers the TPU backend via
+# jax.config.update("jax_platforms", "axon,cpu"); override it back so tests
+# really run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 SAMPLE_AMV = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
