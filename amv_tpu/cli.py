@@ -117,6 +117,14 @@ def _decode(args):
         return 0
 
     dec = decode_file(src, max_frames=args.max_frames)
+    if ext == ".avi":
+        from .containers import avi
+        data = avi.mux(dec.y, dec.cb, dec.cr, dec.pcm,
+                       fps=dec.info.fps_num, sample_rate=dec.info.sample_rate)
+        with open(out, "wb") as f:
+            f.write(data)
+        print(f"wrote {out}: {dec.y.shape[0]} frames I420 + PCM")
+        return 0
     if ext == ".yuv":
         with open(out, "wb") as f:
             for fidx in range(dec.y.shape[0]):
@@ -146,36 +154,61 @@ def _encode(args):
         w, h = map(int, args.size.lower().split("x"))
     else:
         raise SystemExit("encode requires -s WxH")
-    yuv_path = wav_path = None
+    yuv_path = wav_path = avi_path = None
     for src in args.inputs:
         e = os.path.splitext(src)[1].lower()
         if e == ".wav":
             wav_path = src
+        elif e == ".avi":
+            avi_path = src
         else:
             yuv_path = src
-    if yuv_path is None:
-        raise SystemExit("encode requires a raw .yuv input")
-    frame_bytes = w * h * 3 // 2
-    raw = open(yuv_path, "rb").read()
-    n_frames = len(raw) // frame_bytes
-    if args.max_frames:
-        n_frames = min(n_frames, args.max_frames)
-    y = np.empty((n_frames, h, w), np.uint8)
-    cb = np.empty((n_frames, h // 2, w // 2), np.uint8)
-    cr = np.empty((n_frames, h // 2, w // 2), np.uint8)
-    for i in range(n_frames):
-        o = i * frame_bytes
-        y[i] = np.frombuffer(raw, np.uint8, w * h, o).reshape(h, w)
-        cb[i] = np.frombuffer(raw, np.uint8, w * h // 4, o + w * h).reshape(h // 2, w // 2)
-        cr[i] = np.frombuffer(raw, np.uint8, w * h // 4, o + w * h * 5 // 4).reshape(h // 2, w // 2)
-    if wav_path:
+    pcm = None
+    if avi_path:
+        from .containers import avi as avimod
+        streams = avimod.read(avi_path)
+        vstreams = [st for st in streams if st.kind == "video"]
+        astreams = [st for st in streams if st.kind == "audio"]
+        if not vstreams:
+            raise SystemExit("AVI input has no video stream")
+        vst = vstreams[0]
+        if args.max_frames:
+            vst.chunks = vst.chunks[:args.max_frames]
+        y, cb, cr = avimod.extract_yuv420(vst)
+        # the reference CLI rescales to -s; we require matching dims instead
+        if args.size and (vst.width, vst.height) != (w, h):
+            raise SystemExit(f"AVI is {vst.width}x{vst.height}, -s asked "
+                             f"{w}x{h}; rescaling is not supported — "
+                             "pre-scale the input")
+        w, h = vst.width, vst.height
+        if astreams and astreams[0].codec == b"\x01\x00":
+            pcm = avimod.extract_pcm(astreams[0])
+            args.sample_rate = astreams[0].sample_rate or args.sample_rate
+        n_frames = y.shape[0]
+    else:
+        if yuv_path is None:
+            raise SystemExit("encode requires a raw .yuv or .avi input")
+        frame_bytes = w * h * 3 // 2
+        raw = open(yuv_path, "rb").read()
+        n_frames = len(raw) // frame_bytes
+        if args.max_frames:
+            n_frames = min(n_frames, args.max_frames)
+        y = np.empty((n_frames, h, w), np.uint8)
+        cb = np.empty((n_frames, h // 2, w // 2), np.uint8)
+        cr = np.empty((n_frames, h // 2, w // 2), np.uint8)
+        for i in range(n_frames):
+            o = i * frame_bytes
+            y[i] = np.frombuffer(raw, np.uint8, w * h, o).reshape(h, w)
+            cb[i] = np.frombuffer(raw, np.uint8, w * h // 4, o + w * h).reshape(h // 2, w // 2)
+            cr[i] = np.frombuffer(raw, np.uint8, w * h // 4, o + w * h * 5 // 4).reshape(h // 2, w // 2)
+    if pcm is None and wav_path:
         pcm, rate = wav.read_pcm(wav_path)
         if pcm.ndim > 1:
             pcm = pcm.mean(axis=1).astype(np.int16)
         if rate != args.sample_rate:
             print(f"warning: wav rate {rate} != -ar {args.sample_rate}; using {rate}")
             args.sample_rate = rate
-    else:
+    if pcm is None:
         pcm = np.zeros(n_frames * args.sample_rate // args.fps, np.int16)
     size = encode_to_file(args.output, y, cb, cr, pcm, fps=args.fps,
                           sample_rate=args.sample_rate, qscale=args.qscale)
