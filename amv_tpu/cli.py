@@ -86,7 +86,29 @@ def main(argv=None):
 
     if args.format == "amv" or ext == ".amv":
         return _encode(args)
+    if args.format == "act" or ext == ".act":
+        return _encode_act(args)
     return _decode(args)
+
+
+def _encode_act(args):
+    """WAV (8 kHz mono PCM) -> G.729A -> .act file."""
+    from .containers import act as actmod, wav
+    from .codecs.g729a_encoder import encode_stream
+    src = args.inputs[0]
+    pcm, rate = wav.read_pcm(src)
+    if pcm.ndim > 1:
+        pcm = pcm.mean(axis=1).astype(np.int16)
+    if rate != 8000:
+        raise SystemExit(f"G.729A requires 8000 Hz input (got {rate})")
+    if args.max_frames:
+        pcm = pcm[:args.max_frames * 80]
+    frames = encode_stream(pcm)
+    data = actmod.mux(frames, sample_rate=8000)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    print(f"wrote {args.output}: {len(frames)} G.729A frames, {len(data)} bytes")
+    return 0
 
 
 def _decode(args):
@@ -95,6 +117,27 @@ def _decode(args):
     src = args.inputs[0]
     out = args.output
     ext = os.path.splitext(out)[1].lower()
+    src_ext = os.path.splitext(src)[1].lower()
+
+    if src_ext == ".act":
+        # ACT -> G.729A decode -> WAV/ITU-bitstream (the ffmpeg -i test.act path)
+        from .containers import act as actmod
+        with open(src, "rb") as f:
+            data = f.read()
+        frames, rate, _ = actmod.demux(data)
+        if args.max_frames:
+            frames = frames[:args.max_frames]
+        if ext == ".bit":
+            with open(out, "wb") as f:
+                f.write(actmod.to_itu_bitstream(frames))
+            print(f"wrote {out}: {len(frames)} ITU serial frames")
+            return 0
+        from .codecs import g729a
+        arr = np.frombuffer(b"".join(frames), np.uint8).reshape(-1, 1, 10)
+        pcm = g729a.decode_streams(arr)[0]
+        wav.write_pcm(out, pcm, rate, 1)
+        print(f"wrote {out}: {len(pcm)} samples @ {rate} Hz (G.729A)")
+        return 0
 
     if ext == ".wav":
         dec = decode_file(src, video=False, max_frames=args.max_frames)

@@ -1,0 +1,407 @@
+"""G.729 Annex A encoder (analysis-by-synthesis, from scratch).
+
+The reference repo has no native encoder: its encode path wraps the ITU
+reference sources, which are downloaded separately (G.729/README:1-12,
+G.729/g729a.c:16-29).  This module provides a self-contained encoder with
+the same bitstream contract (80-bit frames decodable by any G.729A
+decoder, spec bit layout per g729a_native.c:1852-1868).
+
+Design: hybrid float analysis / exact-integer synthesis.
+
+* LP analysis, LSP conversion and the open-loop pitch run in float
+  (windowed autocorrelation + Levinson-Durbin, Chebyshev LSP root search);
+* quantizer decisions (LSF two-stage VQ with switched MA prediction,
+  closed-loop pitch, ACELP track pulses, GA/GB gain pair) are searched
+  against the *decoder's exact fixed-point reconstruction*: the encoder
+  keeps a shadow `verify.ref_g729.G729Decoder` state and evaluates every
+  candidate through the same integer routines the decoder will run, so
+  encoder and decoder memories track bit-exactly;
+* the fixed-codebook search is a greedy per-track correlation search in
+  the excitation domain (an Annex-A-spirit simplification of the
+  depth-first ACELP search).
+
+Not bit-compatible with the ITU encoder (no reference encoder is vendored
+to match); validated by decode(encode(x)) reconstruction quality tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..verify import ref_g729 as D
+from . import g729_tables as T
+
+SUBFRAME = 40
+FRAME = 80
+PITCH_MIN, PITCH_MAX = 20, 143
+
+_MAGIC = 0x6996966996696996
+
+# asymmetric LP analysis window (spec 3.2.1): 200 samples of Hamming-like
+# rise + 40 samples of cosine fall, over a 240-sample window ending 40
+# samples into the next frame (we use a 40-sample lookahead).
+_WLP = np.concatenate([
+    0.54 - 0.46 * np.cos(2 * np.pi * np.arange(200) / 399.0),
+    np.cos(2 * np.pi * np.arange(40) / 159.0),
+])
+_LAG_WINDOW = np.exp(-0.5 * (2 * np.pi * 60.0 * np.arange(11) / 8000.0) ** 2)
+
+
+def _levinson(r):
+    a = np.zeros(11)
+    a[0] = 1.0
+    err = r[0]
+    for i in range(1, 11):
+        acc = r[i] + np.dot(a[1:i], r[i - 1:0:-1])
+        k = -acc / err if err > 0 else 0.0
+        a[1:i + 1] += k * a[i - 1::-1][:i]
+        err *= (1 - k * k)
+        if err <= 0:
+            err = 1e-6
+    return a  # a[0]=1, predictor A(z) = 1 + a1 z^-1 + ...
+
+
+def _lp_to_lsf(a):
+    """LP -> line spectral frequencies (radians, ascending)."""
+    # P(z) = A(z) + z^-11 A(z^-1), Q(z) = A(z) - z^-11 A(z^-1)
+    p = np.concatenate([a, [0.0]]) + np.concatenate([[0.0], a[::-1]])
+    q = np.concatenate([a, [0.0]]) - np.concatenate([[0.0], a[::-1]])
+    # deflate trivial roots
+    p = np.polynomial.polynomial.polydiv(p[::-1], [1.0, 1.0])[0][::-1]
+    q = np.polynomial.polynomial.polydiv(q[::-1], [-1.0, 1.0])[0][::-1]
+
+    def roots_on_circle(c):
+        # c is symmetric, degree 10; evaluate via cos-domain Chebyshev scan
+        n = (len(c) - 1) // 2
+        sym = c[:n][::-1]
+        mid = c[n]
+
+        def val(w):
+            x = np.cos(w * np.arange(1, n + 1))
+            return mid + 2.0 * np.dot(sym, x.T if x.ndim > 1 else x)
+
+        grid = np.linspace(0.0, np.pi, 512)
+        vals = np.array([val(w) for w in grid])
+        roots = []
+        for i in range(len(grid) - 1):
+            if vals[i] == 0:
+                roots.append(grid[i])
+            elif vals[i] * vals[i + 1] < 0:
+                lo, hi = grid[i], grid[i + 1]
+                flo = vals[i]
+                for _ in range(30):
+                    mid_w = 0.5 * (lo + hi)
+                    fm = val(mid_w)
+                    if flo * fm <= 0:
+                        hi = mid_w
+                    else:
+                        lo, flo = mid_w, fm
+                roots.append(0.5 * (lo + hi))
+        return roots
+
+    rp = roots_on_circle(p)
+    rq = roots_on_circle(q)
+    lsf = np.sort(np.concatenate([rp, rq]))[:10]
+    if len(lsf) < 10:  # degenerate frame: fall back to uniform spacing
+        lsf = np.pi * (np.arange(1, 11) / 11.0)
+    return lsf
+
+
+def _quantize_lsf(enc, lsf_rad):
+    """Two-stage switched-MA VQ against the decoder's exact reconstruction.
+
+    Returns (L0, L1, L2, L3) and mutates nothing.
+    """
+    target_q13 = np.round(np.clip(lsf_rad * 8192.0, 40, 25681)).astype(np.int64)  # Q13 radians
+    st = enc.shadow
+    best = None
+    for L0 in (0, 1):
+        msum = T.MA_PREDICTOR_SUM[L0].astype(np.int64)
+        pred = sum(np.asarray(st.lq_prev[k], dtype=np.int64) *
+                   T.MA_PREDICTOR[L0][k] for k in range(4))
+        # lq target so that (lq*msum + pred) >> 15 == target
+        lq_target = ((target_q13 << 15) - pred) / msum
+        # stage 1: full search over 128
+        d1 = np.abs(T.CB_L1.astype(np.float64) - lq_target).sum(axis=1)
+        for L1 in np.argsort(d1)[:4]:
+            resid = lq_target - T.CB_L1[L1]
+            L2 = int(np.argmin(
+                ((T.CB_L2_L3[:, :5] - resid[:5]) ** 2).sum(axis=1)))
+            L3 = int(np.argmin(
+                ((T.CB_L2_L3[:, 5:] - resid[5:]) ** 2).sum(axis=1)))
+            # exact reconstruction through the decoder path (on a copy)
+            lq = [0] * 10
+            for i in range(5):
+                lq[i] = int(T.CB_L1[L1][i]) + int(T.CB_L2_L3[L2][i])
+                lq[i + 5] = int(T.CB_L1[L1][i + 5]) + int(T.CB_L2_L3[L3][i + 5])
+            for J in (10, 5):
+                for i in range(1, 10):
+                    diff = (lq[i - 1] - lq[i] + J) >> 1
+                    if diff > 0:
+                        lq[i - 1] -= diff
+                        lq[i] += diff
+            rec = [(lq[i] * int(msum[i]) + int(pred[i])) >> 15 for i in range(10)]
+            err = float(sum((rec[i] - int(target_q13[i])) ** 2 for i in range(10)))
+            if best is None or err < best[0]:
+                best = (err, int(L0), int(L1), L2, L3)
+    return best[1], best[2], best[3], best[4]
+
+
+def _parity(P1):
+    return ((_MAGIC >> (P1 >> 2)) & 1) ^ 1
+
+
+class G729Encoder:
+    """Stateful single-stream encoder: encode_frame(80 samples) -> 10 bytes."""
+
+    def __init__(self):
+        self.shadow = D.G729Decoder()   # decoder-mirror state
+        self.hist = np.zeros(160)       # past input for LP window
+        self._res_hist = np.zeros(PITCH_MAX)
+
+    # -- helpers operating on the shadow decoder state ----------------------
+
+    @staticmethod
+    def _impulse_response(lp_q12):
+        """h[0..39] of 1/A(z) (float)."""
+        a = np.array(lp_q12, dtype=np.float64) / 4096.0
+        h = np.zeros(SUBFRAME)
+        h[0] = 1.0
+        for n in range(1, SUBFRAME):
+            h[n] = -np.dot(a[:min(10, n)], h[n - 1::-1][:10])
+        return h
+
+    def _zero_input_response(self, lp_q12):
+        """ZIR of 1/A(z) from the shadow synthesis history."""
+        a = np.array(lp_q12, dtype=np.float64) / 4096.0
+        buf = np.concatenate([np.array(self.shadow.syn_filter_data,
+                                       dtype=np.float64), np.zeros(SUBFRAME)])
+        for n in range(SUBFRAME):
+            buf[10 + n] = -np.dot(a, buf[10 + n - 1::-1][:10])
+        return buf[10:]
+
+    @staticmethod
+    def _zsr(h, x):
+        """Zero-state response of 1/A to excitation x (truncated conv)."""
+        return np.convolve(x, h)[:SUBFRAME]
+
+    def encode_frame(self, samples: np.ndarray) -> bytes:
+        samples = np.asarray(samples, dtype=np.float64)
+        assert samples.shape == (FRAME,)
+        # pre-processing (spec 3.1): scale by 1/2 — the decoder's output
+        # high-pass stage upscales by 2 (spec 4.2.5 / g729_high_pass_filter)
+        samples = samples * 0.5
+
+        # --- LP analysis over windowed history+frame+lookahead -------------
+        buf = np.concatenate([self.hist, samples])[-240:]
+        w = buf * _WLP
+        r = np.array([np.dot(w[:240 - k], w[k:]) for k in range(11)])
+        r[0] = max(r[0] * 1.0001 + 10.0, 1e-3)
+        r *= _LAG_WINDOW
+        a = _levinson(r)
+        lsf = _lp_to_lsf(a)
+
+        L0, L1, L2, L3 = _quantize_lsf(self, lsf)
+
+        st = self.shadow
+        # exact decoded LSF/LSP/LP via the shadow decoder
+        lsf_q = st.lsf_decode(L0, L1, L2, L3)
+        lsp = st.lsf2lsp(lsf_q)
+        lp = st.lp_decode(lsp)
+
+        # --- open-loop pitch on the LP residual ------------------------------
+        a_q = np.array(lp[10:20], dtype=np.float64) / 4096.0
+        ext = np.concatenate([self.hist[-10:], samples])
+        resid = ext[10:] + np.array(
+            [np.dot(a_q, ext[10 + n - 1::-1][:10]) for n in range(FRAME)])
+        hist_res = np.concatenate([self._res_hist, resid])
+        corr = np.array([
+            np.dot(resid, hist_res[len(hist_res) - FRAME - t:
+                                   len(hist_res) - t])
+            for t in range(PITCH_MIN, PITCH_MAX + 1)])
+        t_op = int(np.argmax(corr)) + PITCH_MIN
+        self._res_hist = hist_res[-PITCH_MAX:]
+
+        parm = {"ma_predictor": L0, "quantizer_1st": L1,
+                "quantizer_2nd_lo": L2, "quantizer_2nd_hi": L3,
+                "parity": 0, "ac_index": [0, 0], "fc_indexes": [0, 0],
+                "pulses_signs": [0, 0], "ga_cb_index": [0, 0],
+                "gb_cb_index": [0, 0]}
+
+        prev_int = None
+        for i in range(2):
+            lp_i = lp[i * 10:(i + 1) * 10]
+            speech_sub = samples[i * SUBFRAME:(i + 1) * SUBFRAME]
+            h = self._impulse_response(lp_i)
+            target = speech_sub - self._zero_input_response(lp_i)
+
+            # --- closed-loop integer pitch ---------------------------------
+            if i == 0:
+                # closed-loop over the open-loop neighborhood plus octave
+                # candidates (cheap in numpy; beats a narrow +/-3 window)
+                cands = sorted(set(
+                    list(range(max(PITCH_MIN, t_op - 5),
+                               min(PITCH_MAX, t_op + 5) + 1)) +
+                    [t for t in (t_op // 2, t_op * 2)
+                     if PITCH_MIN <= t <= PITCH_MAX]))
+            else:
+                base = min(max(prev_int - 5, PITCH_MIN), PITCH_MAX - 9)
+                cands = [base + k for k in range(10)
+                         if PITCH_MIN <= base + k <= PITCH_MAX]
+            best = None
+            base_i = st.exc_off + i * SUBFRAME
+            for tc in cands:
+                # candidate AC vector = delayed excitation (frac=0 search),
+                # scored by its synthesis-domain match to the target
+                acv = np.array([st.exc_base[base_i + n - tc]
+                                for n in range(SUBFRAME)], dtype=np.float64)
+                y = self._zsr(h, acv)
+                e = float(np.dot(y, y))
+                c = float(np.dot(y, target))
+                score = c * c / e if e > 0 else 0.0
+                if best is None or score > best[0]:
+                    best = (score, tc)
+            t_int = best[1]
+            prev_int = t_int if i == 0 else prev_int
+
+            if i == 0:
+                # frac=0 requires pitch_delay_3x = 3t+1 (decoder: frac =
+                # pd3x%3 - 1).  P1<197: pd3x=P1+59 -> P1=3t-58;
+                # P1>=197: pd3x=3*P1-335 (== 1 mod 3, frac always 0).
+                if t_int <= 84:
+                    P1 = 3 * t_int - 58
+                else:
+                    P1 = t_int + 112
+                parm["ac_index"][0] = P1
+                parm["parity"] = _parity(P1)
+            else:
+                # pd3x = P2 + 3*base - 1 = 3t+1 -> P2 = 3(t-base)+2
+                base = min(max(prev_int - 5, PITCH_MIN), PITCH_MAX - 9)
+                parm["ac_index"][1] = 3 * (t_int - base) + 2
+
+            # exact AC vector via shadow decoder (mutates exc in place)
+            st.decode_ac_vector(t_int, 0, i * SUBFRAME)
+            acv = np.array(st.exc_base[st.exc_off + i * SUBFRAME:
+                                       st.exc_off + (i + 1) * SUBFRAME],
+                           dtype=np.float64)
+            y_ac = self._zsr(h, acv)
+            e_ac = float(np.dot(y_ac, y_ac))
+            gp_f = float(np.dot(y_ac, target)) / e_ac if e_ac > 0 else 0.0
+            gp_f = min(max(gp_f, 0.0), 0.794)  # SHARP_MAX-ish headroom
+
+            # --- fixed codebook: greedy per-track search in speech domain ----
+            # residual after the (float-gain) pitch contribution
+            r = target - gp_f * y_ac
+            pulses = []
+            signs = 0
+            fc_idx = 0
+            for tr in range(4):
+                if tr < 3:
+                    positions = [5 * k + tr for k in range(8)]
+                else:
+                    positions = [5 * k + 3 for k in range(8)] + \
+                                [5 * k + 4 for k in range(8)]
+                # correlation of residual with shifted impulse responses
+                scores = [float(np.dot(r[p:], h[:SUBFRAME - p]))
+                          for p in positions]
+                sel = int(np.argmax(np.abs(scores)))
+                pos = positions[sel]
+                sgn = 1 if scores[sel] >= 0 else 0
+                # LS-subtract this pulse's (unit) synthesis contribution
+                contrib = np.zeros(SUBFRAME)
+                contrib[pos:] = h[:SUBFRAME - pos]
+                gain_ls = float(np.dot(r, contrib)) / max(
+                    float(np.dot(contrib, contrib)), 1e-9)
+                r = r - gain_ls * contrib
+                pulses.append((pos, sgn))
+                if tr < 3:
+                    fc_idx |= (pos // 5) << (3 * tr)
+                else:
+                    jbit = 1 if pos % 5 == 4 else 0
+                    fc_idx |= ((pos // 5) << 10) | (jbit << 9)
+                signs |= sgn << tr
+            parm["fc_indexes"][i] = fc_idx
+            parm["pulses_signs"][i] = signs
+
+            fc, _ = st.decode_fc_vector(parm["fc_indexes"][i],
+                                        parm["pulses_signs"][i])
+            st.fix_fc_vector(t_int, fc)
+            fcv = np.array(fc, dtype=np.float64)
+            y_fc = self._zsr(h, fcv)
+
+            # --- gain pair: exhaustive exact search over GA x GB -------------
+            # decoder reconstruction: exc = (acv*gp + fc*gc) >> 14, so in the
+            # synthesis domain rec = y_ac*gp/2^14 + y_fc*gc/2^14
+            best_g = None
+            pred_snapshot = list(st.pred_energ_q)
+            for ga in range(8):
+                for gb in range(16):
+                    st.pred_energ_q = list(pred_snapshot)
+                    gp = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
+                    gc = st.get_gain_code(ga, gb, fc)
+                    rec = y_ac * (gp / 16384.0) + y_fc * (gc / 16384.0)
+                    err = float(np.sum((target - rec) ** 2))
+                    if best_g is None or err < best_g[0]:
+                        best_g = (err, ga, gb)
+            st.pred_energ_q = pred_snapshot
+            _, ga, gb = best_g
+            parm["ga_cb_index"][i] = ga
+            parm["gb_cb_index"][i] = gb
+
+            # --- exact state update (what the decoder will do) ---------------
+            st.gain_pitch = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
+            st.gain_code = st.get_gain_code(ga, gb, fc)
+            st.pitch_sharp = min(max(st.gain_pitch, D.SHARP_MIN), D.SHARP_MAX)
+            st.mem_update(fc, st.gain_pitch, st.gain_code, i * SUBFRAME)
+            exc_sub = st.exc_base[st.exc_off + i * SUBFRAME:
+                                  st.exc_off + (i + 1) * SUBFRAME]
+            out, ovf = st.lp_synthesis_filter(lp_i, exc_sub,
+                                              st.syn_filter_data, 1)
+            if ovf:
+                st.exc_base = [x >> 2 for x in st.exc_base]
+                exc_sub = st.exc_base[st.exc_off + i * SUBFRAME:
+                                      st.exc_off + (i + 1) * SUBFRAME]
+                st.lp_synthesis_filter(lp_i, exc_sub, st.syn_filter_data, 0)
+            st.pitch_delay_int_prev = t_int
+
+        st.exc_base[:PITCH_MAX + D.INTERPOL_LEN] = \
+            st.exc_base[2 * SUBFRAME:2 * SUBFRAME + PITCH_MAX + D.INTERPOL_LEN]
+
+        self.hist = np.concatenate([self.hist, samples])[-160:]
+        return pack_parameters(parm)
+
+
+def pack_parameters(parm) -> bytes:
+    bits = []
+
+    def put(v, n):
+        bits.extend((int(v) >> (n - 1 - k)) & 1 for k in range(n))
+
+    put(parm["ma_predictor"], 1)
+    put(parm["quantizer_1st"], 7)
+    put(parm["quantizer_2nd_lo"], 5)
+    put(parm["quantizer_2nd_hi"], 5)
+    put(parm["ac_index"][0], 8)
+    put(parm["parity"], 1)
+    put(parm["fc_indexes"][0], 13)
+    put(parm["pulses_signs"][0], 4)
+    put(parm["ga_cb_index"][0], 3)
+    put(parm["gb_cb_index"][0], 4)
+    put(parm["ac_index"][1], 5)
+    put(parm["fc_indexes"][1], 13)
+    put(parm["pulses_signs"][1], 4)
+    put(parm["ga_cb_index"][1], 3)
+    put(parm["gb_cb_index"][1], 4)
+    out = bytearray(10)
+    for i, b in enumerate(bits):
+        out[i >> 3] |= b << (7 - (i & 7))
+    return bytes(out)
+
+
+def encode_stream(pcm: np.ndarray) -> list[bytes]:
+    """int16 PCM (8 kHz mono) -> list of packed 10-byte G.729A frames."""
+    pcm = np.asarray(pcm, dtype=np.float64)
+    n_frames = len(pcm) // FRAME
+    enc = G729Encoder()
+    return [enc.encode_frame(pcm[f * FRAME:(f + 1) * FRAME])
+            for f in range(n_frames)]
