@@ -48,14 +48,21 @@ def decode_chunks(chunks: list[bytes]) -> np.ndarray:
 
 def encode_stream(samples: np.ndarray, frame_size: int,
                   sample_rate: int = 22050,
-                  init_step_index: int = 0) -> list[bytes]:
+                  init_step_index: int = 0,
+                  trellis: bool = False) -> list[bytes]:
     """Encode an int16 PCM stream into AMV '01wb' chunk payloads.
 
     One lax.scan over the whole stream (the quantizer feedback makes the
     recurrence inherently sequential); chunk boundaries and headers are
     data-independent and assembled on host.
+
+    trellis=True uses the Viterbi quantizer (the reference's `-trellis`
+    feature, adpcm.c:287-443 equivalent) for lower distortion.
     """
     samples = np.asarray(samples, dtype=np.int16)
+    if trellis:
+        return _encode_stream_trellis(samples, frame_size, sample_rate,
+                                      init_step_index)
     ns = chunk_lengths(len(samples), frame_size, sample_rate)
     total = 2 * sum(ns)
     padded = np.zeros(total, dtype=np.int32)
@@ -78,4 +85,26 @@ def encode_stream(samples: np.ndarray, frame_size: int,
         header = struct.pack("<hHI", int(padded[s]), int(sidx_before[s]),
                              (n << 1) & 0xFFFFFFFF)
         chunks.append(header + packed[s // 2: s // 2 + n].tobytes())
+    return chunks
+
+
+def _encode_stream_trellis(samples: np.ndarray, frame_size: int,
+                           sample_rate: int, init_step_index: int):
+    from .adpcm_trellis import trellis_encode_fast
+    ns = chunk_lengths(len(samples), frame_size, sample_rate)
+    total = 2 * sum(ns)
+    padded = np.zeros(total, dtype=np.int16)
+    padded[:len(samples)] = samples
+    chunks = []
+    step_index = init_step_index
+    pos = 0
+    for n in ns:
+        seg = padded[pos:pos + 2 * n]
+        first = int(seg[0])
+        start_step = step_index  # the decoder seeds from the chunk header
+        nibbles, step_index = trellis_encode_fast(seg, start_step,
+                                                  init_predictor=first)
+        header = struct.pack("<hHI", first, start_step, (n << 1) & 0xFFFFFFFF)
+        chunks.append(header + K.nibbles_to_bytes(nibbles).tobytes())
+        pos += 2 * n
     return chunks
