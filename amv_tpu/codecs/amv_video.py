@@ -135,10 +135,23 @@ def _encoder_quant_matrix(qscale: int) -> np.ndarray:
 
 
 def encode_frames(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                  qscale: int = 2) -> list[bytes]:
-    """Encode YUV420 frames into AMV '00dc' payloads."""
+                  qscale: int = 2, device_entropy: bool = False) -> list[bytes]:
+    """Encode YUV420 frames into AMV '00dc' payloads.
+
+    device_entropy=True packs the Huffman bitstream on device too
+    (kernels/entropy_encode.py), so only final payload bytes cross the
+    host link; the default routes levels through the host/C packer.
+    """
     F, H, W = y.shape
     mb_w, mb_h = (W + 15) // 16, (H + 15) // 16
-    levels = np.asarray(encode_transform(
-        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), mb_w, mb_h, qscale))
+    levels_dev = encode_transform(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), mb_w, mb_h, qscale)
+    if device_entropy:
+        from ..kernels.entropy_encode import encode_frames_device
+        # worst case ~2.2 bytes/coeff incl. escapes; frames are tiny
+        max_bytes = max(4096, mb_w * mb_h * 6 * 140)
+        payload, lens = encode_frames_device(levels_dev, max_bytes=max_bytes)
+        payload, lens = np.asarray(payload), np.asarray(lens)
+        return [payload[f, :lens[f]].tobytes() for f in range(F)]
+    levels = np.asarray(levels_dev)
     return [huffman_encode_frame(levels[f]) for f in range(F)]
