@@ -63,9 +63,16 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--compare", nargs=2, metavar=("GOOD", "BAD"),
                    help="structural diff of two AMV files")
+    p.add_argument("--info", metavar="FILE",
+                   help="print stream info (ffprobe-style) and exit")
+    p.add_argument("--seek", type=int, default=0,
+                   help="start decoding at this frame index")
     p.add_argument("--color", choices=["bt601", "amvlib"], default="bt601")
     p.add_argument("output", nargs="?", help="output file")
     args = p.parse_args(argv)
+
+    if args.info:
+        return _info(args.info)
 
     if args.compare:
         from .verify.compare import compare_amv
@@ -111,6 +118,40 @@ def _encode_act(args):
     return 0
 
 
+def _info(path):
+    """Stream info dump (the reference CLI's probe/banner output role)."""
+    ext = os.path.splitext(path)[1].lower()
+    with open(path, "rb") as f:
+        data = f.read()
+    if ext == ".act":
+        from .containers import act
+        frames, rate, dur = act.demux(data)
+        print(f"Input: ACT, G.729A mono {rate} Hz")
+        print(f"  {len(frames)} frames ({len(frames) * 10} ms), "
+              f"recorded duration {dur / 100:.2f} s")
+        return 0
+    if ext == ".avi":
+        from .containers import avi
+        for st in avi.demux(data):
+            if st.kind == "video":
+                print(f"Stream: video {st.codec!r} {st.width}x{st.height} "
+                      f"{st.fps_num}/{st.fps_den} fps, {len(st.chunks)} frames")
+            else:
+                print(f"Stream: audio fmt={st.codec!r} {st.sample_rate} Hz "
+                      f"{st.channels}ch {st.bits}bit, {len(st.chunks)} chunks")
+        return 0
+    from .containers import riff
+    s = riff.demux(data)
+    i = s.info
+    n_samples = sum(2 * max(len(c) - 8, 0) for c in s.audio_chunks)
+    print(f"Input: AMV, {i.width}x{i.height} @ {i.fps_num} fps, "
+          f"duration {i.duration_sec} s")
+    print(f"  Stream 0: video (AMV MJPEG-variant), {len(s.video_chunks)} frames")
+    print(f"  Stream 1: audio (IMA-ADPCM AMV), mono {i.sample_rate} Hz, "
+          f"{len(s.audio_chunks)} chunks, {n_samples} samples")
+    return 0
+
+
 def _decode(args):
     from .pipeline.decode import decode_file
     from .containers import wav
@@ -140,7 +181,8 @@ def _decode(args):
         return 0
 
     if ext == ".wav":
-        dec = decode_file(src, video=False, max_frames=args.max_frames)
+        dec = decode_file(src, video=False, max_frames=args.max_frames,
+                          start_frame=args.seek)
         wav.write_pcm(out, dec.pcm, dec.info.sample_rate, dec.info.channels)
         print(f"wrote {out}: {len(dec.pcm)} samples @ {dec.info.sample_rate} Hz")
         return 0
@@ -159,7 +201,7 @@ def _decode(args):
         print(f"wrote {n if '%' in out else 1} JPEG frame(s)")
         return 0
 
-    dec = decode_file(src, max_frames=args.max_frames)
+    dec = decode_file(src, max_frames=args.max_frames, start_frame=args.seek)
     if ext == ".avi":
         from .containers import avi
         data = avi.mux(dec.y, dec.cb, dec.cr, dec.pcm,

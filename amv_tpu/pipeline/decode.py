@@ -20,18 +20,28 @@ class DecodedAmv:
 
 
 def decode_bytes(data: bytes, *, video=True, audio=True,
-                 max_frames: int | None = None) -> DecodedAmv:
+                 max_frames: int | None = None,
+                 start_frame: int = 0) -> DecodedAmv:
+    """Decode an AMV file.
+
+    start_frame gives O(1) seek: AMV frames are intra-only and each audio
+    chunk header resets the codec state, so decode can begin at any chunk
+    boundary (the avi_read_seek / AmvRewindFrameStart analog).
+    """
     s = riff.demux(data)
     info = s.info
-    vchunks = s.video_chunks[:max_frames] if max_frames else s.video_chunks
+    vchunks = s.video_chunks[start_frame:]
+    achunks_all = s.audio_chunks[start_frame:]
+    if max_frames:
+        vchunks = vchunks[:max_frames]
     if video and vchunks:
         y, cb, cr = amv_video.decode_frames(vchunks, info.width, info.height)
     else:
         y = np.zeros((0, info.height, info.width), np.uint8)
         cb = np.zeros((0, info.height // 2, info.width // 2), np.uint8)
         cr = cb.copy()
-    if audio and s.audio_chunks:
-        achunks = s.audio_chunks[:max_frames] if max_frames else s.audio_chunks
+    if audio and achunks_all:
+        achunks = achunks_all[:max_frames] if max_frames else achunks_all
         pcm = amv_audio.decode_chunks(achunks)
     else:
         pcm = np.zeros(0, np.int16)

@@ -80,18 +80,27 @@ def main():
     K = TILE
     FK = F * K
 
+    USE_SCAN = os.environ.get("AMV_BENCH_SCAN") == "1"
+
     @jax.jit
     def fused_roundtrip(levels_dev, salt):
-        # scan over K corpus replicas: single-corpus compile cost, K-fold
-        # on-device work per dispatch (amortizes the relay RTT)
-        def body(acc, k):
-            lv = levels_dev + (salt * 0 + k * 0).astype(jnp.int16)
-            yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
-            lv2 = encode_transform(yy, ccb, ccr, mb_w, mb_h, 2)
-            return acc + jnp.sum(lv2.astype(jnp.int32)) + \
-                jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)), None
-        acc, _ = jax.lax.scan(body, salt, jnp.arange(K))
-        return acc
+        if USE_SCAN:
+            # scan over K replicas: single-corpus compile cost.  NOTE: the
+            # axon remote-compile service handles this pathologically slowly,
+            # hence the tiled default.
+            def body(acc, k):
+                lv = levels_dev + (salt * 0 + k * 0).astype(jnp.int16)
+                yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
+                lv2 = encode_transform(yy, ccb, ccr, mb_w, mb_h, 2)
+                return acc + jnp.sum(lv2.astype(jnp.int32)) + \
+                    jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)), None
+            acc, _ = jax.lax.scan(body, salt, jnp.arange(K))
+            return acc
+        lv = jnp.tile(levels_dev, (K, 1, 1, 1)) + salt.astype(jnp.int16) * 0
+        yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
+        lv2 = encode_transform(yy, ccb, ccr, mb_w, mb_h, 2)
+        return (jnp.sum(lv2.astype(jnp.int32)) +
+                jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)) + salt)
 
     levels_dev = jax.device_put(jnp.asarray(levels))
     jax.block_until_ready(levels_dev)
@@ -144,11 +153,11 @@ def main():
 
     @jax.jit
     def fused_adpcm(pl, pr, si, salt):
-        def body(acc, k):
-            pcm = KA.decode_chunks(pl, pr + (salt * 0 + k * 0), si)
-            return acc + jnp.sum(pcm.astype(jnp.int32)), None
-        acc, _ = jax.lax.scan(body, salt, jnp.arange(K))
-        return acc
+        pl2 = jnp.tile(pl, (K, 1))
+        pr2 = jnp.tile(pr, (K,)) + salt * 0
+        si2 = jnp.tile(si, (K,))
+        pcm = KA.decode_chunks(pl2, pr2, si2)
+        return jnp.sum(pcm.astype(jnp.int32)) + salt
 
     pa, pp, ps = (jax.device_put(jnp.asarray(x)) for x in (payload_a, pred, sidx))
     _ = int(fused_adpcm(pa, pp, ps, jnp.int32(0))[...])
