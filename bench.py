@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-TILE = int(os.environ.get("AMV_BENCH_TILE", "16"))
+TILE = int(os.environ.get("AMV_BENCH_TILE", "32"))
 
 
 def best_time(fn, iters=3):
