@@ -61,7 +61,13 @@ def decode_transform(levels_zz: jnp.ndarray, mb_w: int, mb_h: int,
     # than the equivalent scatter on every backend
     raster = jnp.take(lv, _UNZZ, axis=-1)
     qm = jnp.asarray(_QM_RASTER)[None, None]
-    pix = KI.dequantize_idct(raster, dc, qm)  # uint8 [F, M, 6, 8, 8]
+    if jax.default_backend() != "cpu":
+        # TPU: coefficient-major Pallas kernel (~6x the XLA elementwise path)
+        from ..kernels.idct_pallas import idct_put_pallas
+        deq = KI._wrap16(raster * qm).at[..., 0].set(KI._wrap16(dc))
+        pix = idct_put_pallas(deq.astype(jnp.int16).reshape(F, M, 6, 8, 8))
+    else:
+        pix = KI.dequantize_idct(raster, dc, qm)  # uint8 [F, M, 6, 8, 8]
 
     # --- MCU assembly + AMV flip (mjpeg_decode_scan:672-723) ----------------
     mcu = pix.reshape(F, mb_h, mb_w, 6, 8, 8)
@@ -123,8 +129,18 @@ def encode_transform(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
         crb.reshape(F, mb_h * mb_w, 1, 8, 8),
     ], axis=2)
 
-    levels_raster = KF.fdct_quantize(blocks, qmat)  # [F, M, 6, 64]
+    if jax.default_backend() != "cpu":
+        from ..kernels.fdct_pallas import fdct_quantize_pallas
+        levels_raster = fdct_quantize_pallas(
+            blocks, _encoder_quant_qmat_np(qscale))
+    else:
+        levels_raster = KF.fdct_quantize(blocks, qmat)  # [F, M, 6, 64]
     return levels_raster[..., _ZZ]  # zigzag order for the entropy coder
+
+
+def _encoder_quant_qmat_np(qscale: int) -> np.ndarray:
+    m = _encoder_quant_matrix(qscale)
+    return ((1 << 22) // (8 * m.astype(np.int64))).astype(np.int32)
 
 
 def _encoder_quant_matrix(qscale: int) -> np.ndarray:
