@@ -124,6 +124,20 @@ def main():
 
     t_e2e_enc = best_time(e2e_encode, iters=2)
 
+    # device-entropy variant: only payload bytes cross the link
+    from amv_tpu.kernels.entropy_encode import encode_frames_device
+
+    def e2e_encode_devent():
+        lv = encode_transform(jnp.asarray(yh), jnp.asarray(cbh),
+                              jnp.asarray(crh), mb_w, mb_h, 2)
+        payload, lens = encode_frames_device(lv, max_bytes=4096)
+        payload, lens = np.asarray(payload), np.asarray(lens)
+        return [payload[f, :lens[f]].tobytes() for f in range(F)]
+
+    enc_devent = e2e_encode_devent()  # compile+warm
+    assert enc_devent[0] == tpu_payload0, "device entropy != host entropy"
+    t_e2e_enc_dev = best_time(e2e_encode_devent, iters=2)
+
     # ---------------- single-core C anchors ----------------------------------
     def c_decode():
         for p in payloads:
@@ -180,6 +194,7 @@ def main():
             "c1core_encode_fps": round(F / tc_enc, 1),
             "e2e_tunnel_decode_fps": round(F / t_e2e_dec, 1),
             "e2e_tunnel_encode_fps": round(F / t_e2e_enc, 1),
+            "e2e_tunnel_encode_device_entropy_fps": round(F / t_e2e_enc_dev, 1),
             "host_entropy_decode_fps": round(F / t_entropy_dec, 1),
             "adpcm_tpu_msamples": round(n_samples / t_adpcm / 1e6, 1),
             "adpcm_c1core_msamples": round(2 * int(lens.sum()) / tc_adpcm / 1e6, 1),
