@@ -60,6 +60,8 @@ def main(argv=None):
     p.add_argument("-ar", dest="sample_rate", type=int, default=22050)
     p.add_argument("-ac", dest="channels", type=int, default=1)
     p.add_argument("-qscale", dest="qscale", type=int, default=2)
+    p.add_argument("-trellis", dest="trellis", action="store_true",
+                   help="Viterbi ADPCM quantizer (lower audio distortion)")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--compare", nargs=2, metavar=("GOOD", "BAD"),
                    help="structural diff of two AMV files")
@@ -296,7 +298,8 @@ def _encode(args):
     if pcm is None:
         pcm = np.zeros(n_frames * args.sample_rate // args.fps, np.int16)
     size = encode_to_file(args.output, y, cb, cr, pcm, fps=args.fps,
-                          sample_rate=args.sample_rate, qscale=args.qscale)
+                          sample_rate=args.sample_rate, qscale=args.qscale,
+                          trellis=args.trellis)
     print(f"wrote {args.output}: {size} bytes, {n_frames} frames")
     return 0
 

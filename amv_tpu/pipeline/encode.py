@@ -22,13 +22,14 @@ def av_rescale_near(a: int, b: int, c: int) -> int:
 
 def encode_to_bytes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     pcm: np.ndarray, *, fps: int = 16,
-                    sample_rate: int = 22050, qscale: int = 2) -> bytes:
+                    sample_rate: int = 22050, qscale: int = 2,
+                    trellis: bool = False) -> bytes:
     """Encode video frames + PCM into a complete .amv file."""
     F, H, W = y.shape
     video_chunks = amv_video.encode_frames(y, cb, cr, qscale=qscale)
     frame_size = av_rescale_near(sample_rate, 1, fps)
     audio_chunks = amv_audio.encode_stream(
-        np.asarray(pcm, np.int16), frame_size, sample_rate)
+        np.asarray(pcm, np.int16), frame_size, sample_rate, trellis=trellis)
     # the muxer alternates V/A; trim or pad audio chunk count to video count,
     # matching what the reference pipeline produces for matched durations
     return riff.mux(video_chunks, audio_chunks, width=W, height=H, fps=fps,

@@ -24,6 +24,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compilation cache: the axon remote-compile service takes
+# 1-3 min per new computation; warm runs skip it entirely
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import numpy as np
 
 TILE = int(os.environ.get("AMV_BENCH_TILE", "32"))
@@ -183,6 +191,26 @@ def main():
             native.ref_adpcm_decode(c[8:], int(pred[i]), int(sidx[i]))
     tc_adpcm = best_time(c_adpcm, iters=2)
 
+    # ---------------- G.729A (optional: costs an extra large compile) -------
+    g729_detail = {}
+    if os.environ.get("AMV_BENCH_G729") == "1":
+        from amv_tpu.codecs import g729a
+        rng = np.random.default_rng(0)
+        T_, B = 25, 256
+        frames = rng.integers(0, 256, (T_, B, 10), dtype=np.uint8)
+        # force valid pitch range + parity so no erasure path dominates
+        frames[..., 2] = 0x40
+        t0 = time.perf_counter()
+        pcm = g729a.decode_streams(frames)
+        t_compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pcm = g729a.decode_streams(frames)
+        t_g729 = time.perf_counter() - t0
+        g729_detail = {
+            "g729_tpu_frames_per_s": round(T_ * B / t_g729, 1),
+            "g729_batch": f"{B} streams x {T_} frames",
+        }
+
     out = {
         "metric": "AMV decode+encode frames/sec/chip (bit-exact, device-resident batch)",
         "value": round(dev_fps, 1),
@@ -202,6 +230,7 @@ def main():
                     "RTT and ~30MB/s tunnel of this dev environment; "
                     "e2e_tunnel_* include them",
             "device": str(jax.devices()[0]),
+            **g729_detail,
         },
     }
     print(json.dumps(out))

@@ -87,3 +87,37 @@ def test_color_roundtrip():
     assert dy.mean() < 2.0
     rgb_amv = color.yuv420_to_rgb(y, cb, cr, mode="amvlib")
     assert rgb_amv.shape == rgb.shape
+
+
+def test_seek_decode(sample_amv_bytes):
+    """Chunk-boundary seek: decoding from frame k equals the tail of a
+    full decode (frames are intra-only; audio chunk headers carry state)."""
+    full = P.decode_bytes(sample_amv_bytes, max_frames=10)
+    part = P.decode_bytes(sample_amv_bytes, start_frame=6, max_frames=4)
+    np.testing.assert_array_equal(part.y, full.y[6:10])
+    np.testing.assert_array_equal(part.cb, full.cb[6:10])
+
+
+def test_encode_trellis_flag():
+    y, cb, cr, pcm = _synth_clip(F=2)
+    a = E.encode_to_bytes(y, cb, cr, pcm, trellis=False)
+    b = E.encode_to_bytes(y, cb, cr, pcm, trellis=True)
+    da = P.decode_bytes(a)
+    db = P.decode_bytes(b)
+    n = min(len(da.pcm), len(db.pcm), len(pcm))
+    ea = ((da.pcm[:n].astype(float) - pcm[:n]) ** 2).mean()
+    eb = ((db.pcm[:n].astype(float) - pcm[:n]) ** 2).mean()
+    assert eb <= ea * 1.02  # trellis never meaningfully worse
+
+
+def test_decode_many_batched(sample_amv_bytes):
+    from amv_tpu.pipeline.batch import decode_many
+    y, cb, cr, pcm = _synth_clip(F=3)
+    own = E.encode_to_bytes(y, cb, cr, pcm)
+    outs = decode_many([sample_amv_bytes, own, sample_amv_bytes])
+    single0 = P.decode_bytes(sample_amv_bytes)
+    single1 = P.decode_bytes(own)
+    np.testing.assert_array_equal(outs[0].y, single0.y)
+    np.testing.assert_array_equal(outs[2].y, single0.y)
+    np.testing.assert_array_equal(outs[1].y, single1.y)
+    np.testing.assert_array_equal(outs[1].pcm, single1.pcm)
