@@ -62,8 +62,6 @@ def trellis_encode(samples: np.ndarray, init_step_index: int = 0,
         nxt = _NEXT                                                  # [89,16]
         new_ssd = np.full(_N_STATES, INF, np.int64)
         new_pred = np.zeros(_N_STATES, np.int64)
-        flat_order = np.argsort(cand_ssd, axis=None)
-        # vector scatter-min: iterate nibbles (16) with per-state argmin
         best_nib = np.zeros(_N_STATES, np.uint8)
         best_par = np.zeros(_N_STATES, np.uint8)
         for s in range(_N_STATES):

@@ -33,11 +33,6 @@ def _wrap16(x):
     return ((x + 0x8000) & 0xFFFF) - 0x8000
 
 
-def _wrap32(x):
-    # inputs are int32 already; jnp int32 ops wrap natively
-    return x
-
-
 def _descale(x, n):
     return (x + (1 << (n - 1))) >> n
 

@@ -123,13 +123,6 @@ _ENC_DC_C = T.build_huffman_codes(T.BITS_DC_CHROMA, T.VALS_DC_CHROMA)
 _ENC_AC_L = T.build_huffman_codes(T.BITS_AC_LUMA, T.VALS_AC_LUMA)
 _ENC_AC_C = T.build_huffman_codes(T.BITS_AC_CHROMA, T.VALS_AC_CHROMA)
 
-# Quant matrices in raster order for dequant
-_QM_LUMA = np.zeros(64, dtype=np.int32)
-_QM_LUMA[T.ZIGZAG] = T.SP5X_QUANT_LUMA_ZZ
-_QM_CHROMA = np.zeros(64, dtype=np.int32)
-_QM_CHROMA[T.ZIGZAG] = T.SP5X_QUANT_CHROMA_ZZ
-
-
 def _read_vlc(br: BitReader, lut):
     lut_sym, lut_len = lut
     # peek 16 bits without consuming
