@@ -1,0 +1,41 @@
+"""WAV container, PSNR tool, misc coverage."""
+
+import numpy as np
+import pytest
+
+from amv_tpu.containers import wav
+from amv_tpu.verify.psnr import psnr, stddev_diff, bytes_identical
+
+
+def test_wav_pcm_roundtrip(tmp_path):
+    sig = (1000 * np.sin(np.arange(4000) / 9.0)).astype(np.int16)
+    p = tmp_path / "t.wav"
+    wav.write_pcm(str(p), sig, 22050)
+    got, rate = wav.read_pcm(str(p))
+    assert rate == 22050
+    np.testing.assert_array_equal(got, sig)
+
+
+def test_wav_adpcm_raw(tmp_path):
+    import struct
+    chunks = [struct.pack("<hHI", 0, 0, 20) + bytes(10)]
+    p = tmp_path / "a.wav"
+    wav.write_adpcm_raw(str(p), chunks, 16000)
+    data = p.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert b"fact" in data
+    fmt_off = data.find(b"fmt ")
+    assert struct.unpack_from("<H", data, fmt_off + 8)[0] == 0x11  # IMA ADPCM
+
+
+def test_psnr_tool():
+    a = np.zeros((8, 8), np.uint8)
+    b = a.copy()
+    assert psnr(a, b) == float("inf")
+    b[0, 0] = 16
+    assert 25 < psnr(a, b) < 55
+    assert stddev_diff(a, b) == 2.0
+    same, off = bytes_identical(b"abc", b"abc")
+    assert same
+    same, off = bytes_identical(b"abc", b"abd")
+    assert not same and off == 2
