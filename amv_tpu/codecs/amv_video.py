@@ -35,6 +35,11 @@ _ZZ = jnp.asarray(T.ZIGZAG)
 _UNZZ = jnp.asarray(T.UNZIGZAG)
 
 
+def _use_pallas() -> bool:
+    import os
+    return os.environ.get("AMV_PALLAS") == "1" and jax.default_backend() != "cpu"
+
+
 @partial(jax.jit, static_argnames=("mb_w", "mb_h", "width", "height"))
 def decode_transform(levels_zz: jnp.ndarray, mb_w: int, mb_h: int,
                      width: int, height: int):
@@ -61,8 +66,11 @@ def decode_transform(levels_zz: jnp.ndarray, mb_w: int, mb_h: int,
     # than the equivalent scatter on every backend
     raster = jnp.take(lv, _UNZZ, axis=-1)
     qm = jnp.asarray(_QM_RASTER)[None, None]
-    if jax.default_backend() != "cpu":
-        # TPU: coefficient-major Pallas kernel (~6x the XLA elementwise path)
+    if _use_pallas():
+        # coefficient-major Pallas kernel: ~6x faster than the XLA path on
+        # the isolated IDCT, but the [N,64]<->[64,N] layout transposes cost
+        # more than the win inside the fused decode+encode pipeline, so the
+        # XLA path is the default (see bench history); AMV_PALLAS=1 opts in
         from ..kernels.idct_pallas import idct_put_pallas
         deq = KI._wrap16(raster * qm).at[..., 0].set(KI._wrap16(dc))
         pix = idct_put_pallas(deq.astype(jnp.int16).reshape(F, M, 6, 8, 8))
@@ -129,7 +137,7 @@ def encode_transform(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
         crb.reshape(F, mb_h * mb_w, 1, 8, 8),
     ], axis=2)
 
-    if jax.default_backend() != "cpu":
+    if _use_pallas():
         from ..kernels.fdct_pallas import fdct_quantize_pallas
         levels_raster = fdct_quantize_pallas(
             blocks, _encoder_quant_qmat_np(qscale))
