@@ -70,6 +70,8 @@ def main(argv=None):
     p.add_argument("--seek", type=int, default=0,
                    help="start decoding at this frame index")
     p.add_argument("--color", choices=["bt601", "amvlib"], default="bt601")
+    p.add_argument("--benchmark", action="store_true",
+                   help="print elapsed utime after the operation (ffmpeg -benchmark)")
     p.add_argument("output", nargs="?", help="output file")
     args = p.parse_args(argv)
 
@@ -93,11 +95,21 @@ def main(argv=None):
     out = args.output
     ext = os.path.splitext(out)[1].lower()
 
-    if args.format == "amv" or ext == ".amv":
-        return _encode(args)
-    if args.format == "act" or ext == ".act":
-        return _encode_act(args)
-    return _decode(args)
+    import resource
+    import time as _time
+    t0 = _time.perf_counter()
+    try:
+        if args.format == "amv" or ext == ".amv":
+            return _encode(args)
+        if args.format == "act" or ext == ".act":
+            return _encode_act(args)
+        return _decode(args)
+    finally:
+        if args.benchmark:
+            ru = resource.getrusage(resource.RUSAGE_SELF)
+            print(f"bench: utime={ru.ru_utime:.3f}s "
+                  f"wall={_time.perf_counter() - t0:.3f}s "
+                  f"maxrss={ru.ru_maxrss // 1024}MB")
 
 
 def _encode_act(args):

@@ -39,3 +39,15 @@ def test_psnr_tool():
     assert same
     same, off = bytes_identical(b"abc", b"abd")
     assert not same and off == 2
+
+
+def test_fixture_generators():
+    from amv_tpu.verify import fixtures
+    y, cb, cr = fixtures.videogen(3)
+    assert y.shape == (3, 120, 160) and cb.shape == (3, 60, 80)
+    y2, _, _ = fixtures.rotozoom(2)
+    assert y2.shape == (2, 120, 160)
+    pcm = fixtures.audiogen(0.5)
+    assert pcm.dtype == np.int16 and len(pcm) == 11025
+    sp = fixtures.speechgen(1600)
+    assert sp.dtype == np.int16 and len(sp) == 1600
