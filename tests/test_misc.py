@@ -51,3 +51,27 @@ def test_fixture_generators():
     assert pcm.dtype == np.int16 and len(pcm) == 11025
     sp = fixtures.speechgen(1600)
     assert sp.dtype == np.int16 and len(sp) == 1600
+
+
+def test_corrupt_video_payload_no_crash(sample_amv_bytes):
+    """Corrupt scan data must fail cleanly (ValueError) or decode to
+    garbage — never crash the native module (mjpegdec returns -1 on bad
+    VLC; we raise)."""
+    from amv_tpu.containers import riff
+    from amv_tpu.codecs import amv_video
+    s = riff.demux(sample_amv_bytes)
+    p = bytearray(s.video_chunks[0])
+    for off in (10, 100, 500):
+        p[off] ^= 0xFF
+    try:
+        amv_video.decode_frames([bytes(p)], s.info.width, s.info.height)
+    except ValueError:
+        pass  # clean rejection
+
+
+def test_truncated_amv_rejected():
+    from amv_tpu.containers import riff
+    with pytest.raises(ValueError):
+        riff.demux(b"RIFF\x00\x00\x00\x00AMV " + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        riff.demux(b"not an amv file at all")
