@@ -278,24 +278,37 @@ def lp_decode(st, lsp_2nd):
 
 def decode_ac_vector(exc, pitch_delay_int, pitch_delay_frac, off):
     """exc [B,EXC_LEN]; per-stream pitch; writes SUBFRAME samples at
-    EXC_OFF+off. Returns updated exc."""
+    EXC_OFF+off. Returns updated exc.
+
+    One fused take_along_axis per sample (the 20 interpolation taps load
+    as a single [B,20] gather; the per-term clip chain then runs on
+    registers) — 20x fewer gather ops than the naive form, which dominate
+    on TPU."""
     frac = -pitch_delay_frac
     neg = frac < 0
     frac = jnp.where(neg, frac + 3, frac)
     pd = jnp.where(neg, pitch_delay_int + 1, pitch_delay_int)
     base = EXC_OFF + off
 
+    # tap coefficient pairs for this stream's frac: c1[i], c2[i] [B,10]
+    i_idx = jnp.arange(10)
+    c1 = jnp.take(_INTERP_FLAT, 3 * i_idx[None, :] + frac[:, None])
+    c2 = jnp.take(_INTERP_FLAT, 3 * i_idx[None, :] + 3 - frac[:, None])
+    # relative offsets of the 20 taps from position n: -pd-i and -pd+i+1
+    rel1 = -pd[:, None] - i_idx[None, :]           # [B,10]
+    rel2 = -pd[:, None] + i_idx[None, :] + 1       # [B,10]
+    rel = jnp.concatenate([rel1, rel2], axis=1)    # [B,20]
+    coef = jnp.concatenate([c1, c2], axis=1)       # [B,20]
+
     def body(n, exc):
+        taps = jnp.take_along_axis(exc, base + n + rel, axis=1)  # [B,20]
+        terms = taps * coef
         v = jnp.zeros(exc.shape[0], jnp.int32)
+        # C accumulation order: (t1[0], t2[0], t1[1], t2[1], ...) with a
+        # clip after every addition (g729_decode_ac_vector:822-829)
         for i in range(10):
-            idx1 = base + n - pd - i
-            c1 = jnp.take(_INTERP_FLAT, 3 * i + frac)
-            t1 = jnp.take_along_axis(exc, idx1[:, None], axis=1)[:, 0] * c1
-            v = _clip(v + t1, -(1 << 30), (1 << 30) - 1)
-            idx2 = base + n - pd + i + 1
-            c2 = jnp.take(_INTERP_FLAT, 3 * i + 3 - frac)
-            t2 = jnp.take_along_axis(exc, idx2[:, None], axis=1)[:, 0] * c2
-            v = _clip(v + t2, -(1 << 30), (1 << 30) - 1)
+            v = _clip(v + terms[:, i], -(1 << 30), (1 << 30) - 1)
+            v = _clip(v + terms[:, 10 + i], -(1 << 30), (1 << 30) - 1)
         val = g729_round_j(v << 1)
         return exc.at[:, base + n].set(val)
 
