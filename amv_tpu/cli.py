@@ -8,11 +8,19 @@ Mirrors the reference's canonical invocations (AMVmuxer/Makefile:24-33):
   python -m amv_tpu -i clip.amv frames/frame_%04d.bmp
   python -m amv_tpu -i clip.amv frames/frame_%04d.jpg
 
-  # encode raw YUV420 + WAV -> .amv (the `ffmpeg ... -f amv` equivalent)
+  # encode AVI or raw YUV420 + WAV -> .amv (the `ffmpeg ... -f amv` shape)
+  python -m amv_tpu -i in.avi -f amv -r 16 -s 160x120 -ar 22050 out.amv
   python -m amv_tpu -i in.yuv -i in.wav -f amv -r 16 -s 160x120 out.amv
 
-  # structural comparison (compare_amv equivalent)
+  # G.729A speech: ACT file <-> WAV, ITU .BIT export (act2bit)
+  python -m amv_tpu -i rec.act out.wav
+  python -m amv_tpu -i in8k.wav -f act out.act
+  python -m amv_tpu -i rec.act out.bit
+
+  # tools: probe, structural diff (compare_amv), seek, timing
+  python -m amv_tpu --info clip.amv
   python -m amv_tpu --compare good.amv bad.amv
+  python -m amv_tpu -i clip.amv --seek 100 --benchmark out.avi
 """
 
 from __future__ import annotations
