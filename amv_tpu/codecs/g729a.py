@@ -75,6 +75,15 @@ def _mul_sh15(a, b):
     return hi * b * 2 + ((lo * b) >> 15)
 
 
+def _onehot_gather(x, idx, axis_size):
+    """x [B, L] gathered at per-row idx [B, K] -> [B, K], via a one-hot
+    contraction: TPU lowers per-row dynamic gathers poorly (serialized),
+    while compare+multiply+reduce is pure VPU work."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, axis_size), 2)
+    onehot = (lanes == idx[:, :, None]).astype(jnp.int32)
+    return jnp.sum(x[:, None, :] * onehot, axis=2)
+
+
 def av_log2_j(v):
     """floor(log2(v)) for v>0 (int32), exact."""
     v = v.astype(jnp.uint32)
@@ -301,7 +310,7 @@ def decode_ac_vector(exc, pitch_delay_int, pitch_delay_frac, off):
     coef = jnp.concatenate([c1, c2], axis=1)       # [B,20]
 
     def body(n, exc):
-        taps = jnp.take_along_axis(exc, base + n + rel, axis=1)  # [B,20]
+        taps = _onehot_gather(exc, base + n + rel, EXC_LEN)      # [B,20]
         terms = taps * coef
         v = jnp.zeros(exc.shape[0], jnp.int32)
         # C accumulation order: (t1[0], t2[0], t1[1], t2[1], ...) with a
@@ -342,7 +351,7 @@ def fix_fc_vector(fc, pitch_delay, gain_pitch):
     """fc[i] += (fc[i-pd]*gp)>>14 for i>=pd, sequential in i (3.8/4.1.4)."""
     def body(i, fc):
         src_idx = jnp.maximum(i - pitch_delay, 0)
-        src = jnp.take_along_axis(fc, src_idx[:, None], axis=1)[:, 0]
+        src = _onehot_gather(fc, src_idx[:, None], SUBFRAME)[:, 0]
         new = _i16(fc[:, i] + ((src * gain_pitch) >> 14))
         return fc.at[:, i].set(jnp.where(i >= pitch_delay, new, fc[:, i]))
     return jax.lax.fori_loop(0, SUBFRAME, body, fc)
@@ -425,15 +434,15 @@ def long_term_filter(residual, intT1):
     k_off = jnp.arange(-3, 4)[None, :, None]              # [1,7,1]
     k = base[:, None, None] + k_off                       # [B,7,1]
     idx = PITCH_MAX - k + n_idx                           # [B,7,40]
-    lagged = jnp.take_along_axis(
-        jnp.broadcast_to(res[:, None, :], (B, 7, res.shape[1])), idx, axis=2)
+    idx2 = idx.reshape(B, 7 * SUBFRAME)
+    lagged = _onehot_gather(res, idx2, res.shape[1]).reshape(B, 7, SUBFRAME)
     cur = (res[:, None, PITCH_MAX:PITCH_MAX + SUBFRAME] >> 1)
     corr = jnp.sum((lagged >> 1) * cur, axis=2)           # [B,7]
     best = jnp.argmax(corr, axis=1)                       # first max
     corr_max = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
     intT0 = (base + best - 3)
     idx_t0 = PITCH_MAX - intT0[:, None] + jnp.arange(SUBFRAME)[None, :]
-    lag_t0 = jnp.take_along_axis(res, idx_t0, axis=1) >> 1
+    lag_t0 = _onehot_gather(res, idx_t0, res.shape[1]) >> 1
     corr_t0 = jnp.sum(lag_t0 * lag_t0, axis=1)
     cur0 = res[:, PITCH_MAX:PITCH_MAX + SUBFRAME] >> 1
     corr_0 = jnp.sum(cur0 * cur0, axis=1)
@@ -450,7 +459,7 @@ def long_term_filter(residual, intT1):
         jnp.full_like(gl, 32768), 32768 + gl, 15))
     glgp_inv_glgp = 32768 - inv_glgp
     out = _i16((res[:, PITCH_MAX:PITCH_MAX + SUBFRAME] * inv_glgp[:, None] +
-                jnp.take_along_axis(res, idx_t0, axis=1) * glgp_inv_glgp[:, None])
+                _onehot_gather(res, idx_t0, res.shape[1]) * glgp_inv_glgp[:, None])
                >> 15)
     return out, intT0
 

@@ -114,7 +114,33 @@ def decode_chunks(payload: jnp.ndarray, init_predictor: jnp.ndarray,
              slice the valid prefix of each row afterwards).
     """
     nibbles = bytes_to_nibbles(payload)
-    return decode_nibbles(nibbles, init_predictor, init_step_index)
+    return decode_nibbles_scan(nibbles, init_predictor, init_step_index)
+
+
+@jax.jit
+def decode_nibbles_scan(nibbles: jnp.ndarray, init_predictor: jnp.ndarray,
+                        init_step_index: jnp.ndarray) -> jnp.ndarray:
+    """Sequential lax.scan over samples, chunk-parallel across rows.
+
+    Complementary to the associative form: the scan keeps the 2-value
+    state in registers and touches each nibble once (one HBM pass), which
+    wins for large chunk batches where associative_scan's ~2*log2(n)
+    full-array passes dominate; the associative form keeps log-depth for
+    small-batch / long-chunk shapes.
+    """
+    def step(carry, nt):
+        p, s = carry
+        step_v = jnp.take(_STEP_TABLE, s)
+        s2 = jnp.clip(s + jnp.take(_INDEX_TABLE, nt), 0, 88)
+        diff = ((2 * (nt & 7) + 1) * step_v) >> 3
+        p2 = jnp.clip(jnp.where((nt & 8) != 0, p - diff, p + diff),
+                      -32768, 32767)
+        return (p2, s2), p2.astype(jnp.int16)
+
+    (_, _), out = jax.lax.scan(
+        step, (init_predictor.astype(jnp.int32),
+               init_step_index.astype(jnp.int32)), nibbles.T)
+    return out.T
 
 
 # ---------------------------------------------------------------------------
