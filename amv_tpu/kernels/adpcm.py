@@ -17,6 +17,12 @@ depth, fully parallel across samples AND across chunks.  diff_t depends
 only on the step_index chain (not the predictor), which is what decouples
 the two scans.  The result is bit-exact with the reference decoder.
 
+Two interchangeable decode implementations are provided (both bit-exact):
+`decode_nibbles` (associative, log-depth — best for few long chunks) and
+`decode_nibbles_scan` (single-pass lax.scan over samples with the state in
+registers — best for large chunk batches, where the associative form's
+~2*log2(n) full-array HBM passes dominate).  `decode_chunks` uses the scan.
+
 Chunks are independent by construction (each '01wb' chunk header carries
 its own {predictor, step_index}), so the batch dimension is free
 parallelism; multi-chip sharding shards the chunk axis.
