@@ -1,0 +1,155 @@
+"""Standard baseline MJPEG decoder (per-frame tables), 4:2:0.
+
+Generalizes the AMV path: quant/Huffman tables are parsed from each frame
+(bitstream/jpeg_parse.py) instead of canned, output is top-down (no AMV
+flip).  Covers the reference's mjpegdec.c baseline usage for MJPEG-in-AVI
+material; the same bit-exact integer IDCT path is reused on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bitstream import jpeg_tables as T
+from ..bitstream.jpeg_parse import parse_jpeg
+from ..bitstream.entropy import huffman_decode_frames
+from ..verify import ref_jpeg as R
+from ..kernels import idct as KI
+
+_K3 = {
+    (0, 0): (T.BITS_DC_LUMA, T.VALS_DC_LUMA),
+    (0, 1): (T.BITS_DC_CHROMA, T.VALS_DC_CHROMA),
+    (1, 0): (T.BITS_AC_LUMA, T.VALS_AC_LUMA),
+    (1, 1): (T.BITS_AC_CHROMA, T.VALS_AC_CHROMA),
+}
+
+
+def _tables_are_k3(frame) -> bool:
+    for key, (bits, vals) in _K3.items():
+        got = frame.huff.get(key)
+        if got is None:
+            return False
+        if not (np.array_equal(got[0], bits) and np.array_equal(got[1], vals)):
+            return False
+    return True
+
+
+def _decode_scan_generic(scan: bytes, n_mcu: int, frame) -> np.ndarray:
+    """Python Huffman decode with arbitrary parsed tables (420, 3 comp)."""
+    luts = {}
+    for key, spec in frame.huff.items():
+        luts[key] = T.build_decode_table(*spec)
+    # per block index within MCU: (dc table id, ac table id)
+    sc = frame.scan_components
+    tabs = []
+    for b in range(6):
+        comp = 0 if b < 4 else b - 3
+        _, dc_id, ac_id = sc[comp]
+        tabs.append((luts[(0, dc_id)], luts[(1, ac_id)]))
+
+    br = R.BitReader(scan)
+    levels = np.zeros((n_mcu, 6, 64), dtype=np.int16)
+    for m in range(n_mcu):
+        for b in range(6):
+            dc_lut, ac_lut = tabs[b]
+            sym = R._read_vlc(br, dc_lut)
+            levels[m, b, 0] = br.get_xbits(sym) if sym else 0
+            i = 0
+            while True:
+                code = R._read_vlc(br, ac_lut)
+                if code == 0x00:
+                    break
+                run, size = code >> 4, code & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("unexpected AC symbol")
+                    i += 16
+                    continue
+                level = br.get_xbits(size)
+                i += run + 1
+                if i > 63:
+                    raise ValueError("AC index overflow")
+                levels[m, b, i] = level
+                if i == 63:
+                    break
+    return levels
+
+
+@partial(jax.jit, static_argnames=("mb_w", "mb_h", "width", "height"))
+def _transform(levels_zz, qm_zz_luma, qm_zz_chroma, mb_w, mb_h, width, height):
+    """Like amv_video.decode_transform but parameterized tables, no flip."""
+    F, M = levels_zz.shape[0], levels_zz.shape[1]
+    lv = levels_zz.astype(jnp.int32)
+    dc_y = jnp.cumsum(lv[:, :, :4, 0].reshape(F, M * 4) * qm_zz_luma[0],
+                      axis=1).reshape(F, M, 4) + 1024
+    dc_cb = jnp.cumsum(lv[:, :, 4, 0] * qm_zz_chroma[0], axis=1) + 1024
+    dc_cr = jnp.cumsum(lv[:, :, 5, 0] * qm_zz_chroma[0], axis=1) + 1024
+    dc = jnp.concatenate([dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
+    raster = jnp.take(lv, jnp.asarray(T.UNZIGZAG), axis=-1)
+    unzz = jnp.asarray(T.UNZIGZAG)
+    qm_l = jnp.take(qm_zz_luma, unzz)
+    qm_c = jnp.take(qm_zz_chroma, unzz)
+    qm = jnp.stack([qm_l] * 4 + [qm_c] * 2)[None, None]
+    pix = KI.dequantize_idct(raster, dc, qm)
+    mcu = pix.reshape(F, mb_h, mb_w, 6, 8, 8)
+    yb = mcu[:, :, :, :4].reshape(F, mb_h, mb_w, 2, 2, 8, 8)
+    y = yb.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+        F, 16 * mb_h, 16 * mb_w)[:, :height, :width]
+    cb = mcu[:, :, :, 4].transpose(0, 1, 3, 2, 4).reshape(
+        F, 8 * mb_h, 8 * mb_w)[:, :height // 2, :width // 2]
+    cr = mcu[:, :, :, 5].transpose(0, 1, 3, 2, 4).reshape(
+        F, 8 * mb_h, 8 * mb_w)[:, :height // 2, :width // 2]
+    return y, cb, cr
+
+
+def decode_mjpeg_frames(payloads: list[bytes]):
+    """Decode standard baseline MJPEG frames (4:2:0, 3 components).
+
+    All frames must share geometry; tables may vary per frame (batched per
+    table-group).  Returns (y, cb, cr) uint8 arrays, top-down.
+    """
+    frames = [parse_jpeg(p) for p in payloads]
+    f0 = frames[0]
+    if not f0.is_420_3c:
+        raise ValueError("only 3-component 4:2:0 baseline MJPEG supported")
+    w, h = f0.width, f0.height
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    n_mcu = mb_w * mb_h
+
+    levels = np.zeros((len(frames), n_mcu, 6, 64), np.int16)
+    std_scan = all(f.scan_components == [(0, 0, 0), (1, 1, 1), (2, 1, 1)]
+                   for f in frames)
+    if std_scan and all(_tables_are_k3(f) for f in frames):
+        # common case: stock tables -> reuse the fast C scan decoder
+        wrapped = [b"\xFF\xD8" + f.scan + b"\xFF\xD9" for f in frames]
+        levels = huffman_decode_frames(wrapped, n_mcu)
+    else:
+        for i, f in enumerate(frames):
+            scan = R.unescape_scan(f.scan)
+            levels[i] = _decode_scan_generic(scan, n_mcu, f)
+
+    # quant tables may vary per frame; group identical-table runs
+    def qkey(f):
+        qt_l = f.quant[f.components[0][3]]
+        qt_c = f.quant[f.components[1][3]]
+        return qt_l.tobytes() + qt_c.tobytes()
+
+    y = np.zeros((len(frames), h, w), np.uint8)
+    cb = np.zeros((len(frames), h // 2, w // 2), np.uint8)
+    cr = np.zeros_like(cb)
+    idxs_by_key = {}
+    for i, f in enumerate(frames):
+        idxs_by_key.setdefault(qkey(f), []).append(i)
+    for key, idxs in idxs_by_key.items():
+        f = frames[idxs[0]]
+        qt_l = jnp.asarray(f.quant[f.components[0][3]].astype(np.int32))
+        qt_c = jnp.asarray(f.quant[f.components[1][3]].astype(np.int32))
+        yy, ccb, ccr = _transform(jnp.asarray(levels[idxs]), qt_l, qt_c,
+                                  mb_w, mb_h, w, h)
+        y[idxs], cb[idxs], cr[idxs] = (np.asarray(yy), np.asarray(ccb),
+                                       np.asarray(ccr))
+    return y, cb, cr
