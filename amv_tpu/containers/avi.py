@@ -132,10 +132,13 @@ def extract_yuv420(st: AviStream):
     """Decode a raw-video AVI stream's chunks to (Y, Cb, Cr) uint8 arrays."""
     w, h = st.width, st.height
     frames = len(st.chunks)
+    tag = bytes(st.codec).upper()
+    if tag.startswith(b"MJPG") or tag.startswith(b"JPEG"):
+        from ..codecs.mjpeg import decode_mjpeg_frames
+        return decode_mjpeg_frames(st.chunks)
     y = np.zeros((frames, h, w), np.uint8)
     cb = np.zeros((frames, h // 2, w // 2), np.uint8)
     cr = np.zeros((frames, h // 2, w // 2), np.uint8)
-    tag = bytes(st.codec).upper()
     for i, c in enumerate(st.chunks):
         buf = np.frombuffer(c, np.uint8)
         if tag.startswith(b"I420") or tag.startswith(b"IYUV"):
