@@ -153,3 +153,61 @@ def decode_mjpeg_frames(payloads: list[bytes]):
         y[idxs], cb[idxs], cr[idxs] = (np.asarray(yy), np.asarray(ccb),
                                        np.asarray(ccr))
     return y, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# Standard MJPEG/JPEG encoding (self-consistent tables)
+# ---------------------------------------------------------------------------
+
+def _jpeg_header_with_tables(width, height, qm_zz: np.ndarray) -> bytes:
+    """Full JPEG header with the given quant table (both components) and the
+    K.3 Huffman set — mjpegenc.c jpeg_table_header/picture_header layout."""
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xDB" + (2 + 65).to_bytes(2, "big") + b"\x00"
+    out += bytes(np.clip(qm_zz, 1, 255).astype(np.uint8))
+    dht = bytearray()
+    for tclass, tid, bits, vals in (
+        (0, 0, T.BITS_DC_LUMA, T.VALS_DC_LUMA),
+        (0, 1, T.BITS_DC_CHROMA, T.VALS_DC_CHROMA),
+        (1, 0, T.BITS_AC_LUMA, T.VALS_AC_LUMA),
+        (1, 1, T.BITS_AC_CHROMA, T.VALS_AC_CHROMA),
+    ):
+        dht.append((tclass << 4) | tid)
+        dht += bytes(bits[1:].astype(np.uint8))
+        dht += bytes(vals.astype(np.uint8))
+    out += b"\xFF\xC4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    out += b"\xFF\xC0\x00\x11\x08"
+    out += int(height).to_bytes(2, "big") + int(width).to_bytes(2, "big")
+    out += b"\x03\x01\x22\x00\x02\x11\x00\x03\x11\x00"
+    out += b"\xFF\xDA\x00\x0C\x03\x01\x00\x02\x11\x03\x11\x00\x3F\x00"
+    return bytes(out)
+
+
+def encode_mjpeg_frames(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                        qscale: int = 2) -> list[bytes]:
+    """Encode top-down YUV420 frames as standalone baseline JPEGs.
+
+    Unlike the AMV format (whose encoder and decoder use mismatched
+    tables, the reference's known WIP bug), these files carry the
+    encoder's actual quantization matrix, so any JPEG decoder reconstructs
+    them correctly.  DC predictors start at 128 like the AMV scan, and the
+    decoder's 1024 bias cancels against qm[0]=8 (1024 = 128*8), keeping
+    scan-level compatibility with the K.3 path.
+    """
+    from .amv_video import encode_transform, _encoder_quant_matrix
+    from ..bitstream.entropy import huffman_encode_frame
+    F, H, W = y.shape
+    mb_w, mb_h = (W + 15) // 16, (H + 15) // 16
+    # cancel the AMV flip inside encode_transform to get top-down coding
+    lv = np.asarray(encode_transform(
+        jnp.asarray(y[:, ::-1].copy()), jnp.asarray(cb[:, ::-1].copy()),
+        jnp.asarray(cr[:, ::-1].copy()), mb_w, mb_h, qscale))
+    qm_raster = _encoder_quant_matrix(qscale)
+    qm_zz = qm_raster[T.ZIGZAG]
+    hdr = _jpeg_header_with_tables(W, H, qm_zz)
+    out = []
+    for f in range(F):
+        payload = huffman_encode_frame(lv[f])  # SOI + scan + EOI
+        out.append(hdr + payload[2:])
+    return out

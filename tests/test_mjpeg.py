@@ -54,3 +54,16 @@ def test_mjpeg_custom_tables(sample_amv_bytes):
     assert y2.shape == y1.shape
     # the modified tables change many pixels, and both decodes stay valid
     assert (y1 != y2).mean() > 0.1
+
+
+def test_jpeg_encode_roundtrip():
+    """Self-consistent standard JPEG encode: with matching tables (unlike
+    the AMV format's mismatched pair) the roundtrip is near-lossless."""
+    from amv_tpu.codecs.mjpeg import encode_mjpeg_frames
+    from amv_tpu.verify.fixtures import videogen
+    y, cb, cr = videogen(2, 96, 128)
+    jpegs = encode_mjpeg_frames(y, cb, cr)
+    assert all(j[:2] == b"\xFF\xD8" and j[-2:] == b"\xFF\xD9" for j in jpegs)
+    y2, cb2, cr2 = decode_mjpeg_frames(jpegs)
+    rmse = np.sqrt(((y2.astype(float) - y.astype(float)) ** 2).mean())
+    assert rmse < 3.0, f"roundtrip rmse {rmse}"
