@@ -90,12 +90,27 @@ def decode_transform(levels_zz: jnp.ndarray, mb_w: int, mb_h: int,
     return y, cb, cr
 
 
-def decode_frames(payloads: list[bytes], width: int, height: int):
-    """Decode a batch of AMV '00dc' payloads to YUV420 planes (numpy)."""
+def decode_frames(payloads: list[bytes], width: int, height: int,
+                  device_entropy: bool = False):
+    """Decode a batch of AMV '00dc' payloads to YUV420 planes (numpy).
+
+    device_entropy=True runs the Huffman stage on the TPU too
+    (kernels/entropy_decode.py, frame-parallel symbol scan); only the raw
+    scan bytes cross the host link.  Default: host/C scan decode.
+    """
     mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
-    levels = huffman_decode_frames(payloads, mb_w * mb_h)
-    y, cb, cr = decode_transform(
-        jnp.asarray(levels), mb_w, mb_h, width, height)
+    if device_entropy:
+        from ..verify.ref_jpeg import unescape_scan
+        from ..kernels.entropy_decode import decode_scans_device
+        scans = [unescape_scan(p[2:len(p) - 2]) for p in payloads]
+        max_b = (max(len(x) for x in scans) + 3) & ~3
+        arr = np.zeros((len(scans), max_b), np.uint8)
+        for i, x in enumerate(scans):
+            arr[i, :len(x)] = np.frombuffer(x, np.uint8)
+        levels = decode_scans_device(jnp.asarray(arr), mb_w * mb_h)
+    else:
+        levels = jnp.asarray(huffman_decode_frames(payloads, mb_w * mb_h))
+    y, cb, cr = decode_transform(levels, mb_w, mb_h, width, height)
     return np.asarray(y), np.asarray(cb), np.asarray(cr)
 
 

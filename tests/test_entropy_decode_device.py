@@ -41,3 +41,13 @@ def test_device_entropy_decode_own_encoder():
     arr = _pack([unescape_scan(p[2:-2]) for p in payloads])
     got = np.asarray(decode_scans_device(jnp.asarray(arr), n_mcu))
     np.testing.assert_array_equal(got, want)
+
+
+def test_decode_frames_device_entropy_path(sample_amv_bytes):
+    from amv_tpu.codecs import amv_video
+    s = riff.demux(sample_amv_bytes)
+    w, h = s.info.width, s.info.height
+    a = amv_video.decode_frames(s.video_chunks[:4], w, h)
+    b = amv_video.decode_frames(s.video_chunks[:4], w, h, device_entropy=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
