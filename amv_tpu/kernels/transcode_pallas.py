@@ -1,0 +1,123 @@
+"""Fused Pallas transcode kernel: IDCT + FDCT + quantize in one VMEM pass.
+
+Key observation: in a decode->re-encode round trip over aligned frames,
+the decoder's MCU->plane assembly and the encoder's plane->MCU extraction
+are exact inverses (including the AMV vertical flip, which both sides
+apply), so the re-encode can consume pixels in *block layout* directly.
+That removes every lane-crossing reshuffle: the whole transform chain is
+2D coefficient-major arithmetic, which Mosaic compiles happily.
+
+The kernel reads dequantized blocks ([64, N] int16), produces both the
+decoded pixels ([64, N] uint8 — the caller assembles display planes from
+them in one XLA pass) and the re-quantized levels ([64, N] int16, raster
+order) for the entropy encoder.  Bit-exact with running
+decode_transform + encode_transform back to back (tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .idct_pallas import _idct_kernel  # reuse arithmetic helpers
+from .idct import W1, W2, W3, W4, W5, W6, W7, ROW_SHIFT, COL_SHIFT
+from .fdct_pallas import _fdct_1d, PASS1_BITS
+
+TILE_N = 512
+
+
+def _wrap16(x):
+    return ((x + 0x8000) & 0xFFFF) - 0x8000
+
+
+def _idct_cols(deq_cols):
+    """64 SoA int32 columns (raster) -> 64 uint8-range int32 pixel columns."""
+    mid = [[None] * 8 for _ in range(8)]
+    for r in range(8):
+        c = [deq_cols[r * 8 + i] for i in range(8)]
+        dc_only = (c[1] | c[2] | c[3] | c[4] | c[5] | c[6] | c[7]) == 0
+        short = _wrap16(c[0] << 3)
+        a0 = W4 * c[0] + (1 << (ROW_SHIFT - 1))
+        a1 = a0 + W6 * c[2] - W4 * c[4] - W2 * c[6]
+        a2 = a0 - W6 * c[2] - W4 * c[4] + W2 * c[6]
+        a3 = a0 - W2 * c[2] + W4 * c[4] - W6 * c[6]
+        a0 = a0 + W2 * c[2] + W4 * c[4] + W6 * c[6]
+        b0 = W1 * c[1] + W3 * c[3] + W5 * c[5] + W7 * c[7]
+        b1 = W3 * c[1] - W7 * c[3] - W1 * c[5] - W5 * c[7]
+        b2 = W5 * c[1] - W1 * c[3] + W7 * c[5] + W3 * c[7]
+        b3 = W7 * c[1] - W5 * c[3] + W3 * c[5] - W1 * c[7]
+        o = [(a0 + b0) >> ROW_SHIFT, (a1 + b1) >> ROW_SHIFT,
+             (a2 + b2) >> ROW_SHIFT, (a3 + b3) >> ROW_SHIFT,
+             (a3 - b3) >> ROW_SHIFT, (a2 - b2) >> ROW_SHIFT,
+             (a1 - b1) >> ROW_SHIFT, (a0 - b0) >> ROW_SHIFT]
+        for i in range(8):
+            mid[r][i] = jnp.where(dc_only, short, _wrap16(o[i]))
+    bias = (1 << (COL_SHIFT - 1)) // W4
+    out = [None] * 64
+    for j in range(8):
+        c = [mid[i][j] for i in range(8)]
+        a0 = W4 * (c[0] + bias)
+        a1 = a0 + W6 * c[2] - W4 * c[4] - W2 * c[6]
+        a2 = a0 - W6 * c[2] - W4 * c[4] + W2 * c[6]
+        a3 = a0 - W2 * c[2] + W4 * c[4] - W6 * c[6]
+        a0 = a0 + W2 * c[2] + W4 * c[4] + W6 * c[6]
+        b0 = W1 * c[1] + W3 * c[3] + W5 * c[5] + W7 * c[7]
+        b1 = W3 * c[1] - W7 * c[3] - W1 * c[5] - W5 * c[7]
+        b2 = W5 * c[1] - W1 * c[3] + W7 * c[5] + W3 * c[7]
+        b3 = W7 * c[1] - W5 * c[3] + W3 * c[5] - W1 * c[7]
+        o = [(a0 + b0) >> COL_SHIFT, (a1 + b1) >> COL_SHIFT,
+             (a2 + b2) >> COL_SHIFT, (a3 + b3) >> COL_SHIFT,
+             (a3 - b3) >> COL_SHIFT, (a2 - b2) >> COL_SHIFT,
+             (a1 - b1) >> COL_SHIFT, (a0 - b0) >> COL_SHIFT]
+        for i in range(8):
+            out[i * 8 + j] = jnp.clip(o[i], 0, 255)
+    return out
+
+
+def _make_kernel(qmat_key):
+    q = list(qmat_key)
+
+    def kernel(deq_ref, pix_ref, lv_ref):
+        deq = [deq_ref[k, :].astype(jnp.int32) for k in range(64)]
+        pix = _idct_cols(deq)
+        for k in range(64):
+            pix_ref[k, :] = pix[k].astype(jnp.uint8)
+        # forward DCT + quantize on the same block pixels
+        cols = [[pix[r * 8 + i] for i in range(8)] for r in range(8)]
+        mid = [_fdct_1d(cols[r], 13 - PASS1_BITS, True) for r in range(8)]
+        for j in range(8):
+            cc = [mid[i][j] for i in range(8)]
+            o = _fdct_1d(cc, 13 + PASS1_BITS, False)
+            for i in range(8):
+                pos = i * 8 + j
+                coef = o[i]
+                if pos == 0:
+                    lv_ref[0, :] = ((coef + 32) >> 6).astype(jnp.int16)
+                else:
+                    level = coef * q[pos]
+                    qv = jnp.where(level >= 0, level >> 22, -((-level) >> 22))
+                    lv_ref[pos, :] = jnp.clip(qv, -1023, 1023).astype(jnp.int16)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("qmat_key", "interpret"))
+def transcode_soa(deq_cm: jnp.ndarray, qmat_key, interpret: bool = False):
+    """deq int16 [64, N] (dequantized blocks, raster, N%512==0) ->
+    (pix uint8 [64, N], levels int16 [64, N] raster)."""
+    n = deq_cm.shape[1]
+    kernel = _make_kernel(qmat_key)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((64, n), jnp.uint8),
+                   jax.ShapeDtypeStruct((64, n), jnp.int16)),
+        grid=(n // TILE_N,),
+        in_specs=[pl.BlockSpec((64, TILE_N), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((64, TILE_N), lambda i: (0, i)),
+                   pl.BlockSpec((64, TILE_N), lambda i: (0, i))),
+        interpret=interpret,
+    )(deq_cm)

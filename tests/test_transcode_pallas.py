@@ -1,0 +1,49 @@
+"""Fused Pallas transcode kernel vs the two-stage path (interpret mode)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from amv_tpu.bitstream import jpeg_tables as T
+from amv_tpu.bitstream.entropy import huffman_decode_frames
+from amv_tpu.codecs.amv_video import (decode_transform, encode_transform,
+                                      _encoder_quant_qmat_np)
+from amv_tpu.containers import riff
+from amv_tpu.kernels import idct as KI
+from amv_tpu.kernels.transcode_pallas import transcode_soa
+
+QM = np.zeros((6, 64), np.int32)
+QM[:4, T.ZIGZAG] = T.SP5X_QUANT_LUMA_ZZ
+QM[4:, T.ZIGZAG] = T.SP5X_QUANT_CHROMA_ZZ
+
+
+def test_fused_transcode_bit_exact(sample_amv_bytes):
+    s = riff.demux(sample_amv_bytes)
+    F, M, mbw, mbh = 4, 48, 8, 6
+    levels = huffman_decode_frames(s.video_chunks[:F], M)
+    y1, cb1, cr1 = decode_transform(jnp.asarray(levels), mbw, mbh, 128, 96)
+    lv_ref = np.asarray(encode_transform(y1, cb1, cr1, mbw, mbh, 2))
+
+    lv = levels.astype(np.int32)
+    dc = np.concatenate([
+        np.cumsum(lv[:, :, :4, 0].reshape(F, M * 4) * 13,
+                  axis=1).reshape(F, M, 4) + 1024,
+        (np.cumsum(lv[:, :, 4, 0] * 14, axis=1) + 1024)[..., None],
+        (np.cumsum(lv[:, :, 5, 0] * 14, axis=1) + 1024)[..., None]],
+        axis=-1).astype(np.int32)
+    raster = np.take(lv, np.asarray(T.UNZIGZAG), axis=-1)
+    deq = ((raster * QM[None, None] + 0x8000) & 0xFFFF) - 0x8000
+    deq[..., 0] = ((dc + 0x8000) & 0xFFFF) - 0x8000
+    n = F * M * 6
+    pad = -n % 512
+    cm = np.zeros((64, n + pad), np.int16)
+    cm[:, :n] = deq.reshape(n, 64).T
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    pix, lv2 = transcode_soa(jnp.asarray(cm), qk, interpret=True)
+    lv2_zz = np.take(np.asarray(lv2)[:, :n].T.reshape(F, M, 6, 64),
+                     np.asarray(T.ZIGZAG), axis=-1)
+    np.testing.assert_array_equal(lv2_zz, lv_ref)
+    pix_blocks = np.asarray(pix)[:, :n].T.reshape(F, M, 6, 8, 8)
+    pix_ref = np.asarray(KI.dequantize_idct(
+        jnp.asarray(raster), jnp.asarray(dc), jnp.asarray(QM)[None, None]))
+    np.testing.assert_array_equal(pix_blocks, pix_ref)
