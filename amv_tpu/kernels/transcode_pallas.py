@@ -105,6 +105,61 @@ def _make_kernel(qmat_key):
     return kernel
 
 
+def _make_kernel3(qmat_key):
+    """3D variant: each coefficient plane is an (8, TILE) slab, so Mosaic
+    uses all 8 sublanes of every vreg (the 2D kernel's (1, N) rows idle
+    7/8 of the VPU)."""
+    q = list(qmat_key)
+
+    def kernel(deq_ref, pix_ref, lv_ref):
+        deq = [deq_ref[k, :, :].astype(jnp.int32) for k in range(64)]
+        pix = _idct_cols(deq)
+        for k in range(64):
+            pix_ref[k, :, :] = pix[k].astype(jnp.uint8)
+        cols = [[pix[r * 8 + i] for i in range(8)] for r in range(8)]
+        mid = [_fdct_1d(cols[r], 13 - PASS1_BITS, True) for r in range(8)]
+        for j in range(8):
+            cc = [mid[i][j] for i in range(8)]
+            o = _fdct_1d(cc, 13 + PASS1_BITS, False)
+            for i in range(8):
+                pos = i * 8 + j
+                coef = o[i]
+                if pos == 0:
+                    lv_ref[0, :, :] = ((coef + 32) >> 6).astype(jnp.int16)
+                else:
+                    level = coef * q[pos]
+                    qv = jnp.where(level >= 0, level >> 22, -((-level) >> 22))
+                    lv_ref[pos, :, :] = jnp.clip(qv, -1023, 1023).astype(jnp.int16)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("qmat_key", "interpret", "tile"))
+def transcode_soa3(deq_cm: jnp.ndarray, qmat_key, interpret: bool = False,
+                   tile: int = 512):
+    """deq int16 [64, N] (raster, N % (8*tile) == 0) ->
+    (pix uint8 [64, N], levels int16 [64, N] raster).
+
+    Same arithmetic as transcode_soa, but views every coefficient plane as
+    [8, N/8] so VPU sublanes are fully used.  Bit-exact with the 2D kernel.
+    """
+    n = deq_cm.shape[1]
+    nm = n // 8
+    x = deq_cm.reshape(64, 8, nm)
+    kernel = _make_kernel3(qmat_key)
+    pix, lv = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((64, 8, nm), jnp.uint8),
+                   jax.ShapeDtypeStruct((64, 8, nm), jnp.int16)),
+        grid=(nm // tile,),
+        in_specs=[pl.BlockSpec((64, 8, tile), lambda i: (0, 0, i))],
+        out_specs=(pl.BlockSpec((64, 8, tile), lambda i: (0, 0, i)),
+                   pl.BlockSpec((64, 8, tile), lambda i: (0, 0, i))),
+        interpret=interpret,
+    )(x)
+    return pix.reshape(64, n), lv.reshape(64, n)
+
+
 @partial(jax.jit, static_argnames=("qmat_key", "interpret"))
 def transcode_soa(deq_cm: jnp.ndarray, qmat_key, interpret: bool = False):
     """deq int16 [64, N] (dequantized blocks, raster, N%512==0) ->

@@ -10,7 +10,7 @@ from amv_tpu.codecs.amv_video import (decode_transform, encode_transform,
                                       _encoder_quant_qmat_np)
 from amv_tpu.containers import riff
 from amv_tpu.kernels import idct as KI
-from amv_tpu.kernels.transcode_pallas import transcode_soa
+from amv_tpu.kernels.transcode_pallas import transcode_soa, transcode_soa3
 
 QM = np.zeros((6, 64), np.int32)
 QM[:4, T.ZIGZAG] = T.SP5X_QUANT_LUMA_ZZ
@@ -47,3 +47,14 @@ def test_fused_transcode_bit_exact(sample_amv_bytes):
     pix_ref = np.asarray(KI.dequantize_idct(
         jnp.asarray(raster), jnp.asarray(dc), jnp.asarray(QM)[None, None]))
     np.testing.assert_array_equal(pix_blocks, pix_ref)
+
+def test_fused_transcode_3d_matches_2d():
+    """The sublane-packed 3D layout kernel is bit-exact with the 2D one."""
+    rng = np.random.default_rng(7)
+    N = 8 * 512
+    deq = rng.integers(-2048, 2048, (64, N)).astype(np.int16)
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    p1, l1 = transcode_soa(jnp.asarray(deq), qk, interpret=True)
+    p2, l2 = transcode_soa3(jnp.asarray(deq), qk, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
