@@ -160,6 +160,80 @@ def transcode_soa3(deq_cm: jnp.ndarray, qmat_key, interpret: bool = False,
     return pix.reshape(64, n), lv.reshape(64, n)
 
 
+def _make_kernel_zz(qmat_key, nm, tile):
+    """Full-fusion variant: consumes *zigzag levels* + DC row and performs
+    dequantization (sp5x Q60, luma/chroma selected by block index % 6),
+    zigzag->raster (a static row permutation), IDCT, FDCT and requant in
+    one VMEM pass."""
+    from ..bitstream import jpeg_tables as T
+
+    q = list(qmat_key)
+    unzz = [int(v) for v in T.UNZIGZAG]
+    qm_l = np.zeros(64, np.int32)
+    qm_c = np.zeros(64, np.int32)
+    qm_l[T.ZIGZAG] = T.SP5X_QUANT_LUMA_ZZ
+    qm_c[T.ZIGZAG] = T.SP5X_QUANT_CHROMA_ZZ
+
+    def kernel(lv_ref, dc_ref, pix_ref, out_ref):
+        i = pl.program_id(0)
+        # block index n = s*nm + m; block type = n % 6 (4 luma, 2 chroma)
+        m = i * tile + jax.lax.broadcasted_iota(jnp.int32, (8, tile), 1)
+        s = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
+        luma = (s * nm + m) % 6 < 4
+        deq = [None] * 64
+        deq[0] = _wrap16(dc_ref[:, :])
+        for j in range(1, 64):
+            qv = jnp.where(luma, int(qm_l[j]), int(qm_c[j]))
+            deq[j] = _wrap16(lv_ref[unzz[j], :, :].astype(jnp.int32) * qv)
+        pix = _idct_cols(deq)
+        for k in range(64):
+            pix_ref[k, :, :] = pix[k].astype(jnp.uint8)
+        cols = [[pix[r * 8 + i2] for i2 in range(8)] for r in range(8)]
+        mid = [_fdct_1d(cols[r], 13 - PASS1_BITS, True) for r in range(8)]
+        for j in range(8):
+            cc = [mid[i2][j] for i2 in range(8)]
+            o = _fdct_1d(cc, 13 + PASS1_BITS, False)
+            for i2 in range(8):
+                pos = i2 * 8 + j
+                coef = o[i2]
+                if pos == 0:
+                    out_ref[0, :, :] = ((coef + 32) >> 6).astype(jnp.int16)
+                else:
+                    level = coef * q[pos]
+                    qv = jnp.where(level >= 0, level >> 22, -((-level) >> 22))
+                    out_ref[pos, :, :] = jnp.clip(
+                        qv, -1023, 1023).astype(jnp.int16)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("qmat_key", "interpret", "tile"))
+def transcode_zz(lv_cm: jnp.ndarray, dc: jnp.ndarray, qmat_key,
+                 interpret: bool = False, tile: int = 512):
+    """lv int16 [64, N] *zigzag* levels (coefficient-major), dc int32 [N]
+    (resolved DC prediction, pre-wrap) -> (pix uint8 [64, N],
+    levels int16 [64, N] raster).  N % (8*tile) == 0; block n's type is
+    n % 6 (AMV MCU order: 4Y + Cb + Cr), which selects the Q60 table.
+    """
+    n = lv_cm.shape[1]
+    nm = n // 8
+    x = lv_cm.reshape(64, 8, nm)
+    d = dc.reshape(8, nm)
+    kernel = _make_kernel_zz(qmat_key, nm, tile)
+    pix, lv = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((64, 8, nm), jnp.uint8),
+                   jax.ShapeDtypeStruct((64, 8, nm), jnp.int16)),
+        grid=(nm // tile,),
+        in_specs=[pl.BlockSpec((64, 8, tile), lambda i: (0, 0, i)),
+                  pl.BlockSpec((8, tile), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((64, 8, tile), lambda i: (0, 0, i)),
+                   pl.BlockSpec((64, 8, tile), lambda i: (0, 0, i))),
+        interpret=interpret,
+    )(x, d)
+    return pix.reshape(64, n), lv.reshape(64, n)
+
+
 @partial(jax.jit, static_argnames=("qmat_key", "interpret"))
 def transcode_soa(deq_cm: jnp.ndarray, qmat_key, interpret: bool = False):
     """deq int16 [64, N] (dequantized blocks, raster, N%512==0) ->

@@ -10,7 +10,8 @@ from amv_tpu.codecs.amv_video import (decode_transform, encode_transform,
                                       _encoder_quant_qmat_np)
 from amv_tpu.containers import riff
 from amv_tpu.kernels import idct as KI
-from amv_tpu.kernels.transcode_pallas import transcode_soa, transcode_soa3
+from amv_tpu.kernels.transcode_pallas import (transcode_soa, transcode_soa3,
+                                              transcode_zz)
 
 QM = np.zeros((6, 64), np.int32)
 QM[:4, T.ZIGZAG] = T.SP5X_QUANT_LUMA_ZZ
@@ -58,3 +59,35 @@ def test_fused_transcode_3d_matches_2d():
     p2, l2 = transcode_soa3(jnp.asarray(deq), qk, interpret=True)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+def test_fused_transcode_zz_full_fusion(sample_amv_bytes):
+    """transcode_zz (dequant folded in) matches the explicit-dequant kernel
+    on real corpus levels."""
+    import jax
+    s = riff.demux(sample_amv_bytes)
+    F, M = 4, 48
+    levels = huffman_decode_frames(s.video_chunks[:F], M)
+    lv = levels.astype(np.int32)
+    dc = np.concatenate([
+        np.cumsum(lv[:, :, :4, 0].reshape(F, M * 4) * 13,
+                  axis=1).reshape(F, M, 4) + 1024,
+        (np.cumsum(lv[:, :, 4, 0] * 14, axis=1) + 1024)[..., None],
+        (np.cumsum(lv[:, :, 5, 0] * 14, axis=1) + 1024)[..., None]],
+        axis=-1).astype(np.int32)
+    raster = np.take(lv, np.asarray(T.UNZIGZAG), axis=-1)
+    deq = ((raster * QM[None, None] + 0x8000) & 0xFFFF) - 0x8000
+    deq[..., 0] = ((dc + 0x8000) & 0xFFFF) - 0x8000
+    n = F * M * 6
+    pad = -n % (8 * 512)
+    cmr = np.zeros((64, n + pad), np.int16)
+    cmr[:, :n] = deq.reshape(n, 64).T
+    cmz = np.zeros((64, n + pad), np.int16)
+    cmz[:, :n] = lv.reshape(n, 64).T.astype(np.int16)
+    dcf = np.zeros(n + pad, np.int32)
+    dcf[:n] = dc.reshape(n)
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    p1, l1 = transcode_soa3(jnp.asarray(cmr), qk, interpret=True)
+    p2, l2 = transcode_zz(jnp.asarray(cmz), jnp.asarray(dcf), qk,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(p1)[:, :n], np.asarray(p2)[:, :n])
+    np.testing.assert_array_equal(np.asarray(l1)[:, :n], np.asarray(l2)[:, :n])
