@@ -36,6 +36,49 @@ def transcode_transform(levels_zz, mb_w, mb_h, width, height,
     return encode_frames_device(lv2, max_bytes=max_bytes)
 
 
+@partial(jax.jit, static_argnames=("qscale",))
+def transcode_levels_fused(levels_zz, qscale=2):
+    """Fused Pallas transcode: zigzag levels -> re-quantized zigzag levels
+    (+ decoded pixel blocks), one VMEM pass for dequant/IDCT/FDCT/quant.
+
+    Exploits that decode's MCU->plane assembly and encode's plane->MCU
+    extraction are exact inverses (incl. the AMV flip) on MB-aligned
+    frames, so no pixel ever leaves block layout.  Bit-exact with
+    decode_transform + encode_transform for 16-aligned width/height
+    (tests/test_transcode_pallas.py); for other sizes the two paths differ
+    only in the invisible bottom/right pad blocks (two-stage re-replicates
+    edges, fused keeps the decoded pad).
+
+    Returns (levels2_zz int16 [F, M, 6, 64], pix uint8 [F, M, 6, 8, 8]).
+    """
+    from ..bitstream import jpeg_tables as T
+    from ..codecs.amv_video import _encoder_quant_qmat_np
+    from ..kernels.transcode_pallas import transcode_zz
+
+    F, M = levels_zz.shape[0], levels_zz.shape[1]
+    lvi = levels_zz.astype(jnp.int32)
+    qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
+    qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
+    dc_y = (jnp.cumsum(lvi[:, :, :4, 0].reshape(F, M * 4) * qdc_l, axis=1)
+            .reshape(F, M, 4) + 1024)
+    dc_cb = jnp.cumsum(lvi[:, :, 4, 0] * qdc_c, axis=1) + 1024
+    dc_cr = jnp.cumsum(lvi[:, :, 5, 0] * qdc_c, axis=1) + 1024
+    dc = jnp.concatenate([dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
+
+    n = F * M * 6
+    pad = -n % 4096
+    cm = jnp.pad(levels_zz.reshape(n, 64).T.astype(jnp.int16),
+                 ((0, 0), (0, pad)))
+    dcf = jnp.pad(dc.reshape(n), ((0, pad),))
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(qscale))
+    # Mosaic targets TPU; on CPU (tests) run the kernel interpreted
+    pix, lv2 = transcode_zz(cm, dcf, qk,
+                            interpret=jax.default_backend() == "cpu")
+    lv2_zz = jnp.take(lv2[:, :n].T.reshape(F, M, 6, 64),
+                      jnp.asarray(T.ZIGZAG), axis=-1)
+    return lv2_zz, pix[:, :n].T.reshape(F, M, 6, 8, 8)
+
+
 def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     """Re-encode a complete .amv file (video re-quantized at qscale;
     audio chunks are already bit-exact ADPCM and pass through)."""
