@@ -85,37 +85,87 @@ def main():
         "TPU encode != C reference"
 
     # ---------------- device-resident pipeline throughput --------------------
-    K = TILE
+    # Headline: the fused Pallas transcode kernel (dequant + zigzag + IDCT +
+    # FDCT + requant in one VMEM pass, kernels/transcode_pallas.py) over a
+    # K-times tiled corpus.  The whole device program is gated bit-exactly:
+    # its checksum (re-encoded levels + decoded pixels on strided subsets)
+    # must equal the host-computed expectation from the C-verified outputs.
+    K = int(os.environ.get("AMV_BENCH_PALLAS_K", "256"))
     FK = F * K
+    M = mb_w * mb_h
 
-    USE_SCAN = os.environ.get("AMV_BENCH_SCAN") == "1"
+    from amv_tpu.codecs.amv_video import _encoder_quant_qmat_np
+    from amv_tpu.kernels.transcode_pallas import transcode_zz
+    from amv_tpu.bitstream import jpeg_tables as T
+
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
+    qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
 
     @jax.jit
-    def fused_roundtrip(levels_dev, salt):
-        if USE_SCAN:
-            # scan over K replicas: single-corpus compile cost.  NOTE: the
-            # axon remote-compile service handles this pathologically slowly,
-            # hence the tiled default.
-            def body(acc, k):
-                lv = levels_dev + (salt * 0 + k * 0).astype(jnp.int16)
-                yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
-                lv2 = encode_transform(yy, ccb, ccr, mb_w, mb_h, 2)
-                return acc + jnp.sum(lv2.astype(jnp.int32)) + \
-                    jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)), None
-            acc, _ = jax.lax.scan(body, salt, jnp.arange(K))
-            return acc
-        lv = jnp.tile(levels_dev, (K, 1, 1, 1)) + salt.astype(jnp.int16) * 0
-        yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
-        lv2 = encode_transform(yy, ccb, ccr, mb_w, mb_h, 2)
-        return (jnp.sum(lv2.astype(jnp.int32)) +
-                jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)) + salt)
+    def fused_roundtrip(lv0, salt):
+        lv = jnp.tile(lv0, (K, 1, 1, 1)) + salt.astype(jnp.int16) * 0
+        FT = F * K
+        lvi = lv.astype(jnp.int32)
+        dc_y = (jnp.cumsum(lvi[:, :, :4, 0].reshape(FT, M * 4) * qdc_l,
+                           axis=1).reshape(FT, M, 4) + 1024)
+        dc_cb = jnp.cumsum(lvi[:, :, 4, 0] * qdc_c, axis=1) + 1024
+        dc_cr = jnp.cumsum(lvi[:, :, 5, 0] * qdc_c, axis=1) + 1024
+        dc = jnp.concatenate([dc_y, dc_cb[..., None], dc_cr[..., None]],
+                             axis=-1)
+        N = FT * M * 6
+        cm = lv.reshape(N, 64).T
+        pix, lv2 = transcode_zz(cm, dc.reshape(N), qk)
+        # decoded-plane checksum on frames f % 97 == 0 (assembled in XLA;
+        # selecting frames *before* assembly keeps the transpose small)
+        fsel = jnp.arange(0, FT, 97)
+        Fs = fsel.shape[0]
+        pf = pix.reshape(64, FT, M * 6)[:, fsel]
+        p = pf.reshape(8, 8, Fs, mb_h, mb_w, 6)
+        yp = p[:, :, :, :, :, :4].reshape(8, 8, Fs, mb_h, mb_w, 2, 2)
+        ycoded = yp.transpose(2, 3, 5, 0, 4, 6, 1).reshape(
+            Fs, 16 * mb_h, 16 * mb_w)
+        yv = ycoded[:, h - 1::-1, :w]
+        return (jnp.sum(lv2[:, ::37].astype(jnp.int32)) +
+                jnp.sum(yv[:, ::13, ::17].astype(jnp.int32)) + salt)
+
+    # host-side expected checksum from the C-gated outputs above
+    lv2_np = lv_enc.astype(np.int64)          # re-encode of the decode output
+    block_sums = lv2_np.sum(axis=-1).reshape(F * M * 6)
+    n_total = FK * M * 6
+    sel = np.arange(0, n_total, 37) % (F * M * 6)
+    cs_levels = int(block_sums[sel].sum())
+    fsel_np = np.arange(0, FK, 97) % F
+    cs_pixels = int(yh[fsel_np, ::13, ::17].astype(np.int64).sum())
+    expected = (((cs_levels + cs_pixels) & 0xFFFFFFFF) ^ 0x80000000) \
+        - 0x80000000  # two's-complement int32 wrap
 
     levels_dev = jax.device_put(jnp.asarray(levels))
     jax.block_until_ready(levels_dev)
-    _ = int(fused_roundtrip(levels_dev, jnp.int32(0))[...])  # compile+warm
+    got = int(fused_roundtrip(levels_dev, jnp.int32(0))[...])  # compile+warm
+    assert got == int(expected), \
+        f"fused transcode checksum mismatch: {got} != {int(expected)}"
     t_dev = best_time(lambda: int(
         fused_roundtrip(levels_dev, jnp.int32(np.random.randint(1000)))[...]))
     dev_fps = FK / t_dev  # each frame decoded AND re-encoded
+
+    # optional: the pure-XLA two-stage path (pre-Pallas headline)
+    t_xla = None
+    if os.environ.get("AMV_BENCH_XLA") == "1":
+        KX = TILE
+
+        @jax.jit
+        def xla_roundtrip(lv0, salt):
+            lv = jnp.tile(lv0, (KX, 1, 1, 1)) + salt.astype(jnp.int16) * 0
+            yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
+            lv2 = encode_transform(yy, ccb, ccr, mb_w, mb_h, 2)
+            return (jnp.sum(lv2.astype(jnp.int32)) +
+                    jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)) + salt)
+
+        _ = int(xla_roundtrip(levels_dev, jnp.int32(0))[...])
+        t_xla = best_time(lambda: int(
+            xla_roundtrip(levels_dev, jnp.int32(np.random.randint(1000)))[...]))
+        t_xla = F * KX / t_xla
 
     # ---------------- host entropy + link: end-to-end -------------------------
     def e2e_decode():
@@ -174,13 +224,14 @@ def main():
         payload_a[i, :lens[i]] = np.frombuffer(c, np.uint8)[8:]
         pred[i] = struct.unpack_from("<h", c, 0)[0]
         sidx[i] = min(struct.unpack_from("<H", c, 2)[0], 88)
-    n_samples = int(2 * lens.sum()) * K
+    KA_T = TILE
+    n_samples = int(2 * lens.sum()) * KA_T
 
     @jax.jit
     def fused_adpcm(pl, pr, si, salt):
-        pl2 = jnp.tile(pl, (K, 1))
-        pr2 = jnp.tile(pr, (K,)) + salt * 0
-        si2 = jnp.tile(si, (K,))
+        pl2 = jnp.tile(pl, (KA_T, 1))
+        pr2 = jnp.tile(pr, (KA_T,)) + salt * 0
+        si2 = jnp.tile(si, (KA_T,))
         pcm = KA.decode_chunks(pl2, pr2, si2)
         return jnp.sum(pcm.astype(jnp.int32)) + salt
 
@@ -225,6 +276,9 @@ def main():
         "vs_baseline": round(dev_fps / fps_c, 2),
         "detail": {
             "corpus": f"AMV1.amv x{K} = {FK} frames 128x96",
+            "path": "fused Pallas transcode kernel (dequant+IDCT+FDCT+quant "
+                    "in one VMEM pass), checksum-gated vs C-verified outputs",
+            **({"xla_two_stage_fps": round(t_xla, 1)} if t_xla else {}),
             "c1core_decode_fps": round(F / tc_dec, 1),
             "c1core_encode_fps": round(F / tc_enc, 1),
             "e2e_tunnel_decode_fps": round(F / t_e2e_dec, 1),
