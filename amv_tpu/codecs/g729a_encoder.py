@@ -16,9 +16,13 @@ Design: hybrid float analysis / exact-integer synthesis.
   keeps a shadow `verify.ref_g729.G729Decoder` state and evaluates every
   candidate through the same integer routines the decoder will run, so
   encoder and decoder memories track bit-exactly;
-* the fixed-codebook search is a greedy per-track correlation search in
-  the excitation domain (an Annex-A-spirit simplification of the
-  depth-first ACELP search).
+* the closed-loop pitch searches the full 1/3-sample fractional grid
+  (float replica of the decoder's interpolation, self-extending for
+  short lags);
+* the fixed-codebook search is an exhaustive joint search over all
+  8x8x8x16 track-pulse combinations (sign-preselected, pitch-sharpened
+  impulse response) maximizing the standard (d.c)^2 / c'Phi c criterion
+  — strictly stronger than the reference ITU depth-first search.
 
 Not bit-compatible with the ITU encoder (no reference encoder is vendored
 to match); validated by decode(encode(x)) reconstruction quality tests.
@@ -123,7 +127,7 @@ def _quantize_lsf(enc, lsf_rad):
         lq_target = ((target_q13 << 15) - pred) / msum
         # stage 1: full search over 128
         d1 = np.abs(T.CB_L1.astype(np.float64) - lq_target).sum(axis=1)
-        for L1 in np.argsort(d1)[:4]:
+        for L1 in np.argsort(d1)[:8]:
             resid = lq_target - T.CB_L1[L1]
             L2 = int(np.argmin(
                 ((T.CB_L2_L3[:, :5] - resid[:5]) ** 2).sum(axis=1)))
@@ -185,6 +189,35 @@ class G729Encoder:
         """Zero-state response of 1/A to excitation x (truncated conv)."""
         return np.convolve(x, h)[:SUBFRAME]
 
+    def _ac_candidate(self, off, t, frac):
+        """Float replica of the decoder's AC-vector interpolation
+        (ref_g729.decode_ac_vector): 1/3-resolution delay t - frac/3 over
+        the current excitation history, self-extending for t < 40.
+        Used only to *score* closed-loop candidates; the chosen candidate
+        is materialized exactly via the shadow decoder."""
+        st = self.shadow
+        base = st.exc_off + off
+        span = PITCH_MAX + D.INTERPOL_LEN
+        o = span
+        buf = np.concatenate([
+            np.array(st.exc_base[base - span:base], dtype=np.float64),
+            np.zeros(SUBFRAME)])
+        f = -frac
+        ti = t
+        if f < 0:
+            f += 3
+            ti += 1
+        taps_lo = np.array([float(D._INTERP_FLAT[3 * i + f])
+                            for i in range(10)])
+        taps_hi = np.array([float(D._INTERP_FLAT[3 * i + 3 - f])
+                            for i in range(10)])
+        for n in range(SUBFRAME):
+            p = o + n - ti
+            v = np.dot(buf[p - 9:p + 1][::-1], taps_lo) + \
+                np.dot(buf[p + 1:p + 11], taps_hi)
+            buf[o + n] = v / 16384.0
+        return buf[o:]
+
     def encode_frame(self, samples: np.ndarray) -> bytes:
         samples = np.asarray(samples, dtype=np.float64)
         assert samples.shape == (FRAME,)
@@ -235,91 +268,114 @@ class G729Encoder:
             h = self._impulse_response(lp_i)
             target = speech_sub - self._zero_input_response(lp_i)
 
-            # --- closed-loop integer pitch ---------------------------------
+            # --- closed-loop pitch at 1/3 resolution -------------------------
+            # pd3x = 3t + frac + 1 (decoder: int = pd3x//3,
+            # frac = pd3x%3 - 1); fractions exist for t <= 84 in subframe 1
+            # and everywhere in subframe 2's 5-bit relative window.
             if i == 0:
-                # closed-loop over the open-loop neighborhood plus octave
-                # candidates (cheap in numpy; beats a narrow +/-3 window)
-                cands = sorted(set(
+                ints = sorted(set(
                     list(range(max(PITCH_MIN, t_op - 5),
                                min(PITCH_MAX, t_op + 5) + 1)) +
                     [t for t in (t_op // 2, t_op * 2)
                      if PITCH_MIN <= t <= PITCH_MAX]))
+                cands = [(t, f) for t in ints
+                         for f in ((-1, 0, 1) if t <= 84 else (0,))
+                         if not (t == PITCH_MIN and f == -1)]
             else:
                 base = min(max(prev_int - 5, PITCH_MIN), PITCH_MAX - 9)
-                cands = [base + k for k in range(10)
+                cands = [(base + k, f) for k in range(10)
+                         for f in (-1, 0, 1)
                          if PITCH_MIN <= base + k <= PITCH_MAX]
             best = None
-            base_i = st.exc_off + i * SUBFRAME
-            for tc in cands:
-                # candidate AC vector = delayed excitation (frac=0 search),
-                # scored by its synthesis-domain match to the target
-                acv = np.array([st.exc_base[base_i + n - tc]
-                                for n in range(SUBFRAME)], dtype=np.float64)
-                y = self._zsr(h, acv)
+            for tc, fc_ in cands:
+                y = self._zsr(h, self._ac_candidate(i * SUBFRAME, tc, fc_))
                 e = float(np.dot(y, y))
-                c = float(np.dot(y, target))
+                c = max(float(np.dot(y, target)), 0.0)
                 score = c * c / e if e > 0 else 0.0
                 if best is None or score > best[0]:
-                    best = (score, tc)
-            t_int = best[1]
+                    best = (score, tc, fc_)
+            t_int, t_frac = best[1], best[2]
             prev_int = t_int if i == 0 else prev_int
 
             if i == 0:
-                # frac=0 requires pitch_delay_3x = 3t+1 (decoder: frac =
-                # pd3x%3 - 1).  P1<197: pd3x=P1+59 -> P1=3t-58;
-                # P1>=197: pd3x=3*P1-335 (== 1 mod 3, frac always 0).
+                # P1 < 197: pd3x = P1 + 59 -> P1 = 3t + frac - 58;
+                # P1 >= 197: pd3x = 3*P1 - 335 (integer-only delays > 84)
                 if t_int <= 84:
-                    P1 = 3 * t_int - 58
+                    P1 = 3 * t_int + t_frac - 58
                 else:
                     P1 = t_int + 112
                 parm["ac_index"][0] = P1
                 parm["parity"] = _parity(P1)
             else:
-                # pd3x = P2 + 3*base - 1 = 3t+1 -> P2 = 3(t-base)+2
+                # pd3x = P2 + 3*base - 1 -> P2 = 3*(t-base) + frac + 2
                 base = min(max(prev_int - 5, PITCH_MIN), PITCH_MAX - 9)
-                parm["ac_index"][1] = 3 * (t_int - base) + 2
+                parm["ac_index"][1] = 3 * (t_int - base) + t_frac + 2
 
             # exact AC vector via shadow decoder (mutates exc in place)
-            st.decode_ac_vector(t_int, 0, i * SUBFRAME)
+            st.decode_ac_vector(t_int, t_frac, i * SUBFRAME)
             acv = np.array(st.exc_base[st.exc_off + i * SUBFRAME:
                                        st.exc_off + (i + 1) * SUBFRAME],
                            dtype=np.float64)
             y_ac = self._zsr(h, acv)
             e_ac = float(np.dot(y_ac, y_ac))
             gp_f = float(np.dot(y_ac, target)) / e_ac if e_ac > 0 else 0.0
-            gp_f = min(max(gp_f, 0.0), 0.794)  # SHARP_MAX-ish headroom
+            gp_f = min(max(gp_f, 0.0), 1.2)  # decoder gain codebook headroom
 
-            # --- fixed codebook: greedy per-track search in speech domain ----
+            # --- fixed codebook: exhaustive joint ACELP search ---------------
             # residual after the (float-gain) pitch contribution
             r = target - gp_f * y_ac
-            pulses = []
-            signs = 0
+            # pitch sharpening (decoder fix_fc_vector): each pulse becomes
+            # delta + gp*delta(+T) + ..., equivalent to the same recursion
+            # on the impulse response used for the search
+            h2 = h.copy()
+            gp_sh = st.pitch_sharp / 16384.0
+            if t_int < SUBFRAME:
+                for n in range(t_int, SUBFRAME):
+                    h2[n] += gp_sh * h2[n - t_int]
+            # backward-filtered target d and h-autocorrelation phi
+            d = np.array([np.dot(r[n:], h2[:SUBFRAME - n])
+                          for n in range(SUBFRAME)])
+            hpad = np.concatenate([h2, np.zeros(SUBFRAME)])
+            phi = np.array([[np.dot(hpad[:SUBFRAME - max(a, b)],
+                                    hpad[abs(a - b):SUBFRAME - min(a, b)])
+                             for b in range(SUBFRAME)]
+                            for a in range(SUBFRAME)])
+            sgn = np.where(d >= 0, 1.0, -1.0)
+            dabs = np.abs(d)
+            phi_s = phi * sgn[:, None] * sgn[None, :]  # sign-folded
+            P0 = np.arange(0, SUBFRAME, 5)
+            P1 = P0 + 1
+            P2 = P0 + 2
+            P3 = np.concatenate([P0 + 3, P0 + 4])      # track 3 + jitter bit
+            # score all 8*8*8*16 pulse combinations at once
+            num = (dabs[P0][:, None, None, None] + dabs[P1][None, :, None, None]
+                   + dabs[P2][None, None, :, None]
+                   + dabs[P3][None, None, None, :])
+            den = (phi_s[P0, P0][:, None, None, None]
+                   + phi_s[P1, P1][None, :, None, None]
+                   + phi_s[P2, P2][None, None, :, None]
+                   + phi_s[P3, P3][None, None, None, :]
+                   + 2.0 * (phi_s[P0[:, None], P1[None, :]][:, :, None, None]
+                            + phi_s[P0[:, None], P2[None, :]][:, None, :, None]
+                            + phi_s[P0[:, None], P3[None, :]][:, None, None, :]
+                            + phi_s[P1[:, None], P2[None, :]][None, :, :, None]
+                            + phi_s[P1[:, None], P3[None, :]][None, :, None, :]
+                            + phi_s[P2[:, None], P3[None, :]][None, None, :, :]))
+            score = num * num / np.maximum(den, 1e-9)
+            k0, k1, k2, k3 = np.unravel_index(int(np.argmax(score)),
+                                              score.shape)
+            chosen = [(int(P0[k0]), 0), (int(P1[k1]), 1),
+                      (int(P2[k2]), 2), (int(P3[k3]), 3)]
             fc_idx = 0
-            for tr in range(4):
-                if tr < 3:
-                    positions = [5 * k + tr for k in range(8)]
-                else:
-                    positions = [5 * k + 3 for k in range(8)] + \
-                                [5 * k + 4 for k in range(8)]
-                # correlation of residual with shifted impulse responses
-                scores = [float(np.dot(r[p:], h[:SUBFRAME - p]))
-                          for p in positions]
-                sel = int(np.argmax(np.abs(scores)))
-                pos = positions[sel]
-                sgn = 1 if scores[sel] >= 0 else 0
-                # LS-subtract this pulse's (unit) synthesis contribution
-                contrib = np.zeros(SUBFRAME)
-                contrib[pos:] = h[:SUBFRAME - pos]
-                gain_ls = float(np.dot(r, contrib)) / max(
-                    float(np.dot(contrib, contrib)), 1e-9)
-                r = r - gain_ls * contrib
-                pulses.append((pos, sgn))
+            signs = 0
+            for pos, tr in chosen:
+                s_bit = 1 if sgn[pos] > 0 else 0
                 if tr < 3:
                     fc_idx |= (pos // 5) << (3 * tr)
                 else:
                     jbit = 1 if pos % 5 == 4 else 0
                     fc_idx |= ((pos // 5) << 10) | (jbit << 9)
-                signs |= sgn << tr
+                signs |= s_bit << tr
             parm["fc_indexes"][i] = fc_idx
             parm["pulses_signs"][i] = signs
 
