@@ -108,6 +108,9 @@ def main(argv=None):
     t0 = _time.perf_counter()
     try:
         if args.format == "amv" or ext == ".amv":
+            src_ext = os.path.splitext(args.inputs[0])[1].lower()
+            if len(args.inputs) == 1 and src_ext == ".amv":
+                return _transcode(args)
             return _encode(args)
         if args.format == "act" or ext == ".act":
             return _encode_act(args)
@@ -118,6 +121,20 @@ def main(argv=None):
             print(f"bench: utime={ru.ru_utime:.3f}s "
                   f"wall={_time.perf_counter() - t0:.3f}s "
                   f"maxrss={ru.ru_maxrss // 1024}MB")
+
+
+def _transcode(args):
+    """AMV -> AMV re-encode (the `ffmpeg -i in.amv -f amv out.amv` shape):
+    fused Pallas transcode on device, audio passes through bit-exact."""
+    from .pipeline.transcode import transcode_bytes
+    with open(args.inputs[0], "rb") as f:
+        data = f.read()
+    out = transcode_bytes(data, qscale=args.qscale or 2)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(f"wrote {args.output}: {len(out)} bytes (requantized "
+          f"qscale={args.qscale or 2})")
+    return 0
 
 
 def _encode_act(args):

@@ -81,13 +81,20 @@ def transcode_levels_fused(levels_zz, qscale=2):
 
 def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     """Re-encode a complete .amv file (video re-quantized at qscale;
-    audio chunks are already bit-exact ADPCM and pass through)."""
+    audio chunks are already bit-exact ADPCM and pass through).
+
+    MB-aligned sizes take the fused Pallas kernel (block layout end to
+    end); others fall back to the two-stage decode+encode transform."""
     s = riff.demux(data)
     w, h = s.info.width, s.info.height
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     levels = huffman_decode_frames(s.video_chunks, mb_w * mb_h)
-    payload, lens = transcode_transform(
-        jnp.asarray(levels), mb_w, mb_h, w, h, qscale)
+    if w % 16 == 0 and h % 16 == 0:
+        lv2, _ = transcode_levels_fused(jnp.asarray(levels), qscale)
+        payload, lens = encode_frames_device(lv2, max_bytes=4096)
+    else:
+        payload, lens = transcode_transform(
+            jnp.asarray(levels), mb_w, mb_h, w, h, qscale)
     payload, lens = np.asarray(payload), np.asarray(lens)
     vchunks = [payload[f, :lens[f]].tobytes() for f in range(len(lens))]
     return riff.mux(vchunks, s.audio_chunks, width=w, height=h,
