@@ -86,6 +86,16 @@ def huffman_decode_frames(payloads: list[bytes], n_mcu: int) -> np.ndarray:
     return out
 
 
+def huffman_decode_frames_soa(payloads: list[bytes], n_mcu: int) -> np.ndarray:
+    """Decode a batch -> coefficient-major int16 [64, F*n_mcu*6] (zigzag
+    rows), the fused transcode kernel's input layout."""
+    if _native is not None:
+        return _native.decode_frames_soa(payloads, n_mcu)
+    aos = huffman_decode_frames(payloads, n_mcu)
+    return np.ascontiguousarray(
+        aos.reshape(len(payloads) * n_mcu * 6, 64).T)
+
+
 def huffman_encode_frame(levels_zz: np.ndarray) -> bytes:
     """Encode one frame's quantized levels -> '00dc' payload."""
     if _native is not None:

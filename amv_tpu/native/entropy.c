@@ -267,6 +267,79 @@ API int amv_decode_frames(const uint8_t *payload_blob, const int64_t *offsets,
     return rc;
 }
 
+/* Coefficient-major (SoA) variant: coefficient i of block n lands at
+ * out[i*stride + n].  Same decode work as decode_scan_levels — only the
+ * store addressing differs — and it is the natural input layout of the
+ * TPU fused transcode kernel (kernels/transcode_pallas.py), removing the
+ * device-side [N,64]->[64,N] transpose from the hot path.  Caller zeroes. */
+static int decode_scan_levels_soa(const uint8_t *scan, size_t scan_len,
+                                  int n_mcu, int16_t *out, int64_t stride) {
+    BitReader br;
+    br_init(&br, scan, scan_len);
+    for (int m = 0; m < n_mcu; m++) {
+        for (int b = 0; b < 6; b++) {
+            int luma = b < 4;
+            DecTable *dc = luma ? &dt_dc_l : &dt_dc_c;
+            DecTable *ac = luma ? &dt_ac_l : &dt_ac_c;
+            int16_t *col = out + (size_t)m * 6 + b;
+            uint32_t peek = br_peek16(&br);
+            int len = dc->len[peek];
+            if (!len) return -(int)(m * 6 + b + 1);
+            int sym = dc->sym[peek];
+            br_skip(&br, len);
+            col[0] = sym ? (int16_t)br_get_xbits(&br, sym) : 0;
+            int i = 0;
+            for (;;) {
+                peek = br_peek16(&br);
+                len = ac->len[peek];
+                if (!len) return -(int)(m * 6 + b + 1);
+                sym = ac->sym[peek];
+                br_skip(&br, len);
+                if (sym == 0x00) break;          /* EOB */
+                int run = sym >> 4, size = sym & 0xF;
+                if (size == 0) {
+                    if (run != 15) return -(int)(m * 6 + b + 1);
+                    i += 16;                      /* ZRL */
+                    continue;
+                }
+                int32_t level = br_get_xbits(&br, size);
+                i += run + 1;
+                if (i > 63) return -(int)(m * 6 + b + 1);
+                col[(int64_t)i * stride] = (int16_t)level;
+                if (i == 63) break;               /* no EOB after pos 63 */
+            }
+        }
+    }
+    return 0;
+}
+
+API int amv_decode_frames_soa(const uint8_t *payload_blob,
+                              const int64_t *offsets, const int64_t *sizes,
+                              int n_frames, int n_mcu,
+                              int16_t *out_levels /* [64, n_frames*n_mcu*6],
+                                                     pre-zeroed */) {
+    ensure_tables();
+    int64_t stride = (int64_t)n_frames * n_mcu * 6;
+    size_t max_sz = 0;
+    for (int f = 0; f < n_frames; f++)
+        if ((size_t)sizes[f] > max_sz) max_sz = (size_t)sizes[f];
+    uint8_t *tmp = (uint8_t *)malloc(max_sz + 64);
+    if (!tmp) return -1000000;
+    int rc = 0;
+    for (int f = 0; f < n_frames; f++) {
+        const uint8_t *p = payload_blob + offsets[f];
+        int64_t sz = sizes[f];
+        if (sz < 4) { rc = -2000000 - f; break; }
+        size_t scan_len = unescape(p + 2, (size_t)sz - 4, tmp);
+        int r = decode_scan_levels_soa(tmp, scan_len, n_mcu,
+                                       out_levels + (size_t)f * n_mcu * 6,
+                                       stride);
+        if (r < 0) { rc = r - 3000000; break; }
+    }
+    free(tmp);
+    return rc;
+}
+
 /* ------------------------------------------------------------------ */
 /* Bit writer                                                          */
 /* ------------------------------------------------------------------ */

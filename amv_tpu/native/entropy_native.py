@@ -72,6 +72,29 @@ def decode_frames(payloads: list[bytes], n_mcu: int) -> np.ndarray:
     return out
 
 
+_lib.amv_decode_frames_soa.restype = ctypes.c_int
+_lib.amv_decode_frames_soa.argtypes = _lib.amv_decode_frames.argtypes
+
+
+def decode_frames_soa(payloads: list[bytes], n_mcu: int) -> np.ndarray:
+    """Decode -> coefficient-major int16 [64, F*n_mcu*6] (zigzag rows):
+    the fused transcode kernel's native input layout, emitted directly
+    by the C store stride (no transpose anywhere)."""
+    blob = b"".join(payloads)
+    offsets = np.zeros(len(payloads), dtype=np.int64)
+    sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    out = np.zeros((64, len(payloads) * n_mcu * 6), dtype=np.int16)
+    rc = _lib.amv_decode_frames_soa(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(payloads), n_mcu,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    if rc != 0:
+        raise ValueError(f"native huffman decode failed (rc={rc})")
+    return out
+
+
 def encode_frame(levels_zz: np.ndarray) -> bytes:
     levels = np.ascontiguousarray(levels_zz, dtype=np.int16)
     n_mcu = levels.shape[0]

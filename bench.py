@@ -103,18 +103,20 @@ def main():
     qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
 
     @jax.jit
-    def fused_roundtrip(lv0, salt):
-        lv = jnp.tile(lv0, (K, 1, 1, 1)) + salt.astype(jnp.int16) * 0
+    def fused_roundtrip(cm0, salt):
+        # cm0: [64, F*M*6] coefficient-major zigzag levels — emitted in
+        # this layout directly by the C entropy stage (no transpose on
+        # either side); replicate K times along the block axis
+        cm = jnp.tile(cm0, (1, K)) + salt.astype(jnp.int16) * 0
         FT = F * K
-        lvi = lv.astype(jnp.int32)
-        dc_y = (jnp.cumsum(lvi[:, :, :4, 0].reshape(FT, M * 4) * qdc_l,
+        dcd = cm[0].astype(jnp.int32).reshape(FT, M, 6)
+        dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(FT, M * 4) * qdc_l,
                            axis=1).reshape(FT, M, 4) + 1024)
-        dc_cb = jnp.cumsum(lvi[:, :, 4, 0] * qdc_c, axis=1) + 1024
-        dc_cr = jnp.cumsum(lvi[:, :, 5, 0] * qdc_c, axis=1) + 1024
+        dc_cb = jnp.cumsum(dcd[:, :, 4] * qdc_c, axis=1) + 1024
+        dc_cr = jnp.cumsum(dcd[:, :, 5] * qdc_c, axis=1) + 1024
         dc = jnp.concatenate([dc_y, dc_cb[..., None], dc_cr[..., None]],
                              axis=-1)
         N = FT * M * 6
-        cm = lv.reshape(N, 64).T
         pix, lv2 = transcode_zz(cm, dc.reshape(N), qk)
         # decoded-plane checksum on frames f % 97 == 0 (assembled in XLA;
         # selecting frames *before* assembly keeps the transpose small)
@@ -140,13 +142,16 @@ def main():
     expected = (((cs_levels + cs_pixels) & 0xFFFFFFFF) ^ 0x80000000) \
         - 0x80000000  # two's-complement int32 wrap
 
+    from amv_tpu.bitstream.entropy import huffman_decode_frames_soa
+    cm_host = huffman_decode_frames_soa(payloads, M)
+    cm_dev = jax.device_put(jnp.asarray(cm_host))
     levels_dev = jax.device_put(jnp.asarray(levels))
-    jax.block_until_ready(levels_dev)
-    got = int(fused_roundtrip(levels_dev, jnp.int32(0))[...])  # compile+warm
+    jax.block_until_ready((cm_dev, levels_dev))
+    got = int(fused_roundtrip(cm_dev, jnp.int32(0))[...])  # compile+warm
     assert got == int(expected), \
         f"fused transcode checksum mismatch: {got} != {int(expected)}"
     t_dev = best_time(lambda: int(
-        fused_roundtrip(levels_dev, jnp.int32(np.random.randint(1000)))[...]))
+        fused_roundtrip(cm_dev, jnp.int32(np.random.randint(1000)))[...]))
     dev_fps = FK / t_dev  # each frame decoded AND re-encoded
 
     # optional: the pure-XLA two-stage path (pre-Pallas headline)
