@@ -105,16 +105,18 @@ def main(argv=None):
 
     import resource
     import time as _time
+    from .utils.profiling import trace
     t0 = _time.perf_counter()
     try:
-        if args.format == "amv" or ext == ".amv":
-            src_ext = os.path.splitext(args.inputs[0])[1].lower()
-            if len(args.inputs) == 1 and src_ext == ".amv":
-                return _transcode(args)
-            return _encode(args)
-        if args.format == "act" or ext == ".act":
-            return _encode_act(args)
-        return _decode(args)
+        with trace("cli"):  # device trace when AMV_TRACE_DIR is set
+            if args.format == "amv" or ext == ".amv":
+                src_ext = os.path.splitext(args.inputs[0])[1].lower()
+                if len(args.inputs) == 1 and src_ext == ".amv":
+                    return _transcode(args)
+                return _encode(args)
+            if args.format == "act" or ext == ".act":
+                return _encode_act(args)
+            return _decode(args)
     finally:
         if args.benchmark:
             ru = resource.getrusage(resource.RUSAGE_SELF)
