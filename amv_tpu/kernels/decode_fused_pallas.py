@@ -8,6 +8,11 @@ of F_T frames and lays them out as Y/Cb/Cr coded planes.
 
 Bit-exact with codecs.amv_video.decode_transform up to the final
 flip+crop, which stays in XLA (a single fused pass).
+
+STATUS: interpret-mode prototype.  Mosaic (TPU compile) rejects the
+in-kernel rank-6 assembly reshapes (remote compile HTTP 500); the
+production fused path is kernels/transcode_pallas.py, which stays 2D/3D.
+Kept for the round-2 direction of expressing assembly via 2D strided ops.
 """
 
 from __future__ import annotations

@@ -5,6 +5,10 @@ does the MCU block gather, the jfdctint forward DCT and the
 dct_quantize_c quantizer in VMEM, and writes quantized levels once.
 Bit-exact with codecs.amv_video.encode_transform (which keeps the
 flip/pad in XLA).
+
+STATUS: interpret-mode prototype (same Mosaic rank-6 reshape limit as
+decode_fused_pallas.py); the production fused path is
+kernels/transcode_pallas.py.
 """
 
 from __future__ import annotations

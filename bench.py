@@ -69,13 +69,47 @@ def main():
     levels = huffman_decode_frames(payloads, mb_w * mb_h)
     t_entropy_dec = time.perf_counter() - t0
 
+    # ---------------- single-core C anchors (FIRST: cold CPU) ---------------
+    # the remote-compile helper competes for this host's single core, so the
+    # 1x anchor must be measured before any TPU dispatch/compilation starts
+    from amv_tpu.native import entropy_native as native
+    import struct
+    achunks = s.audio_chunks
+    alens = np.array([len(c) - 8 for c in achunks])
+    pred = np.array([struct.unpack_from("<h", c, 0)[0] for c in achunks],
+                    np.int32)
+    sidx = np.array([min(struct.unpack_from("<H", c, 2)[0], 88)
+                     for c in achunks], np.int32)
+
+    def c_decode():
+        return [native.ref_decode_frame(p, w, h) for p in payloads]
+
+    t0 = time.perf_counter()
+    planes_c = c_decode()
+    tc_dec = time.perf_counter() - t0
+    tc_dec = min(tc_dec, best_time(c_decode, iters=1))
+    yh = np.stack([pl[0] for pl in planes_c])
+    cbh = np.stack([pl[1] for pl in planes_c])
+    crh = np.stack([pl[2] for pl in planes_c])
+
+    def c_encode():
+        for f in range(F):
+            native.ref_encode_frame(yh[f], cbh[f], crh[f], 2)
+
+    tc_enc = best_time(c_encode, iters=2)
+    fps_c = 2 * F / (tc_dec + tc_enc)
+
+    def c_adpcm():
+        for i, c in enumerate(achunks):
+            native.ref_adpcm_decode(c[8:], int(pred[i]), int(sidx[i]))
+
+    tc_adpcm = best_time(c_adpcm, iters=2)
+
     # ---------------- bit-exactness gates (one corpus pass) -----------------
     y, cb, cr = decode_transform(jnp.asarray(levels), mb_w, mb_h, w, h)
-    yh, cbh, crh = np.asarray(y), np.asarray(cb), np.asarray(cr)
-    from amv_tpu.native import entropy_native as native
-    ry, rcb, rcr = native.ref_decode_frame(payloads[0], w, h)
-    assert np.array_equal(ry, yh[0]) and np.array_equal(rcb, cbh[0]) \
-        and np.array_equal(rcr, crh[0]), "TPU decode != C reference"
+    assert np.array_equal(np.asarray(y), yh) \
+        and np.array_equal(np.asarray(cb), cbh) \
+        and np.array_equal(np.asarray(cr), crh), "TPU decode != C reference"
     lv_enc = np.asarray(encode_transform(jnp.asarray(yh), jnp.asarray(cbh),
                                          jnp.asarray(crh), mb_w, mb_h, 2))
     t0 = time.perf_counter()
@@ -230,33 +264,13 @@ def main():
         assert enc_devent[0] == tpu_payload0, "device entropy != host entropy"
         t_e2e_enc_dev = best_time(e2e_encode_devent, iters=2)
 
-    # ---------------- single-core C anchors ----------------------------------
-    def c_decode():
-        for p in payloads:
-            native.ref_decode_frame(p, w, h)
-
-    def c_encode():
-        for f in range(F):
-            native.ref_encode_frame(yh[f], cbh[f], crh[f], 2)
-
-    tc_dec = best_time(c_decode, iters=2)
-    tc_enc = best_time(c_encode, iters=2)
-    fps_c = 2 * F / (tc_dec + tc_enc)
-
     # ---------------- ADPCM -----------------------------------------------
-    achunks = s.audio_chunks
-    import struct
-    lens = np.array([len(c) - 8 for c in achunks])
-    maxlen = int(lens.max())
+    maxlen = int(alens.max())
     payload_a = np.zeros((len(achunks), maxlen), np.uint8)
-    pred = np.zeros(len(achunks), np.int32)
-    sidx = np.zeros(len(achunks), np.int32)
     for i, c in enumerate(achunks):
-        payload_a[i, :lens[i]] = np.frombuffer(c, np.uint8)[8:]
-        pred[i] = struct.unpack_from("<h", c, 0)[0]
-        sidx[i] = min(struct.unpack_from("<H", c, 2)[0], 88)
-    KA_T = int(os.environ.get("AMV_BENCH_ADPCM_K", "128"))
-    n_samples = int(2 * lens.sum()) * KA_T
+        payload_a[i, :alens[i]] = np.frombuffer(c, np.uint8)[8:]
+    KA_T = int(os.environ.get("AMV_BENCH_ADPCM_K", "256"))
+    n_samples = int(2 * alens.sum()) * KA_T
 
     @jax.jit
     def fused_adpcm(pl, pr, si, salt):
@@ -274,11 +288,6 @@ def main():
             fused_adpcm(pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
     except Exception:
         t_adpcm = None
-
-    def c_adpcm():
-        for i, c in enumerate(achunks):
-            native.ref_adpcm_decode(c[8:], int(pred[i]), int(sidx[i]))
-    tc_adpcm = best_time(c_adpcm, iters=2)
 
     # ---------------- G.729A (optional: costs an extra large compile) -------
     g729_detail = {}
@@ -320,7 +329,7 @@ def main():
             "host_entropy_decode_fps": round(F / t_entropy_dec, 1),
             **({"adpcm_tpu_msamples": round(n_samples / t_adpcm / 1e6, 1)}
                if t_adpcm else {}),
-            "adpcm_c1core_msamples": round(2 * int(lens.sum()) / tc_adpcm / 1e6, 1),
+            "adpcm_c1core_msamples": round(2 * int(alens.sum()) / tc_adpcm / 1e6, 1),
             "note": "device-resident timing amortizes the ~32ms axon relay "
                     "RTT and ~30MB/s tunnel of this dev environment; "
                     "e2e_tunnel_* include them",
