@@ -128,9 +128,32 @@ def decode_mjpeg_frames(payloads: list[bytes]):
         wrapped = [b"\xFF\xD8" + f.scan + b"\xFF\xD9" for f in frames]
         levels = huffman_decode_frames(wrapped, n_mcu)
     else:
+        from ..native import entropy_native as native
+        # group frames with identical table sets for batched C decode
+        def hkey(f):
+            return tuple(sorted(
+                (k, bits.tobytes(), vals.tobytes())
+                for k, (bits, vals) in f.huff.items())) + \
+                tuple(map(tuple, f.scan_components))
+        groups = {}
         for i, f in enumerate(frames):
-            scan = R.unescape_scan(f.scan)
-            levels[i] = _decode_scan_generic(scan, n_mcu, f)
+            groups.setdefault(hkey(f), []).append(i)
+        for idxs in groups.values():
+            f = frames[idxs[0]]
+            pairs = []
+            for b in range(6):
+                comp = 0 if b < 4 else b - 3
+                _, dc_id, ac_id = f.scan_components[comp]
+                pairs.append((dc_id, ac_id))
+            try:
+                got = native.decode_scans_custom(
+                    [frames[i].scan for i in idxs], n_mcu, f.huff, pairs)
+                for j, i in enumerate(idxs):
+                    levels[i] = got[j]
+            except AttributeError:   # pure-python fallback (no native lib)
+                for i in idxs:
+                    scan = R.unescape_scan(frames[i].scan)
+                    levels[i] = _decode_scan_generic(scan, n_mcu, frames[i])
 
     # quant tables may vary per frame; group identical-table runs
     def qkey(f):

@@ -267,6 +267,77 @@ API int amv_decode_frames(const uint8_t *payload_blob, const int64_t *offsets,
     return rc;
 }
 
+/* Generic-table variant for standard baseline MJPEG (mjpegdec.c with
+ * per-frame DHT): caller supplies up to 8 Huffman specs (slots 0-3 = DC
+ * classes id 0-3, slots 4-7 = AC id 0-3) and a per-block (dc,ac) slot map
+ * for the 6 blocks of a 4:2:0 MCU.  Input rows are raw *escaped* scan
+ * bytes (no SOI/EOI framing).  Levels come out in zigzag order with slot
+ * 0 = DC difference, same contract as amv_decode_frames. */
+API int amv_decode_scans_custom(const uint8_t *scan_blob,
+                                const int64_t *offsets, const int64_t *sizes,
+                                int n_frames, int n_mcu,
+                                const uint8_t *bits8 /* [8][17] */,
+                                const uint8_t *vals8 /* [8][256] */,
+                                const uint8_t *tab_ids /* [6][2] */,
+                                int16_t *out_levels) {
+    DecTable *tabs = (DecTable *)malloc(8 * sizeof(DecTable));
+    if (!tabs) return -1000000;
+    EncTable scratch;
+    for (int t = 0; t < 8; t++)
+        build_tables_one(&tabs[t], &scratch, bits8 + t * 17, vals8 + t * 256);
+    size_t max_sz = 0;
+    for (int f = 0; f < n_frames; f++)
+        if ((size_t)sizes[f] > max_sz) max_sz = (size_t)sizes[f];
+    uint8_t *tmp = (uint8_t *)malloc(max_sz + 64);
+    if (!tmp) { free(tabs); return -1000000; }
+    int rc = 0;
+    for (int f = 0; f < n_frames && rc == 0; f++) {
+        size_t scan_len = unescape(scan_blob + offsets[f],
+                                   (size_t)sizes[f], tmp);
+        int16_t *out = out_levels + (size_t)f * n_mcu * 6 * 64;
+        memset(out, 0, (size_t)n_mcu * 6 * 64 * sizeof(int16_t));
+        BitReader br;
+        br_init(&br, tmp, scan_len);
+        for (int m = 0; m < n_mcu && rc == 0; m++) {
+            for (int b = 0; b < 6; b++) {
+                DecTable *dc = &tabs[tab_ids[b * 2]];
+                DecTable *ac = &tabs[tab_ids[b * 2 + 1]];
+                int16_t *blk = out + ((size_t)m * 6 + b) * 64;
+                uint32_t peek = br_peek16(&br);
+                int len = dc->len[peek];
+                if (!len) { rc = -(int)(m * 6 + b + 1) - 3000000; break; }
+                int sym = dc->sym[peek];
+                br_skip(&br, len);
+                blk[0] = sym ? (int16_t)br_get_xbits(&br, sym) : 0;
+                int i = 0;
+                for (;;) {
+                    peek = br_peek16(&br);
+                    len = ac->len[peek];
+                    if (!len) { rc = -(int)(m * 6 + b + 1) - 3000000; break; }
+                    sym = ac->sym[peek];
+                    br_skip(&br, len);
+                    if (sym == 0x00) break;
+                    int run = sym >> 4, size = sym & 0xF;
+                    if (size == 0) {
+                        if (run != 15) { rc = -(int)(m * 6 + b + 1) - 3000000; break; }
+                        i += 16;
+                        continue;
+                    }
+                    int32_t level = br_get_xbits(&br, size);
+                    i += run + 1;
+                    if (i > 63) { rc = -(int)(m * 6 + b + 1) - 3000000; break; }
+                    blk[i] = (int16_t)level;
+                    if (i == 63) break;
+                }
+                if (rc) break;
+            }
+        }
+    }
+    free(tmp);
+    free(tabs);
+    return rc;
+}
+
 /* Coefficient-major (SoA) variant: coefficient i of block n lands at
  * out[i*stride + n].  Same decode work as decode_scan_levels — only the
  * store addressing differs — and it is the natural input layout of the

@@ -75,6 +75,49 @@ def decode_frames(payloads: list[bytes], n_mcu: int) -> np.ndarray:
 _lib.amv_decode_frames_soa.restype = ctypes.c_int
 _lib.amv_decode_frames_soa.argtypes = _lib.amv_decode_frames.argtypes
 
+_lib.amv_decode_scans_custom.restype = ctypes.c_int
+_lib.amv_decode_scans_custom.argtypes = [
+    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16)]
+
+
+def decode_scans_custom(scans: list[bytes], n_mcu: int,
+                        huff: dict, tab_pairs: list) -> np.ndarray:
+    """Baseline-MJPEG scan decode with arbitrary parsed tables.
+
+    scans: raw escaped scan byte strings (no SOI/EOI);
+    huff: {(class, id): (bits[17], vals[...])} as parsed from DHT;
+    tab_pairs: per MCU block b in 0..5, (dc_id, ac_id) table ids.
+    Returns int16 [F, n_mcu, 6, 64] zigzag levels (slot 0 = DC diff).
+    """
+    bits8 = np.zeros((8, 17), np.uint8)
+    vals8 = np.zeros((8, 256), np.uint8)
+    for (cls, tid), (bits, vals) in huff.items():
+        slot = cls * 4 + tid
+        bits8[slot, :len(bits)] = bits
+        vals8[slot, :len(vals)] = vals
+    tab_ids = np.zeros((6, 2), np.uint8)
+    for b, (dc_id, ac_id) in enumerate(tab_pairs):
+        tab_ids[b] = (dc_id, 4 + ac_id)
+    blob = b"".join(scans)
+    offsets = np.zeros(len(scans), dtype=np.int64)
+    sizes = np.array([len(x) for x in scans], dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    out = np.zeros((len(scans), n_mcu, 6, 64), dtype=np.int16)
+    rc = _lib.amv_decode_scans_custom(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(scans), n_mcu,
+        bits8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        vals8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tab_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    if rc != 0:
+        raise ValueError(f"native custom-table decode failed (rc={rc})")
+    return out
+
 
 def decode_frames_soa(payloads: list[bytes], n_mcu: int) -> np.ndarray:
     """Decode -> coefficient-major int16 [64, F*n_mcu*6] (zigzag rows):
