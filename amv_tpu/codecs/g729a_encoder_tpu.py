@@ -1,0 +1,557 @@
+"""Batched TPU G.729A encoder: B independent streams encoded in lockstep.
+
+The TPU twin of codecs/g729a_encoder.py (same algorithm: hybrid float
+analysis + exact-integer shadow-decoder searches), built on the batched
+exact decoder primitives of codecs/g729a.py, so the encoder's shadow state
+*is* the batched decoder state and tracks the real decoder bit-exactly.
+
+The reference repo vendors no encoder at all (G.729/README:1-12 — it wraps
+the external ITU sources); this module both fills that gap and runs it as
+one jitted program per frame across the whole stream batch:
+
+* LP analysis / LSF extraction: f32 windowed autocorrelation + Levinson +
+  a 512-point Chebyshev-grid root search, all [B]-vectorized;
+* LSF quantization: switched-MA two-stage VQ searched through the
+  decoder's exact integer reconstruction ([2*top8] candidates);
+* closed-loop pitch: full 1/3-fractional grid around the open-loop lag,
+  scored in the synthesis domain via one Toeplitz matmul (MXU);
+* fixed codebook: exhaustive joint 8x8x8x16 ACELP search with the
+  pitch-sharpened impulse response (d/phi from two MXU matmuls);
+* gains: exhaustive exact GA x GB (decoder gain arithmetic replayed for
+  all 128 combos);
+* state update: the decoder's own batched routines (decode_ac_vector,
+  fix_fc_vector, get_gain_code, mem_update, lp_synthesis_filter).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..verify import ref_g729 as R
+from . import g729_tables as T
+from . import g729a as G
+from .g729a_encoder import _WLP, _LAG_WINDOW, pack_parameters
+
+SUBFRAME, FRAME = 40, 80
+PITCH_MIN, PITCH_MAX = 20, 143
+_HIST_SPAN = PITCH_MAX + R.INTERPOL_LEN  # AC-candidate history window
+
+
+# ---------------------------------------------------------------------------
+# float analysis helpers (all [B]-batched)
+# ---------------------------------------------------------------------------
+
+def _levinson_batch(r):
+    """r [B,11] -> a [B,11] (a[:,0]=1)."""
+    B = r.shape[0]
+    a = jnp.zeros((B, 11)).at[:, 0].set(1.0)
+    err = r[:, 0]
+    for i in range(1, 11):
+        acc = r[:, i]
+        for j in range(1, i):
+            acc = acc + a[:, j] * r[:, i - j]
+        k = jnp.where(err > 0, -acc / jnp.where(err > 0, err, 1.0), 0.0)
+        new = a
+        for j in range(1, i + 1):
+            new = new.at[:, j].set(a[:, j] + k * a[:, i - j])
+        a = new
+        err = jnp.maximum(err * (1 - k * k), 1e-6)
+    return a
+
+
+def _chebyshev_roots(c5, mid):
+    """First 5 roots in (0, pi) of mid + 2*sum_k c5[:,k-1] cos(k w).
+
+    c5 [B,5], mid [B] -> roots [B,5] (radians), found [B] bool.
+    """
+    grid = jnp.linspace(0.0, np.pi, 512)
+    kk = jnp.arange(1, 6)
+    cosg = jnp.cos(grid[:, None] * kk[None, :])          # [512,5]
+    vals = mid[:, None] + 2.0 * (c5 @ cosg.T)            # [B,512]
+    sign_change = vals[:, :-1] * vals[:, 1:] < 0         # [B,511]
+    # index of the k-th sign change per row (k = 0..4)
+    csum = jnp.cumsum(sign_change.astype(jnp.int32), axis=1)
+    idxs = []
+    for k in range(1, 6):
+        hit = sign_change & (csum == k)
+        idxs.append(jnp.argmax(hit, axis=1))             # [B]
+    idx = jnp.stack(idxs, axis=1)                        # [B,5]
+    found = csum[:, -1] >= 5
+    lo = jnp.take(grid, idx)
+    hi = jnp.take(grid, idx + 1)
+    flo = jnp.take_along_axis(vals, idx, axis=1)
+
+    def value(w):            # w [B,5]
+        c = jnp.cos(w[..., None] * kk)                   # [B,5,5]
+        return mid[:, None] + 2.0 * jnp.einsum("bk,brk->br", c5, c)
+
+    for _ in range(30):
+        mid_w = 0.5 * (lo + hi)
+        fm = value(mid_w)
+        take_hi = flo * fm <= 0
+        hi = jnp.where(take_hi, mid_w, hi)
+        lo = jnp.where(take_hi, lo, mid_w)
+        flo = jnp.where(take_hi, flo, fm)
+    return 0.5 * (lo + hi), found
+
+
+def _lp_to_lsf_batch(a):
+    """a [B,11] -> lsf [B,10] ascending radians (uniform fallback)."""
+    # P(z) = A + z^-11 rev(A); Q = A - z^-11 rev(A); deflate (1 +/- z^-1)
+    arev = a[:, ::-1]
+    p = jnp.concatenate([a, jnp.zeros_like(a[:, :1])], axis=1) \
+        + jnp.concatenate([jnp.zeros_like(a[:, :1]), arev], axis=1)
+    q = jnp.concatenate([a, jnp.zeros_like(a[:, :1])], axis=1) \
+        - jnp.concatenate([jnp.zeros_like(a[:, :1]), arev], axis=1)
+    # synthetic division by (1 + z^-1) / (1 - z^-1): 11 coeffs out
+    pd = [p[:, 0]]
+    qd = [q[:, 0]]
+    for i in range(1, 11):
+        pd.append(p[:, i] - pd[-1])
+        qd.append(q[:, i] + qd[-1])
+    pd = jnp.stack(pd, axis=1)   # [B,11] symmetric
+    qd = jnp.stack(qd, axis=1)
+    # symmetric deg-10: value = c[5] + 2*sum_{k=1..5} c[5-k] cos(k w)
+    rp, okp = _chebyshev_roots(pd[:, 4::-1], pd[:, 5])
+    rq, okq = _chebyshev_roots(qd[:, 4::-1], qd[:, 5])
+    lsf = jnp.sort(jnp.concatenate([rp, rq], axis=1), axis=1)
+    ok = okp & okq
+    uniform = np.pi * (jnp.arange(1, 11) / 11.0)
+    return jnp.where(ok[:, None], lsf, uniform[None, :])
+
+
+# ---------------------------------------------------------------------------
+# LSF quantization (exact integer search, batched)
+# ---------------------------------------------------------------------------
+
+_MA_PRED_NP = np.asarray(T.MA_PREDICTOR, np.int64)        # [2,4,10]
+_MA_SUM_NP = np.asarray(T.MA_PREDICTOR_SUM, np.int64)     # [2,10]
+_CB_L1_NP = np.asarray(T.CB_L1, np.int64)                 # [128,10]
+_CB_L23_NP = np.asarray(T.CB_L2_L3, np.int64)             # [32,10]
+
+
+def _quantize_lsf_batch(st, lsf_rad):
+    """lsf_rad [B,10] float -> (L0, L1, L2, L3) int32 [B] each."""
+    target = jnp.round(jnp.clip(lsf_rad * 8192.0, 40, 25681)).astype(jnp.int32)
+    cb1 = jnp.asarray(_CB_L1_NP.astype(np.int32))
+    cb23 = jnp.asarray(_CB_L23_NP.astype(np.int32))
+    best_err = None
+    best = None
+    for L0 in (0, 1):
+        msum = jnp.asarray(_MA_SUM_NP[L0].astype(np.int32))      # [10]
+        mp = jnp.asarray(_MA_PRED_NP[L0].astype(np.int32))       # [4,10]
+        pred = jnp.sum(st["lq_prev"] * mp[None], axis=1)         # [B,10]
+        # float target for the VQ pre-search (exact err re-checked below)
+        lq_t = ((target.astype(jnp.float32) * 32768.0) -
+                pred.astype(jnp.float32)) / msum.astype(jnp.float32)
+        d1 = jnp.sum(jnp.abs(cb1[None].astype(jnp.float32) -
+                             lq_t[:, None, :]), axis=2)          # [B,128]
+        _, l1c = jax.lax.top_k(-d1, 8)                           # [B,8]
+        c1 = jnp.take(cb1, l1c, axis=0)                          # [B,8,10]
+        resid = lq_t[:, None, :] - c1.astype(jnp.float32)
+        d2 = jnp.sum((cb23[None, None, :, :5].astype(jnp.float32)
+                      - resid[:, :, None, :5]) ** 2, axis=3)     # [B,8,32]
+        l2c = jnp.argmin(d2, axis=2)                             # [B,8]
+        d3 = jnp.sum((cb23[None, None, :, 5:].astype(jnp.float32)
+                      - resid[:, :, None, 5:]) ** 2, axis=3)
+        l3c = jnp.argmin(d3, axis=2)
+        # exact reconstruction of each candidate (decoder semantics)
+        c23l = jnp.take(cb23, l2c, axis=0)                       # [B,8,10]
+        c23h = jnp.take(cb23, l3c, axis=0)
+        lq = jnp.concatenate([c1[..., :5] + c23l[..., :5],
+                              c1[..., 5:] + c23h[..., 5:]], axis=2)
+        cols = [lq[..., i] for i in range(10)]
+        for J in (10, 5):
+            for i in range(1, 10):
+                diff = (cols[i - 1] - cols[i] + J) >> 1
+                pos = diff > 0
+                cols[i - 1] = jnp.where(pos, cols[i - 1] - diff, cols[i - 1])
+                cols[i] = jnp.where(pos, cols[i] + diff, cols[i])
+        lqs = jnp.stack(cols, axis=2)                            # [B,8,10]
+        rec = (lqs * msum[None, None] + pred[:, None, :]) >> 15
+        err = jnp.sum((rec - target[:, None, :]) ** 2, axis=2)   # [B,8]
+        ebest = jnp.min(err, axis=1)
+        kbest = jnp.argmin(err, axis=1)
+        rows = jnp.arange(err.shape[0])
+        cand = (jnp.full_like(kbest, L0), l1c[rows, kbest],
+                l2c[rows, kbest], l3c[rows, kbest])
+        if best is None:
+            best_err, best = ebest, cand
+        else:
+            tk = ebest < best_err
+            best = tuple(jnp.where(tk, c, b) for c, b in zip(cand, best))
+            best_err = jnp.minimum(ebest, best_err)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# subframe search pieces
+# ---------------------------------------------------------------------------
+
+def _impulse_response(lp):
+    """lp [B,10] Q12 -> h [B,40] float impulse response of 1/A."""
+    a = lp.astype(jnp.float32) / 4096.0
+    h = jnp.zeros((lp.shape[0], SUBFRAME)).at[:, 0].set(1.0)
+    for n in range(1, SUBFRAME):
+        acc = jnp.zeros(lp.shape[0])
+        for i in range(min(10, n)):
+            acc = acc + a[:, i] * h[:, n - 1 - i]
+        h = h.at[:, n].set(-acc)
+    return h
+
+
+def _zir(lp, syn_filter_data):
+    """Zero-input response of 1/A from the shadow memory. [B,40] float."""
+    a = lp.astype(jnp.float32) / 4096.0
+    hist = syn_filter_data.astype(jnp.float32)   # [B,10] oldest-first
+    out = []
+    for _ in range(SUBFRAME):
+        s = -jnp.einsum("bi,bi->b", a, hist[:, ::-1])
+        out.append(s)
+        hist = jnp.concatenate([hist[:, 1:], s[:, None]], axis=1)
+    return jnp.stack(out, axis=1)
+
+
+def _toeplitz(h):
+    """h [B,40] -> H [B,n,k] with H[n,k] = h[n-k] (lower-triangular)."""
+    n = np.arange(SUBFRAME)
+    idx = np.maximum(n[:, None] - n[None, :], 0)
+    mask = (n[:, None] >= n[None, :])
+    return jnp.where(jnp.asarray(mask)[None], h[:, jnp.asarray(idx)], 0.0)
+
+
+def _ac_candidates(exc, off, t_cand, f_cand):
+    """Float replica of decode_ac_vector for a candidate grid.
+
+    exc [B,EXC_LEN] int32, t_cand/f_cand [B,C] -> acv [B,C,40] float.
+    """
+    B, C = t_cand.shape
+    base = G.EXC_OFF + off
+    histf = jax.lax.dynamic_slice_in_dim(
+        exc, base - _HIST_SPAN, _HIST_SPAN, axis=1).astype(jnp.float32)
+    buf = jnp.concatenate(
+        [jnp.broadcast_to(histf[:, None], (B, C, _HIST_SPAN)),
+         jnp.zeros((B, C, SUBFRAME))], axis=2)
+    f = -f_cand
+    neg = f < 0
+    f = jnp.where(neg, f + 3, f)
+    ti = jnp.where(neg, t_cand + 1, t_cand)
+    interp = jnp.asarray(np.asarray(R._INTERP_FLAT, np.float32))
+    ii = jnp.arange(10)
+    c1 = jnp.take(interp, 3 * ii[None, None] + f[..., None])     # [B,C,10]
+    c2 = jnp.take(interp, 3 * ii[None, None] + 3 - f[..., None])
+    coef = jnp.concatenate([c1, c2], axis=2)                     # [B,C,20]
+    rel1 = -ti[..., None] - ii[None, None]
+    rel2 = -ti[..., None] + ii[None, None] + 1
+    rel = jnp.concatenate([rel1, rel2], axis=2)                  # [B,C,20]
+
+    def body(n, buf):
+        idx = _HIST_SPAN + n + rel                               # [B,C,20]
+        taps = jnp.take_along_axis(buf, idx, axis=2)
+        v = jnp.sum(taps * coef, axis=2) / 16384.0
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, v[..., None], _HIST_SPAN + n, axis=2)
+
+    buf = jax.lax.fori_loop(0, SUBFRAME, body, buf)
+    return jax.lax.dynamic_slice_in_dim(buf, _HIST_SPAN, SUBFRAME, axis=2)
+
+
+_TRK0 = np.arange(0, SUBFRAME, 5)
+_TRK1, _TRK2 = _TRK0 + 1, _TRK0 + 2
+_TRK3 = np.concatenate([_TRK0 + 3, _TRK0 + 4])
+
+
+def _fc_search(r, h2):
+    """Exhaustive joint ACELP search. r,h2 [B,40] -> (fc_idx, signs) [B]."""
+    H2 = _toeplitz(h2)
+    d = jnp.einsum("bmk,bm->bk", H2, r)
+    phi = jnp.einsum("bmk,bml->bkl", H2, H2)
+    sgn = jnp.where(d >= 0, 1.0, -1.0)
+    dabs = jnp.abs(d)
+    phi_s = phi * sgn[:, :, None] * sgn[:, None, :]
+
+    def dg(P):   # diagonal entries at positions P
+        return phi_s[:, jnp.asarray(P), jnp.asarray(P)]
+
+    def cr(Pa, Pb):
+        return phi_s[:, jnp.asarray(Pa)[:, None], jnp.asarray(Pb)[None, :]]
+
+    num = (dabs[:, _TRK0][:, :, None, None, None]
+           + dabs[:, _TRK1][:, None, :, None, None]
+           + dabs[:, _TRK2][:, None, None, :, None]
+           + dabs[:, _TRK3][:, None, None, None, :])
+    den = (dg(_TRK0)[:, :, None, None, None]
+           + dg(_TRK1)[:, None, :, None, None]
+           + dg(_TRK2)[:, None, None, :, None]
+           + dg(_TRK3)[:, None, None, None, :]
+           + 2.0 * (cr(_TRK0, _TRK1)[:, :, :, None, None]
+                    + cr(_TRK0, _TRK2)[:, :, None, :, None]
+                    + cr(_TRK0, _TRK3)[:, :, None, None, :]
+                    + cr(_TRK1, _TRK2)[:, None, :, :, None]
+                    + cr(_TRK1, _TRK3)[:, None, :, None, :]
+                    + cr(_TRK2, _TRK3)[:, None, None, :, :]))
+    score = (num * num) / jnp.maximum(den, 1e-9)
+    B = r.shape[0]
+    flat = score.reshape(B, -1)
+    kf = jnp.argmax(flat, axis=1)
+    k3 = kf % 16
+    k2 = (kf // 16) % 8
+    k1 = (kf // 128) % 8
+    k0 = kf // 1024
+    rows = jnp.arange(B)
+    jbit = k3 // 8
+    row3 = k3 % 8
+    fc_idx = k0 | (k1 << 3) | (k2 << 6) | (row3 << 10) | (jbit << 9)
+    pos = [jnp.asarray(_TRK0)[k0], jnp.asarray(_TRK1)[k1],
+           jnp.asarray(_TRK2)[k2], jnp.asarray(_TRK3)[k3]]
+    signs = jnp.zeros(B, jnp.int32)
+    for t, p in enumerate(pos):
+        bit = (sgn[rows, p] > 0).astype(jnp.int32)
+        signs = signs | (bit << t)
+    return fc_idx.astype(jnp.int32), signs
+
+
+_GP128_NP = np.array([int(T.CB_GA[c // 16][0]) + int(T.CB_GB[c % 16][0])
+                      for c in range(128)], np.int32)
+_CB1SUM_NP = np.array([int(T.CB_GA[c // 16][1]) + int(T.CB_GB[c % 16][1])
+                       for c in range(128)], np.int32)
+def _gain_search(st, fc, y_ac, y_fc, target):
+    """Exhaustive GA x GB with the decoder's exact gc arithmetic.
+
+    Returns (ga, gb) [B] int32.  Does not mutate st.
+    """
+    energy = jnp.sum(fc * fc, axis=1)
+    e = G._mul_sh15(G.l_log2_j(jnp.maximum(energy, 1)), -24660)
+    e = e + ((R.l_log2(SUBFRAME) * 24660) >> 15) + 0xD8888 - 2
+    e = e << 10
+    e = e + jnp.sum(st["pred_energ_q"] * G._MA_COEFF[None, :], axis=1)
+    e = (5439 * (e >> 15)) >> 8
+    expn = e >> 15
+    emant = G.l_pow2_j(e & 0x7FFF) & 0x7FFF
+    cb1 = jnp.asarray(_CB1SUM_NP)                       # [128]
+    prod = emant[:, None] * (cb1[None, :] >> 1)         # [B,128]
+    pos = (25 - expn) > 0
+    sh_r = jnp.where(pos, 25 - expn, 0).astype(jnp.uint32)[:, None]
+    sh_l = jnp.where(pos, 0, expn - 25).astype(jnp.uint32)[:, None]
+    gc = G._i16(jnp.where(pos[:, None], prod >> sh_r, prod << sh_l))
+    gp = jnp.asarray(_GP128_NP).astype(jnp.float32) / 16384.0   # [128]
+    gcf = gc.astype(jnp.float32) / 16384.0                      # [B,128]
+    # err(c) = |t|^2 - 2 gp (t.ya) - 2 gc (t.yf) + gp^2|ya|^2
+    #          + 2 gp gc (ya.yf) + gc^2 |yf|^2
+    t_ya = jnp.einsum("bn,bn->b", target, y_ac)
+    t_yf = jnp.einsum("bn,bn->b", target, y_fc)
+    ya2 = jnp.einsum("bn,bn->b", y_ac, y_ac)
+    yf2 = jnp.einsum("bn,bn->b", y_fc, y_fc)
+    yayf = jnp.einsum("bn,bn->b", y_ac, y_fc)
+    err = (-2.0 * gp[None, :] * t_ya[:, None]
+           - 2.0 * gcf * t_yf[:, None]
+           + (gp * gp)[None, :] * ya2[:, None]
+           + 2.0 * gp[None, :] * gcf * yayf[:, None]
+           + gcf * gcf * yf2[:, None])
+    c = jnp.argmin(err, axis=1)
+    return (c // 16).astype(jnp.int32), (c % 16).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# frame encoder
+# ---------------------------------------------------------------------------
+
+def _parity_batch(P1):
+    """P0 such that parity_check passes (the decoder's own check)."""
+    ok0 = G.parity_check_j(P1, jnp.zeros_like(P1))
+    return jnp.where(ok0 == 1, 0, 1).astype(jnp.int32)
+
+
+@jax.jit
+def encode_frame_batch(st, hist, res_hist, samples):
+    """One 80-sample frame for B streams.
+
+    st: decoder-shadow state (g729a.init_state); hist [B,160] float scaled
+    past input; res_hist [B,143] float residual history; samples [B,80]
+    int-valued float.  Returns (st, hist, res_hist, parm [B,16] int32)
+    where parm uses the decode_frame_batch column layout (col 15 = 0).
+    """
+    B = samples.shape[0]
+    x = samples.astype(jnp.float32) * 0.5    # decoder upscales 2x on output
+
+    # ---- LP analysis -------------------------------------------------------
+    buf = jnp.concatenate([hist, x], axis=1)[:, -240:]
+    wbuf = buf * jnp.asarray(_WLP, jnp.float32)[None, :]
+    r = jnp.stack([jnp.einsum("bn,bn->b", wbuf[:, :240 - k], wbuf[:, k:])
+                   for k in range(11)], axis=1)
+    r = r.at[:, 0].set(jnp.maximum(r[:, 0] * 1.0001 + 10.0, 1e-3))
+    r = r * jnp.asarray(_LAG_WINDOW, jnp.float32)[None, :]
+    a = _levinson_batch(r)
+    lsf = _lp_to_lsf_batch(a)
+
+    L0, L1, L2, L3 = _quantize_lsf_batch(st, lsf)
+    lsf_q = G.lsf_decode(st, L0, L1, L2, L3)
+    lsp = G.lsf2lsp(lsf_q)
+    lp1, lp2 = G.lp_decode(st, lsp)
+
+    # ---- open-loop pitch on the LP residual --------------------------------
+    aq = lp2.astype(jnp.float32) / 4096.0
+    ext = jnp.concatenate([hist[:, -10:], x], axis=1)     # [B,90]
+    widx = np.arange(FRAME)[:, None] + np.arange(10)[None, :]  # n .. n+9
+    win = ext[:, jnp.asarray(widx)]                        # [B,80,10]
+    resid = ext[:, 10:] + jnp.einsum("bi,bni->bn", aq, win[..., ::-1])
+    histf = jnp.concatenate([res_hist, resid], axis=1)     # [B,223]
+    L = histf.shape[1]
+    tidx = np.stack([np.arange(L - FRAME - t, L - t)
+                     for t in range(PITCH_MIN, PITCH_MAX + 1)])  # [124,80]
+    wins = histf[:, jnp.asarray(tidx)]                     # [B,124,80]
+    corr = jnp.einsum("bn,btn->bt", resid, wins)
+    t_op = jnp.argmax(corr, axis=1).astype(jnp.int32) + PITCH_MIN
+    res_hist = histf[:, -PITCH_MAX:]
+
+    parm_cols = {}
+    prev_int = None
+    for i in range(2):
+        lp_i = lp1 if i == 0 else lp2
+        xs = jax.lax.dynamic_slice_in_dim(x, i * SUBFRAME, SUBFRAME, axis=1)
+        h = _impulse_response(lp_i)
+        Hmat = _toeplitz(h)
+        target = xs - _zir(lp_i, st["syn_filter_data"])
+
+        # ---- closed-loop pitch at 1/3 resolution ---------------------------
+        if i == 0:
+            d_off = jnp.asarray(list(range(-5, 6)), jnp.int32)
+            ints = jnp.clip(t_op[:, None] + d_off[None, :],
+                            PITCH_MIN, PITCH_MAX)          # [B,11]
+            octv = jnp.stack([jnp.clip(t_op // 2, PITCH_MIN, PITCH_MAX),
+                              jnp.clip(t_op * 2, PITCH_MIN, PITCH_MAX)],
+                             axis=1)
+            ints = jnp.concatenate([ints, octv], axis=1)   # [B,13]
+            fr = jnp.asarray([-1, 0, 1], jnp.int32)
+            t_c = jnp.repeat(ints, 3, axis=1)              # [B,39]
+            f_c = jnp.tile(fr, (B, ints.shape[1]))
+            valid = ((t_c <= 84) | (f_c == 0)) & \
+                    ~((t_c == PITCH_MIN) & (f_c == -1))
+        else:
+            base = jnp.clip(prev_int - 5, PITCH_MIN, PITCH_MAX - 9)
+            ks = jnp.arange(10, dtype=jnp.int32)
+            ints = base[:, None] + ks[None, :]             # [B,10]
+            fr = jnp.asarray([-1, 0, 1], jnp.int32)
+            t_c = jnp.repeat(ints, 3, axis=1)              # [B,30]
+            f_c = jnp.tile(fr, (B, 10))
+            valid = jnp.ones_like(t_c, bool)
+        acv = _ac_candidates(st["exc"], i * SUBFRAME, t_c, f_c)
+        y = jnp.einsum("bnk,bck->bcn", Hmat, acv)
+        e = jnp.einsum("bcn,bcn->bc", y, y)
+        c = jnp.maximum(jnp.einsum("bcn,bn->bc", y, target), 0.0)
+        score = jnp.where(valid & (e > 0), c * c / jnp.maximum(e, 1e-9), -1.0)
+        kbest = jnp.argmax(score, axis=1)
+        rows = jnp.arange(B)
+        t_int = t_c[rows, kbest]
+        t_frac = f_c[rows, kbest]
+
+        if i == 0:
+            P1 = jnp.where(t_int <= 84, 3 * t_int + t_frac - 58, t_int + 112)
+            parm_cols["ac0"] = P1
+            parm_cols["parity"] = _parity_batch(P1)
+            prev_int = t_int
+        else:
+            base = jnp.clip(prev_int - 5, PITCH_MIN, PITCH_MAX - 9)
+            parm_cols["ac1"] = 3 * (t_int - base) + t_frac + 2
+
+        # ---- exact AC vector via the shadow decoder ------------------------
+        st["exc"] = G.decode_ac_vector(st["exc"], t_int, t_frac,
+                                       i * SUBFRAME)
+        acv_x = jax.lax.dynamic_slice_in_dim(
+            st["exc"], G.EXC_OFF + i * SUBFRAME, SUBFRAME,
+            axis=1).astype(jnp.float32)
+        y_ac = jnp.einsum("bnk,bk->bn", Hmat, acv_x)
+        e_ac = jnp.einsum("bn,bn->b", y_ac, y_ac)
+        gp_f = jnp.clip(jnp.einsum("bn,bn->b", y_ac, target)
+                        / jnp.maximum(e_ac, 1e-9), 0.0, 1.2)
+
+        # ---- fixed codebook -------------------------------------------------
+        rres = target - gp_f[:, None] * y_ac
+        h2 = h
+        gp_sh = st["pitch_sharp"].astype(jnp.float32) / 16384.0
+        for n in range(1, SUBFRAME):
+            src = jnp.take_along_axis(
+                h2, jnp.clip(n - t_int, 0, SUBFRAME - 1)[:, None], axis=1)[:, 0]
+            h2 = h2.at[:, n].add(jnp.where(n >= t_int, gp_sh * src, 0.0))
+        fc_idx, signs = _fc_search(rres, h2)
+        parm_cols[f"fc{i}"] = fc_idx
+        parm_cols[f"ps{i}"] = signs
+
+        fc, _err = G.decode_fc_vector(fc_idx, signs)
+        fc = G.fix_fc_vector(fc, t_int, st["pitch_sharp"])
+        y_fc = jnp.einsum("bnk,bk->bn", Hmat, fc.astype(jnp.float32))
+
+        # ---- gains -----------------------------------------------------------
+        ga, gb = _gain_search(st, fc, y_ac, y_fc, target)
+        parm_cols[f"ga{i}"] = ga
+        parm_cols[f"gb{i}"] = gb
+
+        gc = G.get_gain_code(st, ga, gb, fc)   # mutates pred_energ_q
+        gp = jnp.take(G._CB_GA[:, 0], ga) + jnp.take(G._CB_GB[:, 0], gb)
+        st["gain_pitch"] = gp
+        st["gain_code"] = gc
+        st["pitch_sharp"] = G._clip(gp, G.SHARP_MIN, G.SHARP_MAX)
+        st["exc"] = G.mem_update(st["exc"], fc, gp, gc, i * SUBFRAME)
+
+        exc_sub = jax.lax.dynamic_slice_in_dim(
+            st["exc"], G.EXC_OFF + i * SUBFRAME, SUBFRAME, axis=1)
+        out1, fd1, ovf = G.lp_synthesis_filter(
+            lp_i, exc_sub, st["syn_filter_data"], False)
+        exc_scaled = jnp.where(ovf[:, None], st["exc"] >> 2, st["exc"])
+        exc_sub2 = jax.lax.dynamic_slice_in_dim(
+            exc_scaled, G.EXC_OFF + i * SUBFRAME, SUBFRAME, axis=1)
+        out2, fd2, _ = G.lp_synthesis_filter(
+            lp_i, exc_sub2, st["syn_filter_data"], True)
+        st["exc"] = exc_scaled
+        st["syn_filter_data"] = jnp.where(ovf[:, None], fd2, fd1)
+        st["pitch_prev"] = t_int
+
+    st["exc"] = jax.lax.dynamic_update_slice_in_dim(
+        st["exc"],
+        jax.lax.dynamic_slice_in_dim(st["exc"], 2 * SUBFRAME,
+                                     PITCH_MAX + R.INTERPOL_LEN, axis=1),
+        0, axis=1)
+
+    hist = jnp.concatenate([hist, x], axis=1)[:, -160:]
+    parm = jnp.stack([
+        L0, L1, L2, L3, parm_cols["parity"], parm_cols["ac0"],
+        parm_cols["ac1"], parm_cols["fc0"], parm_cols["fc1"],
+        parm_cols["ps0"], parm_cols["ps1"], parm_cols["ga0"],
+        parm_cols["ga1"], parm_cols["gb0"], parm_cols["gb1"],
+        jnp.zeros(B, jnp.int32)], axis=1)
+    return st, hist, res_hist, parm
+
+
+def encode_streams_tpu(pcm: np.ndarray) -> np.ndarray:
+    """PCM int16 [B, n_frames*80] -> packed frames uint8 [n_frames, B, 10]."""
+    pcm = np.asarray(pcm, np.float32)
+    if pcm.ndim == 1:
+        pcm = pcm[None]
+    B = pcm.shape[0]
+    n_frames = pcm.shape[1] // FRAME
+    st = G.init_state(B)
+    hist = jnp.zeros((B, 160))
+    res_hist = jnp.zeros((B, PITCH_MAX))
+    out = np.zeros((n_frames, B, 10), np.uint8)
+    for f in range(n_frames):
+        xs = jnp.asarray(pcm[:, f * FRAME:(f + 1) * FRAME])
+        st, hist, res_hist, parm = encode_frame_batch(st, hist, res_hist, xs)
+        pn = np.asarray(parm)
+        for b in range(B):
+            out[f, b] = np.frombuffer(pack_parameters({
+                "ma_predictor": int(pn[b, 0]),
+                "quantizer_1st": int(pn[b, 1]),
+                "quantizer_2nd_lo": int(pn[b, 2]),
+                "quantizer_2nd_hi": int(pn[b, 3]),
+                "parity": int(pn[b, 4]),
+                "ac_index": [int(pn[b, 5]), int(pn[b, 6])],
+                "fc_indexes": [int(pn[b, 7]), int(pn[b, 8])],
+                "pulses_signs": [int(pn[b, 9]), int(pn[b, 10])],
+                "ga_cb_index": [int(pn[b, 11]), int(pn[b, 12])],
+                "gb_cb_index": [int(pn[b, 13]), int(pn[b, 14])],
+            }), np.uint8)
+    return out

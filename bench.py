@@ -199,7 +199,7 @@ def main():
     # the corpus checksum gate above).
     fps_160 = None
     try:
-        F2, K2 = 128, 64                      # N2 = 128*64*480, % 4096 == 0
+        F2, K2 = 128, 256                     # N2 = 128*256*480, % 4096 == 0
         rng = np.random.default_rng(0)
         lv160 = rng.integers(-64, 64, (F2, 80, 6, 64)).astype(np.int16)
         cm160 = jax.device_put(jnp.asarray(
