@@ -224,40 +224,53 @@ def _toeplitz(h):
     return jnp.where(jnp.asarray(mask)[None], h[:, jnp.asarray(idx)], 0.0)
 
 
+# static interpolation-tap matrices for the 3 fractional phases
+_C1_NP = np.array([[float(R._INTERP_FLAT[3 * i + f]) for i in range(10)]
+                   for f in range(3)], np.float32)
+_C2_NP = np.array([[float(R._INTERP_FLAT[3 * i + 3 - f]) for i in range(10)]
+                   for f in range(3)], np.float32)
+_UPS_LEN = PITCH_MAX + 1  # history positions q in [-144, -1] (lag 143 frac=-1 reads q=-144)
+# gather window for each q: history indices (q - i) and (q + i + 1)
+_UWIN = np.concatenate(
+    [(np.arange(-_UPS_LEN, 0)[:, None] - np.arange(10)[None, :]),
+     (np.arange(-_UPS_LEN, 0)[:, None] + np.arange(10)[None, :] + 1)],
+    axis=1) + _HIST_SPAN                    # [143, 20], indices into histf
+_UWIN = np.clip(_UWIN, 0, _HIST_SPAN - 1)  # q >= -10 taps would poke past
+# the history end; the exact decoder reads generated samples there — the
+# clamp only affects the *search* scores of short lags (ITU's own search
+# uses a periodic-extension approximation in the same region)
+
+
 def _ac_candidates(exc, off, t_cand, f_cand):
-    """Float replica of decode_ac_vector for a candidate grid.
+    """AC candidate grid via phase-upsampled history (decode_ac_vector's
+    interpolation precomputed at all 3 fractional phases over the last
+    PITCH_MAX excitation samples) + ITU-style period repetition for lags
+    shorter than the subframe.  One [B,C,40] gather replaces the exact
+    path's 40-step recursion; the chosen candidate is still materialized
+    exactly by the shadow decoder.
 
     exc [B,EXC_LEN] int32, t_cand/f_cand [B,C] -> acv [B,C,40] float.
     """
-    B, C = t_cand.shape
     base = G.EXC_OFF + off
     histf = jax.lax.dynamic_slice_in_dim(
         exc, base - _HIST_SPAN, _HIST_SPAN, axis=1).astype(jnp.float32)
-    buf = jnp.concatenate(
-        [jnp.broadcast_to(histf[:, None], (B, C, _HIST_SPAN)),
-         jnp.zeros((B, C, SUBFRAME))], axis=2)
+    taps = histf[:, jnp.asarray(_UWIN)]                    # [B,143,20]
+    coef = jnp.concatenate([jnp.asarray(_C1_NP), jnp.asarray(_C2_NP)],
+                           axis=1)                         # [3,20]
+    U = jnp.einsum("bjk,fk->bfj", taps, coef) / 16384.0    # [B,3,143]
+    B = t_cand.shape[0]
+    U = U.reshape(B, 3 * _UPS_LEN)
+
     f = -f_cand
     neg = f < 0
     f = jnp.where(neg, f + 3, f)
     ti = jnp.where(neg, t_cand + 1, t_cand)
-    interp = jnp.asarray(np.asarray(R._INTERP_FLAT, np.float32))
-    ii = jnp.arange(10)
-    c1 = jnp.take(interp, 3 * ii[None, None] + f[..., None])     # [B,C,10]
-    c2 = jnp.take(interp, 3 * ii[None, None] + 3 - f[..., None])
-    coef = jnp.concatenate([c1, c2], axis=2)                     # [B,C,20]
-    rel1 = -ti[..., None] - ii[None, None]
-    rel2 = -ti[..., None] + ii[None, None] + 1
-    rel = jnp.concatenate([rel1, rel2], axis=2)                  # [B,C,20]
-
-    def body(n, buf):
-        idx = _HIST_SPAN + n + rel                               # [B,C,20]
-        taps = jnp.take_along_axis(buf, idx, axis=2)
-        v = jnp.sum(taps * coef, axis=2) / 16384.0
-        return jax.lax.dynamic_update_slice_in_dim(
-            buf, v[..., None], _HIST_SPAN + n, axis=2)
-
-    buf = jax.lax.fori_loop(0, SUBFRAME, body, buf)
-    return jax.lax.dynamic_slice_in_dim(buf, _HIST_SPAN, SUBFRAME, axis=2)
+    n = jnp.arange(SUBFRAME)
+    q = n[None, None, :] - ti[..., None]                   # [B,C,40]
+    q = jnp.where(q >= 0, q % jnp.maximum(ti, 1)[..., None] - ti[..., None],
+                  q)
+    idx = f[..., None] * _UPS_LEN + (q + _UPS_LEN)
+    return jnp.take_along_axis(U[:, None, :], idx, axis=2)
 
 
 _TRK0 = np.arange(0, SUBFRAME, 5)
