@@ -550,10 +550,13 @@ def encode_streams_tpu(pcm: np.ndarray) -> np.ndarray:
     hist = jnp.zeros((B, 160))
     res_hist = jnp.zeros((B, PITCH_MAX))
     out = np.zeros((n_frames, B, 10), np.uint8)
+    parms = []
     for f in range(n_frames):
         xs = jnp.asarray(pcm[:, f * FRAME:(f + 1) * FRAME])
         st, hist, res_hist, parm = encode_frame_batch(st, hist, res_hist, xs)
-        pn = np.asarray(parm)
+        parms.append(parm)   # stays on device: dispatches pipeline async
+    for f in range(n_frames):
+        pn = np.asarray(parms[f])
         for b in range(B):
             out[f, b] = np.frombuffer(pack_parameters({
                 "ma_predictor": int(pn[b, 0]),
