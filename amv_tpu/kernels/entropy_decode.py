@@ -127,8 +127,11 @@ def decode_scans_device(scans: jnp.ndarray, n_mcu: int,
         block_next = jnp.where(active & end_block, block + 1, block)
         bitpos_next = jnp.where(active, bitpos + consumed, bitpos)
 
-        out_idx = out_idx.at[:, step].set(dest.astype(jnp.int32))
-        out_val = out_val.at[:, step].set(
+        # emit buffers are [max_steps, F]: each step writes one contiguous
+        # row (the [F, max_steps] layout's column writes are lane-strided
+        # and dominate the step cost)
+        out_idx = out_idx.at[step].set(dest.astype(jnp.int32))
+        out_val = out_val.at[step].set(
             jnp.where(write, level, 0).astype(jnp.int16))
         return (step + 1, bitpos_next, block_next, pos_next, out_idx, out_val)
 
@@ -141,13 +144,13 @@ def decode_scans_device(scans: jnp.ndarray, n_mcu: int,
         return carry
 
     max_steps = (max_steps + 3) & ~3
-    out_idx0 = jnp.full((F, max_steps), n_blocks * 64, jnp.int32)
-    out_val0 = jnp.zeros((F, max_steps), jnp.int16)
+    out_idx0 = jnp.full((max_steps, F), n_blocks * 64, jnp.int32)
+    out_val0 = jnp.zeros((max_steps, F), jnp.int16)
     carry = (jnp.int32(0), jnp.zeros(F, jnp.int32), jnp.zeros(F, jnp.int32),
              jnp.zeros(F, jnp.int32), out_idx0, out_val0)
     step, bitpos, block, pos, out_idx, out_val = jax.lax.while_loop(
         cond, body4, carry)
 
     flat = jnp.zeros((F, n_blocks * 64 + 1), jnp.int16)
-    flat = flat.at[rows[:, None], out_idx].add(out_val)
+    flat = flat.at[rows[:, None], out_idx.T].add(out_val.T)
     return flat[:, :n_blocks * 64].reshape(F, n_mcu, 6, 64)
