@@ -321,88 +321,94 @@ class G729Encoder:
             gp_f = float(np.dot(y_ac, target)) / e_ac if e_ac > 0 else 0.0
             gp_f = min(max(gp_f, 0.0), 1.2)  # decoder gain codebook headroom
 
-            # --- fixed codebook: exhaustive joint ACELP search ---------------
-            # residual after the (float-gain) pitch contribution
-            r = target - gp_f * y_ac
-            # pitch sharpening (decoder fix_fc_vector): each pulse becomes
-            # delta + gp*delta(+T) + ..., equivalent to the same recursion
-            # on the impulse response used for the search
+            # --- fixed codebook + gains -----------------------------------
+            # (a quantized-gain re-search pass was tried and measured
+            # slightly WORSE downstream — local subframe error does not
+            # align with multi-frame quality — so one pass is kept)
             h2 = h.copy()
             gp_sh = st.pitch_sharp / 16384.0
             if t_int < SUBFRAME:
                 for n in range(t_int, SUBFRAME):
                     h2[n] += gp_sh * h2[n - t_int]
-            # backward-filtered target d and h-autocorrelation phi
-            d = np.array([np.dot(r[n:], h2[:SUBFRAME - n])
-                          for n in range(SUBFRAME)])
             hpad = np.concatenate([h2, np.zeros(SUBFRAME)])
             phi = np.array([[np.dot(hpad[:SUBFRAME - max(a, b)],
                                     hpad[abs(a - b):SUBFRAME - min(a, b)])
                              for b in range(SUBFRAME)]
                             for a in range(SUBFRAME)])
-            sgn = np.where(d >= 0, 1.0, -1.0)
-            dabs = np.abs(d)
-            phi_s = phi * sgn[:, None] * sgn[None, :]  # sign-folded
             P0 = np.arange(0, SUBFRAME, 5)
             P1 = P0 + 1
             P2 = P0 + 2
             P3 = np.concatenate([P0 + 3, P0 + 4])      # track 3 + jitter bit
-            # score all 8*8*8*16 pulse combinations at once
-            num = (dabs[P0][:, None, None, None] + dabs[P1][None, :, None, None]
-                   + dabs[P2][None, None, :, None]
-                   + dabs[P3][None, None, None, :])
-            den = (phi_s[P0, P0][:, None, None, None]
-                   + phi_s[P1, P1][None, :, None, None]
-                   + phi_s[P2, P2][None, None, :, None]
-                   + phi_s[P3, P3][None, None, None, :]
-                   + 2.0 * (phi_s[P0[:, None], P1[None, :]][:, :, None, None]
-                            + phi_s[P0[:, None], P2[None, :]][:, None, :, None]
-                            + phi_s[P0[:, None], P3[None, :]][:, None, None, :]
-                            + phi_s[P1[:, None], P2[None, :]][None, :, :, None]
-                            + phi_s[P1[:, None], P3[None, :]][None, :, None, :]
-                            + phi_s[P2[:, None], P3[None, :]][None, None, :, :]))
-            score = num * num / np.maximum(den, 1e-9)
-            k0, k1, k2, k3 = np.unravel_index(int(np.argmax(score)),
-                                              score.shape)
-            chosen = [(int(P0[k0]), 0), (int(P1[k1]), 1),
-                      (int(P2[k2]), 2), (int(P3[k3]), 3)]
-            fc_idx = 0
-            signs = 0
-            for pos, tr in chosen:
-                s_bit = 1 if sgn[pos] > 0 else 0
-                if tr < 3:
-                    fc_idx |= (pos // 5) << (3 * tr)
-                else:
-                    jbit = 1 if pos % 5 == 4 else 0
-                    fc_idx |= ((pos // 5) << 10) | (jbit << 9)
-                signs |= s_bit << tr
+
+            def search_fc(r):
+                d = np.array([np.dot(r[n:], h2[:SUBFRAME - n])
+                              for n in range(SUBFRAME)])
+                sgn = np.where(d >= 0, 1.0, -1.0)
+                dabs = np.abs(d)
+                phi_s = phi * sgn[:, None] * sgn[None, :]
+                num = (dabs[P0][:, None, None, None]
+                       + dabs[P1][None, :, None, None]
+                       + dabs[P2][None, None, :, None]
+                       + dabs[P3][None, None, None, :])
+                den = (phi_s[P0, P0][:, None, None, None]
+                       + phi_s[P1, P1][None, :, None, None]
+                       + phi_s[P2, P2][None, None, :, None]
+                       + phi_s[P3, P3][None, None, None, :]
+                       + 2.0 * (phi_s[P0[:, None], P1[None, :]][:, :, None, None]
+                                + phi_s[P0[:, None], P2[None, :]][:, None, :, None]
+                                + phi_s[P0[:, None], P3[None, :]][:, None, None, :]
+                                + phi_s[P1[:, None], P2[None, :]][None, :, :, None]
+                                + phi_s[P1[:, None], P3[None, :]][None, :, None, :]
+                                + phi_s[P2[:, None], P3[None, :]][None, None, :, :]))
+                score = num * num / np.maximum(den, 1e-9)
+                k0, k1, k2, k3 = np.unravel_index(int(np.argmax(score)),
+                                                  score.shape)
+                chosen = [(int(P0[k0]), 0), (int(P1[k1]), 1),
+                          (int(P2[k2]), 2), (int(P3[k3]), 3)]
+                fci = 0
+                sg = 0
+                for pos, tr in chosen:
+                    s_bit = 1 if sgn[pos] > 0 else 0
+                    if tr < 3:
+                        fci |= (pos // 5) << (3 * tr)
+                    else:
+                        jbit = 1 if pos % 5 == 4 else 0
+                        fci |= ((pos // 5) << 10) | (jbit << 9)
+                    sg |= s_bit << tr
+                return fci, sg
+
+            gp_use = gp_f
+            pred_snapshot = list(st.pred_energ_q)
+            best_iter = None
+            for _refine in range(1):
+                fc_idx, signs = search_fc(target - gp_use * y_ac)
+                fc, _ = st.decode_fc_vector(fc_idx, signs)
+                st.fix_fc_vector(t_int, fc)
+                fcv = np.array(fc, dtype=np.float64)
+                y_fc = self._zsr(h, fcv)
+                best_g = None
+                for ga in range(8):
+                    for gb in range(16):
+                        st.pred_energ_q = list(pred_snapshot)
+                        gp = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
+                        gc = st.get_gain_code(ga, gb, fc)
+                        rec = y_ac * (gp / 16384.0) + y_fc * (gc / 16384.0)
+                        err = float(np.sum((target - rec) ** 2))
+                        if best_g is None or err < best_g[0]:
+                            best_g = (err, ga, gb)
+                st.pred_energ_q = list(pred_snapshot)
+                err, ga, gb = best_g
+                if best_iter is None or err < best_iter[0]:
+                    best_iter = (err, fc_idx, signs, ga, gb)
+                gp_use = (int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])) / 16384.0
+            _, fc_idx, signs, ga, gb = best_iter
+            fc, _ = st.decode_fc_vector(fc_idx, signs)
+            st.fix_fc_vector(t_int, fc)
             parm["fc_indexes"][i] = fc_idx
             parm["pulses_signs"][i] = signs
-
-            fc, _ = st.decode_fc_vector(parm["fc_indexes"][i],
-                                        parm["pulses_signs"][i])
-            st.fix_fc_vector(t_int, fc)
-            fcv = np.array(fc, dtype=np.float64)
-            y_fc = self._zsr(h, fcv)
-
-            # --- gain pair: exhaustive exact search over GA x GB -------------
-            # decoder reconstruction: exc = (acv*gp + fc*gc) >> 14, so in the
-            # synthesis domain rec = y_ac*gp/2^14 + y_fc*gc/2^14
-            best_g = None
-            pred_snapshot = list(st.pred_energ_q)
-            for ga in range(8):
-                for gb in range(16):
-                    st.pred_energ_q = list(pred_snapshot)
-                    gp = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
-                    gc = st.get_gain_code(ga, gb, fc)
-                    rec = y_ac * (gp / 16384.0) + y_fc * (gc / 16384.0)
-                    err = float(np.sum((target - rec) ** 2))
-                    if best_g is None or err < best_g[0]:
-                        best_g = (err, ga, gb)
-            st.pred_energ_q = pred_snapshot
-            _, ga, gb = best_g
             parm["ga_cb_index"][i] = ga
             parm["gb_cb_index"][i] = gb
+
 
             # --- exact state update (what the decoder will do) ---------------
             st.gain_pitch = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
