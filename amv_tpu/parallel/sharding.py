@@ -66,3 +66,18 @@ def sharded_adpcm_decode(mesh: Mesh):
     return jax.jit(KA.decode_chunks,
                    in_shardings=(chunk_s, chunk_s, chunk_s),
                    out_shardings=chunk_s)
+
+
+def sharded_transcode_step(mesh: Mesh, qscale: int = 2):
+    """Jitted fused transcode (pipeline.transcode.transcode_levels_fused)
+    with frames sharded on dp.
+
+    The fused kernel is embarrassingly parallel over blocks — even the
+    DC-prediction cumsum is per-frame — so the flagship transcode path
+    scales with zero cross-chip collectives: each chip transcodes its
+    frame shard independently.
+    """
+    from ..pipeline.transcode import transcode_levels_fused
+    in_s = NamedSharding(mesh, P("dp"))
+    fn = partial(transcode_levels_fused, qscale=qscale)
+    return jax.jit(fn, in_shardings=(in_s,), out_shardings=(in_s, in_s))
