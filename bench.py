@@ -56,6 +56,7 @@ def main():
     from amv_tpu.bitstream.entropy import (huffman_decode_frames,
                                            huffman_encode_frame)
     from amv_tpu.kernels import adpcm as KA
+    from amv_tpu.kernels import adpcm_pallas as KPA
 
     sample = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
     s = riff.read(sample)
@@ -272,22 +273,55 @@ def main():
     KA_T = int(os.environ.get("AMV_BENCH_ADPCM_K", "256"))
     n_samples = int(2 * alens.sum()) * KA_T
 
+    # expected checksum from the single-core C reference over the padded
+    # payload rows (the device decodes the zero pad up to maxlen too, so
+    # the C expectation must as well); int32 wrap emulated on host.
+    csum_host = 0
+    for i in range(len(achunks)):
+        pcm_i = native.ref_adpcm_decode(payload_a[i].tobytes(),
+                                        int(pred[i]), int(sidx[i]))
+        csum_host += int(pcm_i.astype(np.int64).sum())
+    exp_adpcm_cs = ((csum_host * KA_T) + 2**31) % 2**32 - 2**31
+    nb_valid = 2 * payload_a.shape[1]
+
     @jax.jit
-    def fused_adpcm(pl, pr, si, salt):
+    def fused_adpcm_pallas(pl, pr, si, salt):
+        # checksum over the valid region only, computed in packed layout
+        # (total minus the nbytes-padding tail) — no transpose back.
+        pl2 = jnp.tile(pl, (KA_T, 1))
+        pr2 = jnp.tile(pr, (KA_T,)) + salt * 0
+        si2 = jnp.tile(si, (KA_T,))
+        bts, prl, sil = KPA.to_layout(pl2, pr2, si2)
+        out = KPA.decode_layout(bts, prl, sil)
+        s_all = jnp.sum(out.astype(jnp.int32))
+        s_pad = jnp.sum(out[:, nb_valid:].astype(jnp.int32))
+        return s_all - s_pad + salt
+
+    @jax.jit
+    def fused_adpcm_xla(pl, pr, si, salt):
         pl2 = jnp.tile(pl, (KA_T, 1))
         pr2 = jnp.tile(pr, (KA_T,)) + salt * 0
         si2 = jnp.tile(si, (KA_T,))
         pcm = KA.decode_chunks(pl2, pr2, si2)
         return jnp.sum(pcm.astype(jnp.int32)) + salt
 
+    adpcm_kernel = "pallas"
+    pa, pp, ps = (jax.device_put(jnp.asarray(x))
+                  for x in (payload_a, pred, sidx))
     try:
-        pa, pp, ps = (jax.device_put(jnp.asarray(x))
-                      for x in (payload_a, pred, sidx))
-        _ = int(fused_adpcm(pa, pp, ps, jnp.int32(0))[...])
-        t_adpcm = best_time(lambda: int(
-            fused_adpcm(pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
+        cs0 = int(fused_adpcm_pallas(pa, pp, ps, jnp.int32(0))[...])
+        assert cs0 == exp_adpcm_cs, \
+            f"ADPCM pallas checksum {cs0} != C reference {exp_adpcm_cs}"
+        t_adpcm = best_time(lambda: int(fused_adpcm_pallas(
+            pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
     except Exception:
-        t_adpcm = None
+        adpcm_kernel = "xla-scan"
+        try:
+            _ = int(fused_adpcm_xla(pa, pp, ps, jnp.int32(0))[...])
+            t_adpcm = best_time(lambda: int(fused_adpcm_xla(
+                pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
+        except Exception:
+            t_adpcm = None
 
     # ---------------- G.729A (optional: costs an extra large compile) -------
     g729_detail = {}
@@ -349,6 +383,7 @@ def main():
             **({"e2e_tunnel_encode_device_entropy_fps":
                 round(F / t_e2e_enc_dev, 1)} if t_e2e_enc_dev else {}),
             "host_entropy_decode_fps": round(F / t_entropy_dec, 1),
+            "adpcm_kernel": adpcm_kernel,
             **({"adpcm_tpu_msamples": round(n_samples / t_adpcm / 1e6, 1)}
                if t_adpcm else {}),
             "adpcm_c1core_msamples": round(2 * int(alens.sum()) / tc_adpcm / 1e6, 1),
