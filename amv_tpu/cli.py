@@ -148,7 +148,9 @@ def _encode_act(args):
     if pcm.ndim > 1:
         pcm = pcm.mean(axis=1).astype(np.int16)
     if rate != 8000:
-        raise SystemExit(f"G.729A requires 8000 Hz input (got {rate})")
+        from .kernels.resample import resample_pcm
+        print(f"resampling audio {rate} -> 8000 Hz")
+        pcm = resample_pcm(pcm, rate, 8000)
     if args.max_frames:
         pcm = pcm[:args.max_frames * 80]
     frames = encode_stream(pcm)
@@ -301,15 +303,23 @@ def _encode(args):
         if args.max_frames:
             vst.chunks = vst.chunks[:args.max_frames]
         y, cb, cr = avimod.extract_yuv420(vst)
-        # the reference CLI rescales to -s; we require matching dims instead
+        # the reference CLI rescales any input to -s (sws_scale,
+        # ffmpeg.c:757); TPU-native separable polyphase resize
         if args.size and (vst.width, vst.height) != (w, h):
-            raise SystemExit(f"AVI is {vst.width}x{vst.height}, -s asked "
-                             f"{w}x{h}; rescaling is not supported — "
-                             "pre-scale the input")
-        w, h = vst.width, vst.height
+            import jax.numpy as jnp
+            from .kernels.scale import resize_yuv420
+            print(f"rescaling {vst.width}x{vst.height} -> {w}x{h} (bicubic)")
+            y, cb, cr = (np.asarray(p) for p in resize_yuv420(
+                jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), h, w))
+        else:
+            w, h = vst.width, vst.height
         if astreams and astreams[0].codec == b"\x01\x00":
             pcm = avimod.extract_pcm(astreams[0])
-            args.sample_rate = astreams[0].sample_rate or args.sample_rate
+            in_rate = astreams[0].sample_rate or args.sample_rate
+            if in_rate != args.sample_rate:
+                from .kernels.resample import resample_pcm
+                print(f"resampling audio {in_rate} -> {args.sample_rate} Hz")
+                pcm = resample_pcm(pcm, in_rate, args.sample_rate)
         n_frames = y.shape[0]
     else:
         if yuv_path is None:
@@ -332,8 +342,11 @@ def _encode(args):
         if pcm.ndim > 1:
             pcm = pcm.mean(axis=1).astype(np.int16)
         if rate != args.sample_rate:
-            print(f"warning: wav rate {rate} != -ar {args.sample_rate}; using {rate}")
-            args.sample_rate = rate
+            # the reference CLI resamples to -ar (resample2.c via
+            # do_audio_out); polyphase TPU kernel
+            from .kernels.resample import resample_pcm
+            print(f"resampling audio {rate} -> {args.sample_rate} Hz")
+            pcm = resample_pcm(pcm, rate, args.sample_rate)
     if pcm is None:
         pcm = np.zeros(n_frames * args.sample_rate // args.fps, np.int16)
     size = encode_to_file(args.output, y, cb, cr, pcm, fps=args.fps,

@@ -1,0 +1,113 @@
+"""Image rescale kernels (libswscale's scaling role, L5).
+
+The reference CLI feeds arbitrary input video through sws_scale to the
+fixed AMV encode size (`ffmpeg.c:757,1684`; canonical `-s 160x120`,
+AMVmuxer/Makefile:25-27).  This module provides that capability
+TPU-natively: separable polyphase filtering, expressed as a handful of
+static gathers + integer multiply-accumulates per axis so XLA keeps the
+whole thing fused and the result is bit-reproducible on any backend
+(swscale itself uses 14-bit fixed-point accumulation, swscale.c; we
+mirror that arithmetic but do not chase bit-identity with its
+version-specific filter tables).
+
+Filters:
+  * 'bilinear' — 2-tap triangle (SWS_BILINEAR)
+  * 'bicubic'  — 4-tap cubic with a = -0.6, ffmpeg's default bicubic
+    parameter (swscale default when no flags given, utils.c)
+Both use the standard center convention src = (dst + 0.5) * L / Ld - 0.5
+with edge clamping (replicated borders, like swscale).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SHIFT = 14  # swscale's 14-bit coefficient fixed point
+
+
+def _cubic(x: np.ndarray, a: float = -0.6) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1, (a + 2) * ax**3 - (a + 3) * ax**2 + 1,
+        np.where(ax < 2, a * (ax**3 - 5 * ax**2 + 8 * ax - 4), 0.0))
+
+
+def _triangle(x: np.ndarray) -> np.ndarray:
+    return np.maximum(0.0, 1.0 - np.abs(x))
+
+
+def _build_taps(src_l: int, dst_l: int, filt: str):
+    """Per-output-sample tap indices + 2^14-scaled int weights.
+
+    Returns (idx int32 [dst_l, T], w int32 [dst_l, T]).  When
+    downscaling, the kernel is stretched by the scale factor (anti-alias),
+    matching swscale's filter construction.
+    """
+    scale = src_l / dst_l
+    stretch = max(1.0, scale)
+    if filt == "bilinear":
+        base_r, fn = 1.0, _triangle
+    elif filt == "bicubic":
+        base_r, fn = 2.0, _cubic
+    else:
+        raise ValueError(f"unknown filter {filt!r}")
+    radius = base_r * stretch
+    ntaps = int(np.ceil(2 * radius))
+    pos = (np.arange(dst_l) + 0.5) * scale - 0.5
+    i0 = np.floor(pos - radius + 0.5).astype(np.int64)
+    t = np.arange(ntaps)
+    idx = i0[:, None] + t[None, :]
+    x = (idx - pos[:, None]) / stretch
+    w = fn(x)
+    s = w.sum(axis=1, keepdims=True)
+    s[s == 0] = 1.0
+    wq = np.floor(w / s * (1 << _SHIFT) + 0.5).astype(np.int64)
+    # force exact sum 2^14 (push the residue onto the largest tap) so flat
+    # areas stay flat
+    resid = (1 << _SHIFT) - wq.sum(axis=1)
+    wq[np.arange(dst_l), np.abs(w).argmax(axis=1)] += resid
+    idx = np.clip(idx, 0, src_l - 1)
+    return idx.astype(np.int32), wq.astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("dst_l", "filt", "axis"))
+def _resize_axis(x: jnp.ndarray, dst_l: int, filt: str, axis: int):
+    src_l = x.shape[axis]
+    idx, w = _build_taps(src_l, dst_l, filt)
+    acc = jnp.zeros(x.shape[:axis] + (dst_l,) + x.shape[axis + 1:],
+                    jnp.int32)
+    wshape = [1] * x.ndim
+    wshape[axis] = dst_l
+    for t in range(idx.shape[1]):
+        col = jnp.take(x, jnp.asarray(idx[:, t]), axis=axis)
+        acc = acc + col * jnp.asarray(w[:, t]).reshape(wshape)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("dst_h", "dst_w", "filt"))
+def resize_plane(x: jnp.ndarray, dst_h: int, dst_w: int,
+                 filt: str = "bicubic") -> jnp.ndarray:
+    """uint8 [..., H, W] -> uint8 [..., dst_h, dst_w].
+
+    Horizontal pass at 14-bit precision, rounded back to 14 bits, then
+    the vertical pass (swscale's hScale -> vScale ordering).
+    """
+    h = _resize_axis(x.astype(jnp.int32), dst_w, filt, x.ndim - 1)
+    h = (h + (1 << (_SHIFT - 1))) >> _SHIFT
+    v = _resize_axis(h, dst_h, filt, x.ndim - 2)
+    v = (v + (1 << (_SHIFT - 1))) >> _SHIFT
+    return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+
+def resize_yuv420(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
+                  dst_h: int, dst_w: int, filt: str = "bicubic"):
+    """Resize YUV420 planes to dst (luma dst, chroma dst/2)."""
+    if dst_h % 2 or dst_w % 2:
+        raise ValueError("YUV420 target dims must be even")
+    return (resize_plane(y, dst_h, dst_w, filt),
+            resize_plane(cb, dst_h // 2, dst_w // 2, filt),
+            resize_plane(cr, dst_h // 2, dst_w // 2, filt))

@@ -1,0 +1,112 @@
+"""Rescale (libswscale role) and audio resample (resample2.c role) kernels."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from amv_tpu.kernels.scale import resize_plane, resize_yuv420
+from amv_tpu.kernels.resample import resample_pcm
+
+
+# ---------------- video rescale ----------------
+
+@pytest.mark.parametrize("filt", ["bilinear", "bicubic"])
+def test_resize_identity(filt):
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (2, 24, 32), dtype=np.uint8)
+    out = np.asarray(resize_plane(jnp.asarray(x), 24, 32, filt))
+    np.testing.assert_array_equal(out, x)
+
+
+@pytest.mark.parametrize("filt", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("dims", [(120, 160), (96, 128), (17, 23)])
+def test_resize_constant_stays_constant(filt, dims):
+    x = np.full((1, 48, 64), 137, np.uint8)
+    out = np.asarray(resize_plane(jnp.asarray(x), *dims, filt))
+    assert out.shape == (1,) + dims
+    np.testing.assert_array_equal(out, 137)
+
+
+def test_resize_ramp_monotone():
+    # horizontal ramp upscaled stays monotone and spans the same range
+    x = np.tile(np.linspace(0, 255, 40, dtype=np.uint8), (1, 8, 1))
+    out = np.asarray(resize_plane(jnp.asarray(x), 8, 160, "bicubic"))
+    row = out[0, 4].astype(np.int32)
+    assert (np.diff(row) >= -1).all()        # monotone modulo rounding
+    assert row[0] <= 4 and row[-1] >= 251
+
+
+def test_resize_downscale_antialias():
+    # 1-px checkerboard downscaled 2x must average toward mid-gray,
+    # not alias to black/white
+    x = np.indices((64, 64)).sum(axis=0) % 2 * 255
+    x = x[None].astype(np.uint8)
+    out = np.asarray(resize_plane(jnp.asarray(x), 32, 32, "bilinear"))
+    assert 100 <= out[0, 8:-8, 8:-8].mean() <= 155
+    assert out[0, 8:-8, 8:-8].std() < 40
+
+
+def test_resize_yuv420_shapes_and_determinism():
+    rng = np.random.default_rng(1)
+    y = rng.integers(0, 256, (3, 96, 128), dtype=np.uint8)
+    cb = rng.integers(0, 256, (3, 48, 64), dtype=np.uint8)
+    cr = rng.integers(0, 256, (3, 48, 64), dtype=np.uint8)
+    y2, cb2, cr2 = resize_yuv420(jnp.asarray(y), jnp.asarray(cb),
+                                 jnp.asarray(cr), 120, 160)
+    assert y2.shape == (3, 120, 160)
+    assert cb2.shape == (3, 60, 80) and cr2.shape == (3, 60, 80)
+    y3, _, _ = resize_yuv420(jnp.asarray(y), jnp.asarray(cb),
+                             jnp.asarray(cr), 120, 160)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y3))
+    with pytest.raises(ValueError):
+        resize_yuv420(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+                      121, 160)
+
+
+# ---------------- audio resample ----------------
+
+def test_resample_identity_rate():
+    pcm = np.arange(-500, 500, dtype=np.int16)
+    out = resample_pcm(pcm, 8000, 8000)
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_resample_dc():
+    pcm = np.full(4000, 1000, np.int16)
+    out = resample_pcm(pcm, 8000, 22050)
+    assert len(out) == 4000 * 22050 // 8000
+    mid = out[200:-200].astype(np.int32)
+    assert abs(mid.mean() - 1000) < 2 and mid.std() < 2
+
+
+def _sine(freq, rate, n, amp=10000.0):
+    return np.arange(n) * (2 * np.pi * freq / rate), amp
+
+
+@pytest.mark.parametrize("in_rate,out_rate", [(8000, 22050), (44100, 22050),
+                                              (22050, 8000)])
+def test_resample_sine_snr(in_rate, out_rate):
+    freq = 1000.0
+    n = in_rate // 2
+    t_in, amp = _sine(freq, in_rate, n)
+    pcm = np.round(amp * np.sin(t_in)).astype(np.int16)
+    out = resample_pcm(pcm, in_rate, out_rate).astype(np.float64)
+    m = len(out)
+    # ideal reference at the output rate (same underlying continuous signal)
+    ideal = amp * np.sin(np.arange(m) * (2 * np.pi * freq / out_rate))
+    core = slice(50, m - 50)  # exclude filter edge transients
+    err = out[core] - ideal[core]
+    snr = 10 * np.log10((ideal[core] ** 2).mean() / max((err ** 2).mean(), 1e-9))
+    assert snr > 35, f"SNR {snr:.1f} dB too low for {in_rate}->{out_rate}"
+
+
+def test_resample_bandlimits_on_downsample():
+    # 15 kHz tone at 44100 must be strongly attenuated at 22050 (Nyquist
+    # 11025), not aliased to full scale
+    in_rate, out_rate = 44100, 22050
+    n = in_rate // 2
+    t = np.arange(n) * (2 * np.pi * 15000.0 / in_rate)
+    pcm = np.round(10000 * np.sin(t)).astype(np.int16)
+    out = resample_pcm(pcm, in_rate, out_rate).astype(np.float64)
+    rms = np.sqrt((out[100:-100] ** 2).mean())
+    assert rms < 2500, f"aliased energy too high: rms {rms:.0f}"
