@@ -1,0 +1,289 @@
+"""Pallas device-side JPEG entropy decoder: block-synchronized, 1024-way.
+
+The XLA symbol-sequential decoder (kernels/entropy_decode.py) tops out
+at ~2.6K frames/s — each of its ~5K while-loop steps pays HBM-sized
+gathers and emit-buffer updates.  This kernel keeps everything in
+vector registers and VMEM:
+
+* 1024 frames decode in lockstep on one (8, 128) vreg slab; the grid
+  walks (frame-chunk, block-index) and per-lane bitreader state
+  persists across block steps in VMEM scratch (TPU grids iterate
+  sequentially).
+* Blocks are the synchronization points: every frame has exactly
+  n_mcu*6 blocks, and a block's component type is its index mod 6 —
+  so Huffman table selection is a *scalar*, not per-lane, decision.
+* Each block decodes as straight-line DC (K.3 DC values are the
+  identity permutation, so no value table at all) plus a bounded
+  while-loop over AC symbols (position strictly advances, <= 64 iters).
+* Canonical-code length decode: len = popcount of (peek16 >= bound[l])
+  over the 16 length boundaries (monotone by canonicity; asserted at
+  table build).  The 162-entry K.3 AC value table is an unrolled
+  masked-select tree (Mosaic has no dynamic vector gather).
+* The per-lane byte fetch — the classic blocker for SIMD Huffman — is
+  a masked reduction over the time-major word planes: lane cursors
+  select their word via compare+select against a row iota.  Costly per
+  fetch, but one fetch serves all 1024 lanes and a 64-bit bit-buffer
+  amortizes it to one 32-bit refill per ~4 symbols.
+
+Semantics match bitstream/entropy.py + kernels/entropy_decode.py on
+valid streams (mjpegdec.c:376-430 decode_block): levels in zigzag
+order, slot 0 = DC *difference* (prediction resolved downstream).
+Invalid streams produce bounded garbage instead of an error (the host
+path is the validating one).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..bitstream import jpeg_tables as T
+
+SB = 8  # sublanes: (8, 128) -> 1024 frames per chunk
+
+
+def _canonical(bits, vals):
+    """bound[16] (uint32, peek16-aligned), mincode[17], valptr[17]."""
+    bits = [int(b) for b in bits[1:17]] if len(bits) == 17 else \
+        [int(b) for b in bits]
+    code, k = 0, 0
+    bound = np.zeros(17, np.int64)
+    mincode = np.zeros(17, np.int64)
+    valptr = np.zeros(17, np.int64)
+    for l in range(1, 17):
+        mincode[l] = code
+        valptr[l] = k
+        code += bits[l - 1]
+        k += bits[l - 1]
+        bound[l] = code << (16 - l)
+        code <<= 1
+    assert all(bound[l + 1] >= bound[l] for l in range(1, 16)), \
+        "canonical boundaries must be monotone"
+    return bound[1:17], mincode, valptr
+
+
+def _tables():
+    dcl = _canonical(list(T.BITS_DC_LUMA), None)
+    dcc = _canonical(list(T.BITS_DC_CHROMA), None)
+    acl = _canonical(list(T.BITS_AC_LUMA), None)
+    acc = _canonical(list(T.BITS_AC_CHROMA), None)
+    assert list(T.VALS_DC_LUMA) == list(range(12))
+    assert list(T.VALS_DC_CHROMA) == list(range(12))
+    return (dcl, dcc, acl, acc,
+            [int(v) for v in T.VALS_AC_LUMA],
+            [int(v) for v in T.VALS_AC_CHROMA])
+
+
+_DCL, _DCC, _ACL, _ACC, _AC_VALS_L, _AC_VALS_C = _tables()
+
+
+def _make_kernel(w_rows: int, n_blocks: int):
+
+    def fetch_word(words, wc):
+        """words [W, 8, 128] int32 (bit view), wc int32 [8,128] ->
+        per-lane word as uint32.
+
+        Masked reduction (exactly one row matches, so sum == select);
+        Mosaic has no dynamic vector gather and no unsigned reductions,
+        so the sum runs on the int32 bit view."""
+        it = jax.lax.broadcasted_iota(jnp.int32, (w_rows, SB, 128), 0)
+        sel = jnp.where(it == wc[None], words, jnp.int32(0))
+        return jnp.sum(sel, axis=0).astype(jnp.uint32)
+
+    def ensure(words, hi, lo, nb, wc):
+        """Refill one 32-bit word into lanes holding < 27 bits."""
+        need = nb < 27
+        w = jnp.where(need, fetch_word(words, wc), jnp.uint32(0))
+        sh = jnp.clip(nb, 0, 31).astype(jnp.uint32)
+        hi = hi | (w >> sh)
+        lo = lo | jnp.where(nb > 0,
+                            w << ((32 - nb) & 31).astype(jnp.uint32),
+                            jnp.uint32(0))
+        nb = nb + jnp.where(need, 32, 0)
+        wc = wc + jnp.where(need, 1, 0)
+        return hi, lo, nb, wc
+
+    def consume(hi, lo, nb, c):
+        cu = c.astype(jnp.uint32)
+        spill = jnp.where(c > 0,
+                          lo >> ((32 - c) & 31).astype(jnp.uint32),
+                          jnp.uint32(0))
+        hi = (hi << cu) | spill
+        lo = lo << cu
+        return hi, lo, nb - c
+
+    def dec_len(p16, bound):
+        """bound: list of 16 traced scalars -> code length [8,128].
+
+        len = 1 + (number of length boundaries the peek passed); the
+        boundaries are monotone by canonicity, so the count is the
+        smallest l with peek < bound[l]."""
+        ln = jnp.zeros(p16.shape, jnp.int32)
+        for l in range(16):
+            ln = ln + (p16 >= bound[l]).astype(jnp.int32)
+        return jnp.clip(ln + 1, 1, 16)
+
+    def sel_by_len(ln, consts):
+        """consts: list of 17 traced scalars indexed by code length."""
+        out = jnp.zeros(ln.shape, jnp.int32)
+        for l in range(1, 17):
+            out = out | jnp.where(ln == l, consts[l], 0)
+        return out
+
+    def extend(mant, size):
+        neg = mant < (jnp.uint32(1) << jnp.clip(size - 1, 0, 31)
+                      .astype(jnp.uint32))
+        full = jnp.left_shift(jnp.int32(1), size) - 1
+        m = mant.astype(jnp.int32)
+        return jnp.where(size == 0, 0, jnp.where(neg, m - full, m))
+
+    def kernel(words_ref, out_ref, hi_ref, lo_ref, nb_ref, wc_ref):
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _init():
+            hi_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
+            lo_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
+            nb_ref[:, :] = jnp.zeros((SB, 128), jnp.int32)
+            wc_ref[:, :] = jnp.zeros((SB, 128), jnp.int32)
+
+        luma = (b % 6) < 4  # scalar: block type is synchronized
+        sw = lambda a, c: jnp.where(luma, a, c)  # scalar table select
+
+        dc_bound = [sw(int(_DCL[0][l]), int(_DCC[0][l])) for l in range(16)]
+        dc_min = [sw(int(_DCL[1][l]), int(_DCC[1][l])) for l in range(17)]
+        dc_ptr = [sw(int(_DCL[2][l]), int(_DCC[2][l])) for l in range(17)]
+        ac_bound = [sw(int(_ACL[0][l]), int(_ACC[0][l])) for l in range(16)]
+        ac_min = [sw(int(_ACL[1][l]), int(_ACC[1][l])) for l in range(17)]
+        ac_ptr = [sw(int(_ACL[2][l]), int(_ACC[2][l])) for l in range(17)]
+        ac_val = [sw(_AC_VALS_L[k], _AC_VALS_C[k]) for k in range(162)]
+
+        words = words_ref[0]  # int32 bit view; fetch_word converts
+        hi, lo = hi_ref[:, :], lo_ref[:, :]
+        nb, wc = nb_ref[:, :], wc_ref[:, :]
+
+        # ---------------- DC ----------------
+        hi, lo, nb, wc = ensure(words, hi, lo, nb, wc)
+        p16 = (hi >> 16).astype(jnp.int32)
+        ln = dec_len(p16, dc_bound)
+        code = p16 >> (16 - ln)
+        size = jnp.clip(code - sel_by_len(ln, dc_min) +
+                        sel_by_len(ln, dc_ptr), 0, 11)
+        hi, lo, nb = consume(hi, lo, nb, ln)
+        mant = jnp.where(size > 0,
+                         hi >> ((32 - size) & 31).astype(jnp.uint32),
+                         jnp.uint32(0))
+        diff = extend(mant, size)
+        hi, lo, nb = consume(hi, lo, nb, size)
+
+        out_ref[0, 0, 0] = diff.astype(jnp.int16)
+        for k in range(1, 64):
+            out_ref[0, 0, k] = jnp.zeros((SB, 128), jnp.int16)
+
+        # ---------------- AC loop ----------------
+        def cond(st):
+            it, posd, hi, lo, nb, wc = st
+            # done is encoded as pos > 63; all-done <=> min(pos) > 63
+            return (it < 64) & (jnp.min(posd) <= 63)
+
+        def body(st):
+            it, posd, hi, lo, nb, wc = st
+            pos = posd
+            done = posd > 63  # local bool mask (i1 carries don't lower)
+            hi, lo, nb, wc = ensure(words, hi, lo, nb, wc)
+            p16 = (hi >> 16).astype(jnp.int32)
+            ln = dec_len(p16, ac_bound)
+            idx = jnp.clip((p16 >> (16 - ln)) -
+                           sel_by_len(ln, ac_min) +
+                           sel_by_len(ln, ac_ptr), 0, 161)
+            sym = jnp.zeros(idx.shape, jnp.int32)
+            for k in range(162):
+                sym = sym | jnp.where(idx == k, ac_val[k], 0)
+            run = sym >> 4
+            size = sym & 0xF
+            eob = sym == 0
+            zrl = sym == 0xF0
+            wpos = pos + run
+            write = (~done) & (~eob) & (~zrl) & (wpos <= 63)
+            c1 = jnp.where(done, 0, ln)
+            hi, lo, nb = consume(hi, lo, nb, c1)
+            mant = jnp.where(size > 0,
+                             hi >> ((32 - size) & 31).astype(jnp.uint32),
+                             jnp.uint32(0))
+            level = extend(mant, size)
+            c2 = jnp.where(done, 0, size)
+            hi, lo, nb = consume(hi, lo, nb, c2)
+            lv16 = jnp.where(write, level, 0).astype(jnp.int16)
+            for k in range(1, 64):
+                cur = out_ref[0, 0, k]
+                out_ref[0, 0, k] = jnp.where(write & (wpos == k), lv16, cur)
+            pos = jnp.where(done, pos,
+                            jnp.where(eob, 64,
+                                      jnp.where(zrl, pos + 16, wpos + 1)))
+            return it + 1, pos, hi, lo, nb, wc
+
+        st0 = (jnp.int32(0), jnp.ones((SB, 128), jnp.int32),
+               hi, lo, nb, wc)
+        _, _, hi, lo, nb, wc = jax.lax.while_loop(cond, body, st0)
+
+        hi_ref[:, :] = hi
+        lo_ref[:, :] = lo
+        nb_ref[:, :] = nb
+        wc_ref[:, :] = wc
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+def _decode_layout(words, n_blocks: int, interpret: bool = False):
+    """words uint32 [CB, W, 8, 128] -> levels int16 [CB, n_blocks, 64, 8, 128]."""
+    cbn, w_rows = words.shape[0], words.shape[1]
+    kernel = _make_kernel(w_rows, n_blocks)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cbn, n_blocks, 64, SB, 128),
+                                       jnp.int16),
+        grid=(cbn, n_blocks),
+        in_specs=[pl.BlockSpec((1, w_rows, SB, 128),
+                               lambda i, j: (i, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, 64, SB, 128),
+                               lambda i, j: (i, j, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((SB, 128), jnp.uint32),
+                        pltpu.VMEM((SB, 128), jnp.uint32),
+                        pltpu.VMEM((SB, 128), jnp.int32),
+                        pltpu.VMEM((SB, 128), jnp.int32)],
+        interpret=interpret,
+    )(words)
+
+
+def _pad(n, m):
+    return (n + m - 1) // m * m
+
+
+@partial(jax.jit, static_argnames=("n_mcu", "interpret"))
+def decode_scans_pallas(scans: jnp.ndarray, n_mcu: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """scans uint8 [F, max_bytes] (unescaped, zero-padded) ->
+    levels int16 [F, n_mcu, 6, 64] (zigzag, slot0 = DC difference).
+
+    Drop-in for kernels.entropy_decode.decode_scans_device.
+    """
+    F, max_bytes = scans.shape
+    n_blocks = n_mcu * 6
+    fp = _pad(F, SB * 128)
+    bp = _pad(max_bytes, 4)
+    s = jnp.pad(scans, ((0, fp - F), (0, bp - max_bytes))).astype(jnp.uint32)
+    words = ((s[:, 0::4] << 24) | (s[:, 1::4] << 16) |
+             (s[:, 2::4] << 8) | s[:, 3::4]).astype(jnp.int32)  # [Fp, W]
+    w_rows = words.shape[1]
+    cbn = fp // (SB * 128)
+    wl = words.reshape(cbn, SB, 128, w_rows).transpose(0, 3, 1, 2)
+    out = _decode_layout(wl, n_blocks, interpret=interpret)
+    # [CB, nb, 64, 8, 128] -> [F, n_mcu, 6, 64]
+    lv = out.transpose(0, 3, 4, 1, 2).reshape(fp, n_blocks, 64)
+    return lv[:F].reshape(F, n_mcu, 6, 64)
