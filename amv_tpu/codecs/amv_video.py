@@ -90,6 +90,23 @@ def decode_transform(levels_zz: jnp.ndarray, mb_w: int, mb_h: int,
     return y, cb, cr
 
 
+def _unescape_pack(payloads: list[bytes]) -> np.ndarray:
+    """SOI/EOI strip + 0xFF00 unescape into zero-padded rows (the device
+    entropy decoders' input), via the C batch path when available."""
+    try:
+        from ..native import entropy_native as native
+        rows, _ = native.unescape_frames(payloads)
+        return rows
+    except Exception:
+        from ..verify.ref_jpeg import unescape_scan
+        scans = [unescape_scan(p[2:len(p) - 2]) for p in payloads]
+        max_b = (max(len(x) for x in scans) + 3) & ~3
+        arr = np.zeros((len(scans), max_b), np.uint8)
+        for i, x in enumerate(scans):
+            arr[i, :len(x)] = np.frombuffer(x, np.uint8)
+        return arr
+
+
 def decode_frames(payloads: list[bytes], width: int, height: int,
                   device_entropy: bool = False):
     """Decode a batch of AMV '00dc' payloads to YUV420 planes (numpy).
@@ -100,14 +117,15 @@ def decode_frames(payloads: list[bytes], width: int, height: int,
     """
     mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
     if device_entropy:
-        from ..verify.ref_jpeg import unescape_scan
-        from ..kernels.entropy_decode import decode_scans_device
-        scans = [unescape_scan(p[2:len(p) - 2]) for p in payloads]
-        max_b = (max(len(x) for x in scans) + 3) & ~3
-        arr = np.zeros((len(scans), max_b), np.uint8)
-        for i, x in enumerate(scans):
-            arr[i, :len(x)] = np.frombuffer(x, np.uint8)
-        levels = decode_scans_device(jnp.asarray(arr), mb_w * mb_h)
+        arr = _unescape_pack(payloads)
+        if jax.default_backend() == "cpu":
+            # tests / CPU mesh: XLA symbol-scan kernel (interpret-mode
+            # Pallas would be pathologically slow here)
+            from ..kernels.entropy_decode import decode_scans_device
+            levels = decode_scans_device(jnp.asarray(arr), mb_w * mb_h)
+        else:
+            from ..kernels.entropy_decode_pallas import decode_scans_pallas
+            levels = decode_scans_pallas(jnp.asarray(arr), mb_w * mb_h)
     else:
         levels = jnp.asarray(huffman_decode_frames(payloads, mb_w * mb_h))
     y, cb, cr = decode_transform(levels, mb_w, mb_h, width, height)

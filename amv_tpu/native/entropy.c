@@ -244,6 +244,27 @@ static int decode_scan_levels(const uint8_t *scan, size_t scan_len,
     return 0;
 }
 
+/* Batch unescape + row packing for the device-side entropy decoder:
+ * strips SOI/EOI framing, removes 0xFF00 stuffing, writes each scan
+ * into a zero-padded row of dst (row_stride bytes).  Returns the
+ * longest scan length, or -1 on overflow. */
+API int64_t amv_unescape_frames(const uint8_t *payload_blob,
+                                const int64_t *offsets, const int64_t *sizes,
+                                int n_frames, uint8_t *dst,
+                                int64_t row_stride, int64_t *out_lens) {
+    int64_t maxlen = 0;
+    for (int f = 0; f < n_frames; f++) {
+        const uint8_t *p = payload_blob + offsets[f];
+        int64_t sz = sizes[f];
+        if (sz < 4) { out_lens[f] = 0; continue; }
+        if (sz - 4 > row_stride) return -1;
+        size_t l = unescape(p + 2, (size_t)sz - 4, dst + (size_t)f * row_stride);
+        out_lens[f] = (int64_t)l;
+        if ((int64_t)l > maxlen) maxlen = (int64_t)l;
+    }
+    return maxlen;
+}
+
 API int amv_decode_frames(const uint8_t *payload_blob, const int64_t *offsets,
                           const int64_t *sizes, int n_frames, int n_mcu,
                           int16_t *out_levels) {

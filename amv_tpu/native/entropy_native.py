@@ -75,6 +75,39 @@ def decode_frames(payloads: list[bytes], n_mcu: int) -> np.ndarray:
 _lib.amv_decode_frames_soa.restype = ctypes.c_int
 _lib.amv_decode_frames_soa.argtypes = _lib.amv_decode_frames.argtypes
 
+_lib.amv_unescape_frames.restype = ctypes.c_int64
+_lib.amv_unescape_frames.argtypes = [
+    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int64)]
+
+
+def unescape_frames(payloads: list[bytes]):
+    """Batch SOI/EOI strip + 0xFF00 unescape into a zero-padded row
+    matrix (the device entropy decoder's input format).
+
+    Returns (rows uint8 [F, stride], lens int64 [F]); stride is the max
+    unescaped length rounded up to a multiple of 4 (word packing).
+    """
+    blob = b"".join(payloads)
+    offsets = np.zeros(len(payloads), dtype=np.int64)
+    sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    stride = (int(sizes.max()) + 3) & ~3
+    rows = np.zeros((len(payloads), stride), np.uint8)
+    lens = np.zeros(len(payloads), np.int64)
+    rc = _lib.amv_unescape_frames(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(payloads),
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        stride, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc < 0:
+        raise ValueError(f"native unescape failed (rc={rc})")
+    maxlen = (int(rc) + 3) & ~3
+    return rows[:, :maxlen], lens
+
 _lib.amv_decode_scans_custom.restype = ctypes.c_int
 _lib.amv_decode_scans_custom.argtypes = [
     ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),

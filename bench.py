@@ -215,6 +215,46 @@ def main():
         print(f"# 160x120 section skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # ---------------- full-device decode (entropy + transform on device) ----
+    # The Pallas block-synchronized Huffman kernel + the decode transform in
+    # one device program: only raw unescaped scan bytes cross the link.
+    dev_fulldec_fps = None
+    unescape_fps = None
+    try:
+        t0 = time.perf_counter()
+        rows, _ = native.unescape_frames(payloads)
+        unescape_fps = F / (time.perf_counter() - t0)
+        from amv_tpu.kernels.entropy_decode_pallas import decode_scans_pallas
+        KE = int(os.environ.get("AMV_BENCH_ENTROPY_K", "32"))
+        FE = F * KE
+        rows_t = np.tile(rows, (KE, 1))
+
+        @jax.jit
+        def fused_full_decode(rw, salt):
+            lv = decode_scans_pallas(rw, M)
+            yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
+            return (jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)) +
+                    jnp.sum(ccb[::53, ::7, ::11].astype(jnp.int32)) +
+                    jnp.sum(ccr[::53, ::7, ::11].astype(jnp.int32)) + salt)
+
+        exp_full = ((int(yh[np.arange(0, FE, 97) % F, ::13, ::17]
+                         .astype(np.int64).sum()) +
+                     int(cbh[np.arange(0, FE, 53) % F, ::7, ::11]
+                         .astype(np.int64).sum()) +
+                     int(crh[np.arange(0, FE, 53) % F, ::7, ::11]
+                         .astype(np.int64).sum()) + 2**31) % 2**32 - 2**31)
+        rows_dev = jax.device_put(jnp.asarray(rows_t))
+        jax.block_until_ready(rows_dev)
+        got_full = int(fused_full_decode(rows_dev, jnp.int32(0))[...])
+        assert got_full == exp_full, \
+            f"full-device decode checksum mismatch: {got_full} != {exp_full}"
+        t_fulldec = best_time(lambda: int(fused_full_decode(
+            rows_dev, jnp.int32(np.random.randint(1000)))[...]))
+        dev_fulldec_fps = FE / t_fulldec
+    except Exception as e:
+        print(f"# full-device decode section skipped: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
     # optional: the pure-XLA two-stage path (pre-Pallas headline)
     t_xla = None
     if os.environ.get("AMV_BENCH_XLA") == "1":
@@ -383,6 +423,10 @@ def main():
             **({"e2e_tunnel_encode_device_entropy_fps":
                 round(F / t_e2e_enc_dev, 1)} if t_e2e_enc_dev else {}),
             "host_entropy_decode_fps": round(F / t_entropy_dec, 1),
+            **({"device_full_decode_fps": round(dev_fulldec_fps, 1)}
+               if dev_fulldec_fps else {}),
+            **({"host_unescape_fps": round(unescape_fps, 1)}
+               if unescape_fps else {}),
             "adpcm_kernel": adpcm_kernel,
             **({"adpcm_tpu_msamples": round(n_samples / t_adpcm / 1e6, 1)}
                if t_adpcm else {}),
