@@ -694,18 +694,44 @@ def decode_frame_batch(st, parm):
     return st, pcm.astype(jnp.int16)
 
 
+DECODE_CHUNK = 8
+
+
+@partial(jax.jit, static_argnames=())
+def _decode_chain(st, parms_chunk):
+    """Unrolled chain of DECODE_CHUNK frame steps in one program.
+
+    Measured on v5e: wrapping the frame step in an outer `lax.scan`
+    costs a FIXED ~9-11 s per dispatch regardless of scan length (the
+    outer while-loop defeats XLA's scheduling of the ~600 small inner
+    loops), while the same body unrolled runs at ~1 ms/frame.  So the
+    frame loop is unrolled in chunks and pipelined from the host —
+    consecutive dispatches overlap the relay RTT."""
+    outs = []
+    for i in range(DECODE_CHUNK):
+        st, pcm = decode_frame_batch(st, parms_chunk[i])
+        outs.append(pcm)
+    return st, jnp.stack(outs)
+
+
 def decode_streams(frames: np.ndarray) -> np.ndarray:
     """frames uint8 [T, B, 10] -> PCM int16 [B, T*80].
 
     Decodes B independent G.729A streams in lockstep on the device.
     """
     T_, B = frames.shape[0], frames.shape[1]
-    parms = jnp.asarray(unpack_frames(frames))
-
-    def step(st, parm):
-        st, pcm = decode_frame_batch(st, parm)
-        return st, pcm
-
+    parms = unpack_frames(frames)
+    tp = (T_ + DECODE_CHUNK - 1) // DECODE_CHUNK * DECODE_CHUNK
+    if tp != T_:
+        # pad with erasure frames; their outputs (and the state they
+        # mutate) are discarded
+        pad = np.zeros((tp - T_, B, 16), np.int32)
+        pad[..., 15] = 1
+        parms = np.concatenate([parms, pad], axis=0)
     st = init_state(B)
-    _, pcm = jax.lax.scan(step, st, parms)
+    pcms = []
+    for t0 in range(0, tp, DECODE_CHUNK):
+        st, pcm = _decode_chain(st, jnp.asarray(parms[t0:t0 + DECODE_CHUNK]))
+        pcms.append(pcm)
+    pcm = jnp.concatenate(pcms, axis=0)[:T_]
     return np.asarray(pcm.transpose(1, 0, 2).reshape(B, T_ * 80))
