@@ -255,6 +255,57 @@ def main():
         print(f"# full-device decode section skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # ---------------- full-device transcode (entropy in the loop) -----------
+    # Huffman decode (Pallas) + dequant/IDCT/FDCT/requant (fused Pallas) in
+    # one device program: the sustained AMV->AMV rate with no host C stage.
+    dev_fulltrans_fps = None
+    try:
+        from amv_tpu.kernels.entropy_decode_pallas import decode_scans_pallas
+        rows_ft, _ = native.unescape_frames(payloads)
+        KT = int(os.environ.get("AMV_BENCH_FULLTRANS_K", "64"))
+        FT2 = F * KT
+        rows_ft_t = np.tile(rows_ft, (KT, 1))
+
+        @jax.jit
+        def full_transcode(rw, salt):
+            lv = decode_scans_pallas(rw, M)
+            cmx = lv.reshape(FT2 * M * 6, 64).T
+            dcd = cmx[0].astype(jnp.int32).reshape(FT2, M, 6)
+            dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(FT2, M * 4) * qdc_l,
+                               axis=1).reshape(FT2, M, 4) + 1024)
+            dc_cb = jnp.cumsum(dcd[:, :, 4] * qdc_c, axis=1) + 1024
+            dc_cr = jnp.cumsum(dcd[:, :, 5] * qdc_c, axis=1) + 1024
+            dcx = jnp.concatenate(
+                [dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
+            pix, lv2 = transcode_zz(cmx, dcx.reshape(FT2 * M * 6), qk)
+            fsel = jnp.arange(0, FT2, 97)
+            Fs = fsel.shape[0]
+            pf = pix.reshape(64, FT2, M * 6)[:, fsel]
+            p = pf.reshape(8, 8, Fs, mb_h, mb_w, 6)
+            yp = p[:, :, :, :, :, :4].reshape(8, 8, Fs, mb_h, mb_w, 2, 2)
+            ycoded = yp.transpose(2, 3, 5, 0, 4, 6, 1).reshape(
+                Fs, 16 * mb_h, 16 * mb_w)
+            yv = ycoded[:, h - 1::-1, :w]
+            return (jnp.sum(lv2[:, ::37].astype(jnp.int32)) +
+                    jnp.sum(yv[:, ::13, ::17].astype(jnp.int32)) + salt)
+
+        sel_ft = np.arange(0, FT2 * M * 6, 37) % (F * M * 6)
+        exp_ft = (((int(block_sums[sel_ft].sum()) +
+                    int(yh[np.arange(0, FT2, 97) % F, ::13, ::17]
+                        .astype(np.int64).sum())) & 0xFFFFFFFF)
+                  ^ 0x80000000) - 0x80000000
+        rw_dev = jax.device_put(jnp.asarray(rows_ft_t))
+        jax.block_until_ready(rw_dev)
+        got_ft = int(full_transcode(rw_dev, jnp.int32(0))[...])
+        assert got_ft == exp_ft, \
+            f"full-device transcode checksum mismatch: {got_ft} != {exp_ft}"
+        t_ft = best_time(lambda: int(full_transcode(
+            rw_dev, jnp.int32(np.random.randint(1000)))[...]))
+        dev_fulltrans_fps = FT2 / t_ft
+    except Exception as e:
+        print(f"# full-device transcode section skipped: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
     # optional: the pure-XLA two-stage path (pre-Pallas headline)
     t_xla = None
     if os.environ.get("AMV_BENCH_XLA") == "1":
@@ -425,6 +476,8 @@ def main():
             "host_entropy_decode_fps": round(F / t_entropy_dec, 1),
             **({"device_full_decode_fps": round(dev_fulldec_fps, 1)}
                if dev_fulldec_fps else {}),
+            **({"device_full_transcode_fps": round(dev_fulltrans_fps, 1)}
+               if dev_fulltrans_fps else {}),
             **({"host_unescape_fps": round(unescape_fps, 1)}
                if unescape_fps else {}),
             "adpcm_kernel": adpcm_kernel,

@@ -22,10 +22,12 @@ def test_pallas_entropy_decode_corpus(sample_amv_bytes):
     # so decode only the first 8 MCUs of real corpus scans — a valid
     # prefix decode — and compare against the host decode's prefix.
     s = riff.demux(sample_amv_bytes)
-    payloads = s.video_chunks[:6]
-    want = np.asarray(huffman_decode_frames(payloads, 48))[:, :8]
+    payloads = s.video_chunks[:3]
+    want = np.asarray(huffman_decode_frames(payloads, 48))[:, :4]
     arr = _pack([unescape_scan(p[2:-2]) for p in payloads])
-    got = np.asarray(decode_scans_pallas(jnp.asarray(arr), 8,
+    # 4 MCUs consume only the first few hundred scan bytes; truncating
+    # the padded rows shrinks the interpret-mode fetch 6x
+    got = np.asarray(decode_scans_pallas(jnp.asarray(arr[:, :512]), 4,
                                          interpret=True))
     np.testing.assert_array_equal(got, want)
 
