@@ -82,23 +82,55 @@ def _tables():
 _DCL, _DCC, _ACL, _ACC, _AC_VALS_L, _AC_VALS_C = _tables()
 
 
+WIN = 256  # windowed-fetch rows (1 KB of stream per round)
+
+
 def _make_kernel(w_rows: int, n_blocks: int):
 
-    def fetch_word(words, wc):
-        """words [W, 8, 128] int32 (bit view), wc int32 [8,128] ->
-        per-lane word as uint32.
+    def fetch_word(words_ref, wc, need):
+        """Per-lane word at row cursor wc (uint32), for lanes in `need`.
 
         Masked reduction (exactly one row matches, so sum == select);
         Mosaic has no dynamic vector gather and no unsigned reductions,
-        so the sum runs on the int32 bit view."""
-        it = jax.lax.broadcasted_iota(jnp.int32, (w_rows, SB, 128), 0)
-        sel = jnp.where(it == wc[None], words, jnp.int32(0))
-        return jnp.sum(sel, axis=0).astype(jnp.uint32)
+        so the sum runs on the int32 bit view.  Instead of reducing over
+        all w_rows every time, reduce over a WIN-row window anchored at
+        the minimum unserved cursor; a while-loop re-anchors for
+        straggler lanes (cursor spread across a slab exceeds WIN only
+        when frame byte-rates diverge a lot)."""
+        if w_rows <= WIN:
+            words = words_ref[0]
+            it = jax.lax.broadcasted_iota(jnp.int32, (w_rows, SB, 128), 0)
+            sel = jnp.where((it == wc[None]) & need[None], words,
+                            jnp.int32(0))
+            return jnp.sum(sel, axis=0).astype(jnp.uint32)
 
-    def ensure(words, hi, lo, nb, wc):
+        def cond(st):
+            _, unserved = st
+            return jnp.sum(unserved) > 0
+
+        def body(st):
+            w, unserved = st
+            wcn = jnp.where(unserved != 0, wc, jnp.int32(0x7FFFFFFF))
+            lo0 = jnp.clip(jnp.min(wcn), 0, w_rows - WIN)
+            win = words_ref[0, pl.ds(lo0, WIN)]            # [WIN, SB, 128]
+            it = lo0 + jax.lax.broadcasted_iota(jnp.int32, (WIN, SB, 128), 0)
+            hit = (it == wc[None]) & (unserved != 0)[None]
+            w = w | jnp.sum(jnp.where(hit, win, jnp.int32(0)), axis=0)
+            inwin = (wc >= lo0) & (wc < lo0 + WIN)
+            unserved = jnp.where(inwin, 0, unserved)
+            return w, unserved
+
+        w0 = jnp.zeros((SB, 128), jnp.int32)
+        # lanes past the stream end read zeros (matches the full-reduce
+        # semantics where no row matches)
+        u0 = (need & (wc < w_rows)).astype(jnp.int32)
+        w, _ = jax.lax.while_loop(cond, body, (w0, u0))
+        return w.astype(jnp.uint32)
+
+    def ensure(words_ref, hi, lo, nb, wc):
         """Refill one 32-bit word into lanes holding < 27 bits."""
         need = nb < 27
-        w = jnp.where(need, fetch_word(words, wc), jnp.uint32(0))
+        w = jnp.where(need, fetch_word(words_ref, wc, need), jnp.uint32(0))
         sh = jnp.clip(nb, 0, 31).astype(jnp.uint32)
         hi = hi | (w >> sh)
         lo = lo | jnp.where(nb > 0,
@@ -163,12 +195,11 @@ def _make_kernel(w_rows: int, n_blocks: int):
         ac_ptr = [sw(int(_ACL[2][l]), int(_ACC[2][l])) for l in range(17)]
         ac_val = [sw(_AC_VALS_L[k], _AC_VALS_C[k]) for k in range(162)]
 
-        words = words_ref[0]  # int32 bit view; fetch_word converts
         hi, lo = hi_ref[:, :], lo_ref[:, :]
         nb, wc = nb_ref[:, :], wc_ref[:, :]
 
         # ---------------- DC ----------------
-        hi, lo, nb, wc = ensure(words, hi, lo, nb, wc)
+        hi, lo, nb, wc = ensure(words_ref, hi, lo, nb, wc)
         p16 = (hi >> 16).astype(jnp.int32)
         ln = dec_len(p16, dc_bound)
         code = p16 >> (16 - ln)
@@ -195,7 +226,7 @@ def _make_kernel(w_rows: int, n_blocks: int):
             it, posd, hi, lo, nb, wc = st
             pos = posd
             done = posd > 63  # local bool mask (i1 carries don't lower)
-            hi, lo, nb, wc = ensure(words, hi, lo, nb, wc)
+            hi, lo, nb, wc = ensure(words_ref, hi, lo, nb, wc)
             p16 = (hi >> 16).astype(jnp.int32)
             ln = dec_len(p16, ac_bound)
             idx = jnp.clip((p16 >> (16 - ln)) -

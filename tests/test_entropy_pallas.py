@@ -32,6 +32,19 @@ def test_pallas_entropy_decode_corpus(sample_amv_bytes):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_entropy_decode_windowed_fetch(sample_amv_bytes):
+    # full-width rows (W=724 > WIN) force the min-cursor windowed fetch
+    # path; 2-MCU prefix keeps interpret-mode cost down
+    s = riff.demux(sample_amv_bytes)
+    payloads = s.video_chunks[:2]
+    want = np.asarray(huffman_decode_frames(payloads, 48))[:, :2]
+    arr = _pack([unescape_scan(p[2:-2]) for p in payloads])
+    assert arr.shape[1] // 4 > 256
+    got = np.asarray(decode_scans_pallas(jnp.asarray(arr), 2,
+                                         interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_entropy_decode_synthetic():
     """Round trip through the host entropy encoder: stresses long runs,
     ZRL, EOB-less blocks (coef at 63), and large magnitudes."""
