@@ -68,6 +68,23 @@ def sharded_adpcm_decode(mesh: Mesh):
                    out_shardings=chunk_s)
 
 
+def sharded_entropy_decode(mesh: Mesh, n_mcu: int):
+    """Jitted device Huffman decode with frames sharded on dp.
+
+    Scans are independent bitstreams, so the entropy stage shards with
+    zero collectives (each chip's symbol scan walks its own frames).
+    The XLA symbol-scan kernel is used here because it runs on any
+    backend; on real TPU the Pallas block-synchronized kernel
+    (kernels/entropy_decode_pallas.py) is the production path and
+    shards identically (frame chunks are grid-parallel).
+    """
+    from ..kernels.entropy_decode import decode_scans_device
+    in_s = NamedSharding(mesh, P("dp"))
+    out_s = NamedSharding(mesh, P("dp"))
+    fn = partial(decode_scans_device, n_mcu=n_mcu)
+    return jax.jit(fn, in_shardings=(in_s,), out_shardings=out_s)
+
+
 def sharded_transcode_step(mesh: Mesh, qscale: int = 2):
     """Jitted fused transcode (pipeline.transcode.transcode_levels_fused)
     with frames sharded on dp.
