@@ -204,6 +204,13 @@ def encode_frames(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     levels_dev = encode_transform(
         jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), mb_w, mb_h, qscale)
     if device_entropy:
+        if jax.default_backend() != "cpu":
+            # Pallas bit-packer (~100x the XLA scatter path) + C framing
+            from ..kernels.entropy_encode_pallas import encode_scans_pallas
+            from ..native import entropy_native as native
+            w_out = max(1024, mb_w * mb_h * 6 * 35)
+            words, bits = encode_scans_pallas(levels_dev, w_out=w_out)
+            return native.escape_frames(np.asarray(words), np.asarray(bits))
         from ..kernels.entropy_encode import encode_frames_device
         # worst case ~2.2 bytes/coeff incl. escapes; frames are tiny
         max_bytes = max(4096, mb_w * mb_h * 6 * 140)

@@ -1,0 +1,324 @@
+"""Pallas device-side JPEG entropy *encoder* (Huffman pack on TPU).
+
+Mirror of entropy_decode_pallas.py for the emit direction: 1024 frames
+encode in lockstep on one (8, 128) slab, the grid walks (frame-chunk,
+block), and per-lane bit-writer state persists in VMEM scratch.  The
+block loop is the synchronization point, so Huffman table choice is
+scalar; each block runs straight-line DC then a bounded while-loop that
+emits one token per iteration (ZRL and EOB are iterations, mirroring
+the decoder).  The per-lane *output* cursor — the dual of the decoder's
+byte-fetch problem — is handled the same way: emitted 32-bit words
+blend into a WIN-row window of the output block anchored at the minimum
+emitting cursor (read-modify-write; each word is written exactly once).
+
+The output block itself (index map constant in the block dimension) is
+the accumulation buffer: zeroed at block 0, flushed to HBM when the
+frame-chunk advances.  The kernel produces big-endian words of the
+*unescaped* scan plus per-lane bit counts; the C pass
+(native.escape_frames) applies 1-bit stuffing, 0xFF00 escaping and
+SOI/EOI framing at memcpy speed.
+
+Bit-exact with bitstream/entropy.huffman_encode_frame (mjpegenc.c
+encode_block/escape_FF semantics): last_dc = 128 per component per
+frame, negative mantissas emit val-1 masked, run>15 splits into ZRLs,
+EOB unless the last nonzero sits at 63.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..bitstream import jpeg_tables as T
+
+SB = 8
+WIN_O = 128  # output window rows per emit sweep
+
+
+def _enc_tables():
+    tabs = {}
+    for name, bits, vals in (("dc_l", T.BITS_DC_LUMA, T.VALS_DC_LUMA),
+                             ("dc_c", T.BITS_DC_CHROMA, T.VALS_DC_CHROMA),
+                             ("ac_l", T.BITS_AC_LUMA, T.VALS_AC_LUMA),
+                             ("ac_c", T.BITS_AC_CHROMA, T.VALS_AC_CHROMA)):
+        sizes, codes = T.build_huffman_codes(bits, vals)
+        tabs[name] = (np.asarray(sizes, np.int64), np.asarray(codes, np.int64))
+    return tabs
+
+
+_ET = _enc_tables()
+
+
+def _packed(table, sym):
+    """(code << 5) | size packed into one int (size <= 16, code < 2^16)."""
+    s, c = table
+    return int((c[sym] << 5) | s[sym])
+
+
+def _make_kernel(n_blocks: int, w_out: int):
+    win = min(WIN_O, w_out)
+    assert w_out % win == 0, (w_out, win)
+
+    def bitlen(v):
+        """bit_length of v >= 0 (0 -> 0)."""
+        r = jnp.zeros(v.shape, jnp.int32)
+        x = v
+        for s in (8, 4, 2, 1):
+            m = x >= (1 << s)
+            r = r + jnp.where(m, s, 0)
+            x = jnp.where(m, x >> s, x)
+        return r + (v > 0).astype(jnp.int32)
+
+    def emit_if_full(out_ref, hi, lo, nb, wcur, tbits):
+        """Emit one 32-bit word from lanes holding >= 32 bits."""
+        emitting = nb >= 32
+
+        def cond(st):
+            _, unserved = st
+            return jnp.sum(unserved) > 0
+
+        def body(st):
+            _, unserved = st
+            wn = jnp.where(unserved != 0, wcur, jnp.int32(0x7FFFFFFF))
+            lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
+            wview = out_ref[0, pl.ds(lo0, win)]
+            it = lo0 + jax.lax.broadcasted_iota(jnp.int32,
+                                                (win, SB, 128), 0)
+            hit = (it == wcur[None]) & (unserved != 0)[None]
+            out_ref[0, pl.ds(lo0, win)] = jnp.where(
+                hit, hi.astype(jnp.int32)[None], wview)
+            inwin = (wcur >= lo0) & (wcur < lo0 + win)
+            return jnp.int32(0), jnp.where(inwin, 0, unserved)
+
+        u0 = (emitting & (wcur < w_out)).astype(jnp.int32)
+        jax.lax.while_loop(cond, body, (jnp.int32(0), u0))
+        hi2 = jnp.where(emitting, lo, hi)
+        lo2 = jnp.where(emitting, jnp.uint32(0), lo)
+        nb2 = jnp.where(emitting, nb - 32, nb)
+        wc2 = wcur + jnp.where(emitting, 1, 0)
+        return hi2, lo2, nb2, wc2, tbits
+
+    def append(hi, lo, nb, tbits, code, ln, active):
+        """Append ln (<= 27) bits of code MSB-first at position nb < 32."""
+        cu = code.astype(jnp.uint32)
+        lnu = ln
+        sh_hi = (32 - nb - lnu)
+        hi = hi | jnp.where(active & (sh_hi >= 0),
+                            cu << (sh_hi & 31).astype(jnp.uint32),
+                            jnp.uint32(0))
+        hi = hi | jnp.where(active & (sh_hi < 0),
+                            cu >> ((-sh_hi) & 31).astype(jnp.uint32),
+                            jnp.uint32(0))
+        lo = lo | jnp.where(active & (sh_hi < 0),
+                            cu << ((32 + sh_hi) & 31).astype(jnp.uint32),
+                            jnp.uint32(0))
+        nb = nb + jnp.where(active, lnu, 0)
+        tbits = tbits + jnp.where(active, lnu, 0)
+        return hi, lo, nb, tbits
+
+    def kernel(lv_ref, out_ref, bits_ref, ldc0_ref, ldc1_ref, ldc2_ref,
+               hi_ref, lo_ref, nb_ref, wc_ref, tb_ref):
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _init():
+            for r in range(0, w_out, win):
+                out_ref[0, pl.ds(r, win)] = jnp.zeros(
+                    (win, SB, 128), jnp.int32)
+            z = jnp.zeros((SB, 128), jnp.int32)
+            ldc0_ref[:, :] = z + 128
+            ldc1_ref[:, :] = z + 128
+            ldc2_ref[:, :] = z + 128
+            hi_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
+            lo_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
+            nb_ref[:, :] = z
+            wc_ref[:, :] = z
+            tb_ref[:, :] = z
+
+        luma = (b % 6) < 4
+        is_cr = (b % 6) == 5
+        sw = lambda a, c: jnp.where(luma, a, c)
+
+        dc_pack = [sw(_packed(_ET["dc_l"], n), _packed(_ET["dc_c"], n))
+                   for n in range(12)]
+        # AC table indexed by run*10 + nbits-1 (nbits 1..10)
+        ac_pack = [sw(_packed(_ET["ac_l"], (r << 4) | s),
+                      _packed(_ET["ac_c"], (r << 4) | s))
+                   for r in range(16) for s in range(1, 11)]
+        eob_pack = sw(_packed(_ET["ac_l"], 0), _packed(_ET["ac_c"], 0))
+        zrl_pack = sw(_packed(_ET["ac_l"], 0xF0), _packed(_ET["ac_c"], 0xF0))
+
+        lv = [lv_ref[0, 0, k].astype(jnp.int32) for k in range(64)]
+        # (lv_ref block is [1, 1, 64, SB, 128])
+        hi, lo = hi_ref[:, :], lo_ref[:, :]
+        nb, wcur, tbits = nb_ref[:, :], wc_ref[:, :], tb_ref[:, :]
+
+        # ---------------- DC ----------------
+        ldc = jnp.where(luma, ldc0_ref[:, :],
+                        jnp.where(is_cr, ldc2_ref[:, :], ldc1_ref[:, :]))
+        diff = lv[0] - ldc
+        ldc0_ref[:, :] = jnp.where(luma, lv[0], ldc0_ref[:, :])
+        ldc1_ref[:, :] = jnp.where(luma | is_cr, ldc1_ref[:, :], lv[0])
+        ldc2_ref[:, :] = jnp.where(is_cr, lv[0], ldc2_ref[:, :])
+        neg = diff < 0
+        nbits = bitlen(jnp.abs(diff))
+        mant = jnp.where(neg, diff - 1, diff) & \
+            ((jnp.int32(1) << nbits) - 1)
+        pk = jnp.zeros((SB, 128), jnp.int32)
+        for n in range(12):
+            pk = pk | jnp.where(nbits == n, dc_pack[n], 0)
+        code = ((pk >> 5) << nbits) | mant
+        ln = (pk & 31) + nbits
+        act = jnp.ones((SB, 128), jnp.bool_)
+        hi, lo, nb, tbits = append(hi, lo, nb, tbits, code, ln, act)
+        hi, lo, nb, wcur, tbits = emit_if_full(out_ref, hi, lo, nb, wcur,
+                                               tbits)
+
+        # ---------------- AC token loop ----------------
+        nzm = [None] + [(lv[k] != 0).astype(jnp.int32) for k in range(1, 64)]
+        pref = [None] * 64
+        acc = jnp.zeros((SB, 128), jnp.int32)
+        for k in range(1, 64):
+            acc = acc + nzm[k]
+            pref[k] = acc
+        nnz = acc
+
+        def cond(st):
+            it, i, prev, z, eobd, hi, lo, nb, wcur, tbits = st
+            done = (i >= nnz) & ((eobd != 0) | (prev == 63))
+            return (it < 70) & (jnp.sum(1 - done.astype(jnp.int32)) > 0)
+
+        def body(st):
+            it, i, prev, z, eobd, hi, lo, nb, wcur, tbits = st
+            in_ac = i < nnz
+            # extract position/value of the (i+1)-th nonzero
+            pos = jnp.zeros((SB, 128), jnp.int32)
+            val = jnp.zeros((SB, 128), jnp.int32)
+            for k in range(1, 64):
+                m = (pref[k] == i + 1) & (nzm[k] != 0)
+                pos = pos | jnp.where(m, k, 0)
+                val = val | jnp.where(m, lv[k], 0)
+            run = pos - prev - 1 - 16 * z
+            is_zrl = in_ac & (run >= 16)
+            is_sym = in_ac & (run < 16)
+            is_eob = (~in_ac) & (eobd == 0) & (prev != 63)
+
+            negv = val < 0
+            nbv = bitlen(jnp.abs(val))
+            mantv = jnp.where(negv, val - 1, val) & \
+                ((jnp.int32(1) << nbv) - 1)
+            idx = jnp.clip(run, 0, 15) * 10 + jnp.clip(nbv - 1, 0, 9)
+            pk = jnp.zeros((SB, 128), jnp.int32)
+            for k in range(160):
+                pk = pk | jnp.where(idx == k, ac_pack[k], 0)
+            code_s = ((pk >> 5) << nbv) | mantv
+            ln_s = (pk & 31) + nbv
+
+            code = jnp.where(is_sym, code_s,
+                             jnp.where(is_zrl, zrl_pack >> 5, eob_pack >> 5))
+            ln = jnp.where(is_sym, ln_s,
+                           jnp.where(is_zrl, zrl_pack & 31, eob_pack & 31))
+            act = is_sym | is_zrl | is_eob
+            hi, lo, nb, tbits = append(hi, lo, nb, tbits, code, ln, act)
+            hi, lo, nb, wcur, tbits = emit_if_full(out_ref, hi, lo, nb,
+                                                   wcur, tbits)
+
+            i = i + is_sym.astype(jnp.int32)
+            prev = jnp.where(is_sym, pos, prev)
+            z = jnp.where(is_sym, 0, z + is_zrl.astype(jnp.int32))
+            eobd = eobd | is_eob.astype(jnp.int32)
+            return it + 1, i, prev, z, eobd, hi, lo, nb, wcur, tbits
+
+        zi = jnp.zeros((SB, 128), jnp.int32)
+        st = (jnp.int32(0), zi, zi, zi, zi, hi, lo, nb, wcur, tbits)
+        _, _, _, _, _, hi, lo, nb, wcur, tbits = jax.lax.while_loop(
+            cond, body, st)
+
+        @pl.when(b == n_blocks - 1)
+        def _flush():
+            # final partial word (bits beyond nb are zero; the C pass
+            # 1-pads the last byte)
+            def cond_f(st):
+                _, unserved = st
+                return jnp.sum(unserved) > 0
+
+            def body_f(st):
+                _, unserved = st
+                wn = jnp.where(unserved != 0, wcur, jnp.int32(0x7FFFFFFF))
+                lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
+                wview = out_ref[0, pl.ds(lo0, win)]
+                it2 = lo0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (win, SB, 128), 0)
+                hit = (it2 == wcur[None]) & (unserved != 0)[None]
+                out_ref[0, pl.ds(lo0, win)] = jnp.where(
+                    hit, hi.astype(jnp.int32)[None], wview)
+                inwin = (wcur >= lo0) & (wcur < lo0 + win)
+                return jnp.int32(0), jnp.where(inwin, 0, unserved)
+
+            u0 = ((nb > 0) & (wcur < w_out)).astype(jnp.int32)
+            jax.lax.while_loop(cond_f, body_f, (jnp.int32(0), u0))
+            bits_ref[0, 0] = tbits
+
+        hi_ref[:, :] = hi
+        lo_ref[:, :] = lo
+        nb_ref[:, :] = nb
+        wc_ref[:, :] = wcur
+        tb_ref[:, :] = tbits
+
+    return kernel
+
+
+def _pad(n, m):
+    return (n + m - 1) // m * m
+
+
+@partial(jax.jit, static_argnames=("w_out", "interpret"))
+def _encode_layout(lv, w_out: int, interpret: bool = False):
+    """lv int16 [CB, n_blocks, 64, SB, 128] zigzag (slot0 = absolute
+    quantized DC) -> (words int32 [CB, w_out, SB, 128] big-endian
+    unescaped scan, bits int32 [CB, 1, SB, 128])."""
+    cbn, nblk = lv.shape[0], lv.shape[1]
+    kernel = _make_kernel(nblk, w_out)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((cbn, w_out, SB, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((cbn, 1, SB, 128), jnp.int32)),
+        grid=(cbn, nblk),
+        in_specs=[pl.BlockSpec((1, 1, 64, SB, 128),
+                               lambda i, j: (i, j, 0, 0, 0))],
+        out_specs=(pl.BlockSpec((1, w_out, SB, 128),
+                                lambda i, j: (i, 0, 0, 0)),
+                   pl.BlockSpec((1, 1, SB, 128), lambda i, j: (i, 0, 0, 0))),
+        scratch_shapes=[pltpu.VMEM((SB, 128), jnp.int32)] * 3 +
+                       [pltpu.VMEM((SB, 128), jnp.uint32)] * 2 +
+                       [pltpu.VMEM((SB, 128), jnp.int32)] * 3,
+        interpret=interpret,
+    )(lv)
+
+
+@partial(jax.jit, static_argnames=("w_out", "interpret"))
+def encode_scans_pallas(levels_zz: jnp.ndarray, w_out: int = 1024,
+                        interpret: bool = False):
+    """levels int16 [F, n_mcu, 6, 64] zigzag (slot0 = absolute quantized
+    DC) -> (words int32 [F, w_out] big-endian unescaped scan words,
+    bits int32 [F]).
+
+    The C pass native.escape_frames turns (words, bits) into framed
+    '00dc' payloads (1-pad, 0xFF00 escape, SOI/EOI).
+    """
+    F, n_mcu = levels_zz.shape[0], levels_zz.shape[1]
+    nblk = n_mcu * 6
+    fp = _pad(F, SB * 128)
+    cbn = fp // (SB * 128)
+    lv = jnp.pad(levels_zz.reshape(F, nblk, 64),
+                 ((0, fp - F), (0, 0), (0, 0)))
+    lvl = lv.reshape(cbn, SB, 128, nblk, 64).transpose(0, 3, 4, 1, 2)
+    words, bits = _encode_layout(lvl, w_out, interpret=interpret)
+    wout = words.transpose(0, 2, 3, 1).reshape(fp, w_out)[:F]
+    bout = bits[:, 0].reshape(fp)[:F]
+    return wout, bout

@@ -265,6 +265,39 @@ API int64_t amv_unescape_frames(const uint8_t *payload_blob,
     return maxlen;
 }
 
+/* Inverse of amv_unescape_frames for the device entropy ENCODER: takes
+ * per-frame big-endian scan words + bit counts (bits beyond the count
+ * are zero), applies the 1-bit stuffing pad (mjpegenc
+ * ff_mjpeg_encode_stuffing), 0xFF00 escaping (escape_FF) and SOI/EOI
+ * framing.  Returns 0 or -(frame+1) on row overflow. */
+API int64_t amv_escape_frames(const int32_t *words, int64_t w_out,
+                              const int64_t *bits, int n_frames,
+                              uint8_t *dst, int64_t dst_stride,
+                              int64_t *out_lens) {
+    for (int f = 0; f < n_frames; f++) {
+        const int32_t *w = words + (size_t)f * w_out;
+        int64_t nbits = bits[f];
+        int64_t nbytes = (nbits + 7) >> 3;
+        if (nbytes > w_out * 4) return -(f + 1);
+        uint8_t *d = dst + (size_t)f * dst_stride;
+        int64_t j = 0;
+        d[j++] = 0xFF; d[j++] = 0xD8;                    /* SOI */
+        for (int64_t i = 0; i < nbytes; i++) {
+            uint8_t b = (uint8_t)(((uint32_t)w[i >> 2]) >> (24 - 8 * (i & 3)));
+            if (i == nbytes - 1) {
+                int pad = (int)((8 - (nbits & 7)) & 7);
+                b |= (uint8_t)((1u << pad) - 1);         /* 1-stuffing */
+            }
+            if (j + 4 > dst_stride) return -(f + 1);
+            d[j++] = b;
+            if (b == 0xFF) d[j++] = 0x00;                /* escape_FF */
+        }
+        d[j++] = 0xFF; d[j++] = 0xD9;                    /* EOI */
+        out_lens[f] = j;
+    }
+    return 0;
+}
+
 API int amv_decode_frames(const uint8_t *payload_blob, const int64_t *offsets,
                           const int64_t *sizes, int n_frames, int n_mcu,
                           int16_t *out_levels) {

@@ -83,6 +83,34 @@ _lib.amv_unescape_frames.argtypes = [
     ctypes.POINTER(ctypes.c_int64)]
 
 
+_lib.amv_escape_frames.restype = ctypes.c_int64
+_lib.amv_escape_frames.argtypes = [
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int64)]
+
+
+def escape_frames(words: np.ndarray, bits: np.ndarray) -> list[bytes]:
+    """(words int32 [F, w_out] big-endian scan words, bits int64/int32
+    [F]) -> framed '00dc' payload bytes per frame (1-pad + 0xFF00 escape
+    + SOI/EOI)."""
+    words = np.ascontiguousarray(words, np.int32)
+    bits64 = np.ascontiguousarray(bits, np.int64)
+    F, w_out = words.shape
+    stride = w_out * 4 * 2 + 8  # worst case: every byte escapes
+    dst = np.zeros((F, stride), np.uint8)
+    lens = np.zeros(F, np.int64)
+    rc = _lib.amv_escape_frames(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), w_out,
+        bits64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), F,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), stride,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise ValueError(f"native escape failed (rc={rc})")
+    return [dst[f, :lens[f]].tobytes() for f in range(F)]
+
+
 def unescape_frames(payloads: list[bytes]):
     """Batch SOI/EOI strip + 0xFF00 unescape into a zero-padded row
     matrix (the device entropy decoder's input format).
