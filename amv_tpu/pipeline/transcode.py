@@ -91,11 +91,20 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     levels = huffman_decode_frames(s.video_chunks, mb_w * mb_h)
     if w % 16 == 0 and h % 16 == 0:
         lv2, _ = transcode_levels_fused(jnp.asarray(levels), qscale)
-        payload, lens = encode_frames_device(lv2, max_bytes=4096)
     else:
-        payload, lens = transcode_transform(
-            jnp.asarray(levels), mb_w, mb_h, w, h, qscale)
-    payload, lens = np.asarray(payload), np.asarray(lens)
-    vchunks = [payload[f, :lens[f]].tobytes() for f in range(len(lens))]
+        from ..codecs.amv_video import decode_transform as _dt, \
+            encode_transform as _et
+        y, cb, cr = _dt(jnp.asarray(levels), mb_w, mb_h, w, h)
+        lv2 = _et(y, cb, cr, mb_w, mb_h, qscale)
+    if jax.default_backend() != "cpu":
+        # Pallas bit-packer + C framing (~100x the XLA scatter packer)
+        from ..kernels.entropy_encode_pallas import encode_scans_pallas
+        from ..native import entropy_native as native
+        words, bits = encode_scans_pallas(lv2, w_out=1024)
+        vchunks = native.escape_frames(np.asarray(words), np.asarray(bits))
+    else:
+        payload, lens = encode_frames_device(lv2, max_bytes=4096)
+        payload, lens = np.asarray(payload), np.asarray(lens)
+        vchunks = [payload[f, :lens[f]].tobytes() for f in range(len(lens))]
     return riff.mux(vchunks, s.audio_chunks, width=w, height=h,
                     fps=s.info.fps_num, sample_rate=s.info.sample_rate)

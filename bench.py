@@ -306,6 +306,66 @@ def main():
         print(f"# full-device transcode section skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # ---------------- COMPLETE device transcode (both entropy stages) -------
+    # Pallas Huffman decode + fused transcode + Pallas Huffman encode in one
+    # program: scan bytes in, re-encoded scan words out.  Gated end-to-end at
+    # K=1: the emitted words run through the C framing pass and must equal
+    # the host encoder's payload bytes for every corpus frame.
+    dev_complete_fps = None
+    try:
+        from amv_tpu.kernels.entropy_decode_pallas import decode_scans_pallas
+        from amv_tpu.kernels.entropy_encode_pallas import encode_scans_pallas
+        unzz = np.zeros(64, np.int64)
+        unzz[:] = [int(v) for v in T.ZIGZAG]
+
+        def make_complete(fe):
+            n_total = fe * M * 6
+            n_pad = (n_total + 4095) // 4096 * 4096  # transcode tile multiple
+
+            @jax.jit
+            def complete(rw, salt):
+                lv = decode_scans_pallas(rw, M)
+                cmx = lv.reshape(n_total, 64).T
+                dcd = cmx[0].astype(jnp.int32).reshape(fe, M, 6)
+                dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(fe, M * 4) * qdc_l,
+                                   axis=1).reshape(fe, M, 4) + 1024)
+                dc_cb = jnp.cumsum(dcd[:, :, 4] * qdc_c, axis=1) + 1024
+                dc_cr = jnp.cumsum(dcd[:, :, 5] * qdc_c, axis=1) + 1024
+                dcx = jnp.concatenate(
+                    [dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
+                cmp_ = jnp.pad(cmx, ((0, 0), (0, n_pad - n_total)))
+                dcp = jnp.pad(dcx.reshape(n_total), (0, n_pad - n_total))
+                _, lv2 = transcode_zz(cmp_, dcp, qk)
+                lvz = lv2[jnp.asarray(unzz), :n_total]  # raster -> zigzag
+                lvz = lvz.T.reshape(fe, M, 6, 64)
+                words, bits = encode_scans_pallas(lvz, w_out=1024)
+                return words, bits, (jnp.sum(words[::31, ::17]) +
+                                     jnp.sum(bits) + salt)
+            return complete
+
+        # end-to-end byte gate at K=1
+        rows_c1, _ = native.unescape_frames(payloads)
+        wds1, bts1, _ = make_complete(F)(
+            jax.device_put(jnp.asarray(rows_c1)), jnp.int32(0))
+        got_payloads = native.escape_frames(np.asarray(wds1),
+                                            np.asarray(bts1))
+        want_payloads = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
+        assert got_payloads == want_payloads, \
+            "complete device transcode != host re-encode payloads"
+
+        KC = int(os.environ.get("AMV_BENCH_COMPLETE_K", "64"))
+        FC = F * KC
+        rows_ct = jax.device_put(jnp.asarray(np.tile(rows_c1, (KC, 1))))
+        jax.block_until_ready(rows_ct)
+        complete_k = make_complete(FC)
+        _ = int(complete_k(rows_ct, jnp.int32(0))[2][...])
+        t_c = best_time(lambda: int(complete_k(
+            rows_ct, jnp.int32(np.random.randint(1000)))[2][...]))
+        dev_complete_fps = FC / t_c
+    except Exception as e:
+        print(f"# complete device transcode section skipped: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
     # optional: the pure-XLA two-stage path (pre-Pallas headline)
     t_xla = None
     if os.environ.get("AMV_BENCH_XLA") == "1":
@@ -480,6 +540,8 @@ def main():
                if dev_fulldec_fps else {}),
             **({"device_full_transcode_fps": round(dev_fulltrans_fps, 1)}
                if dev_fulltrans_fps else {}),
+            **({"device_complete_transcode_fps": round(dev_complete_fps, 1)}
+               if dev_complete_fps else {}),
             **({"host_unescape_fps": round(unescape_fps, 1)}
                if unescape_fps else {}),
             "adpcm_kernel": adpcm_kernel,
