@@ -460,6 +460,22 @@ def pack_parameters(parm) -> bytes:
     return bytes(out)
 
 
+_PACK_FIELDS = [(0, 1), (1, 7), (2, 5), (3, 5), (5, 8), (4, 1), (7, 13),
+                (9, 4), (11, 3), (13, 4), (6, 5), (8, 13), (10, 4),
+                (12, 3), (14, 4)]  # (parm column, bit width) in wire order
+
+
+def pack_parameters_batch(pn: np.ndarray) -> np.ndarray:
+    """Vectorized pack_parameters: pn int [..., >=15] (column order of
+    g729a_encoder_tpu.encode_frame_batch) -> uint8 [..., 10]."""
+    bits = []
+    for col, n in _PACK_FIELDS:
+        v = pn[..., col].astype(np.int64)
+        for k in range(n):
+            bits.append(((v >> (n - 1 - k)) & 1).astype(np.uint8))
+    return np.packbits(np.stack(bits, axis=-1), axis=-1)
+
+
 def encode_stream(pcm: np.ndarray) -> list[bytes]:
     """int16 PCM (8 kHz mono) -> list of packed 10-byte G.729A frames."""
     pcm = np.asarray(pcm, dtype=np.float64)

@@ -549,25 +549,11 @@ def encode_streams_tpu(pcm: np.ndarray) -> np.ndarray:
     st = G.init_state(B)
     hist = jnp.zeros((B, 160))
     res_hist = jnp.zeros((B, PITCH_MAX))
-    out = np.zeros((n_frames, B, 10), np.uint8)
     parms = []
     for f in range(n_frames):
         xs = jnp.asarray(pcm[:, f * FRAME:(f + 1) * FRAME])
         st, hist, res_hist, parm = encode_frame_batch(st, hist, res_hist, xs)
         parms.append(parm)   # stays on device: dispatches pipeline async
-    for f in range(n_frames):
-        pn = np.asarray(parms[f])
-        for b in range(B):
-            out[f, b] = np.frombuffer(pack_parameters({
-                "ma_predictor": int(pn[b, 0]),
-                "quantizer_1st": int(pn[b, 1]),
-                "quantizer_2nd_lo": int(pn[b, 2]),
-                "quantizer_2nd_hi": int(pn[b, 3]),
-                "parity": int(pn[b, 4]),
-                "ac_index": [int(pn[b, 5]), int(pn[b, 6])],
-                "fc_indexes": [int(pn[b, 7]), int(pn[b, 8])],
-                "pulses_signs": [int(pn[b, 9]), int(pn[b, 10])],
-                "ga_cb_index": [int(pn[b, 11]), int(pn[b, 12])],
-                "gb_cb_index": [int(pn[b, 13]), int(pn[b, 14])],
-            }), np.uint8)
-    return out
+    from .g729a_encoder import pack_parameters_batch
+    pn = np.asarray(jnp.stack(parms))         # [n_frames, B, 16]
+    return pack_parameters_batch(pn)
