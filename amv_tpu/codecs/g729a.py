@@ -720,6 +720,8 @@ def decode_streams(frames: np.ndarray) -> np.ndarray:
     Decodes B independent G.729A streams in lockstep on the device.
     """
     T_, B = frames.shape[0], frames.shape[1]
+    if T_ == 0:
+        return np.zeros((B, 0), np.int16)
     parms = unpack_frames(frames)
     tp = (T_ + DECODE_CHUNK - 1) // DECODE_CHUNK * DECODE_CHUNK
     if tp != T_:

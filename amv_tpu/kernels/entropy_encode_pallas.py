@@ -309,8 +309,10 @@ def encode_scans_pallas(levels_zz: jnp.ndarray, w_out: int = 1024,
     bits int32 [F]).
 
     The C pass native.escape_frames turns (words, bits) into framed
-    '00dc' payloads (1-pad, 0xFF00 escape, SOI/EOI).
+    '00dc' payloads (1-pad, 0xFF00 escape, SOI/EOI).  w_out is rounded
+    up to a WIN_O multiple (the emit-window divisibility requirement).
     """
+    w_out = max(WIN_O, _pad(w_out, WIN_O))
     F, n_mcu = levels_zz.shape[0], levels_zz.shape[1]
     nblk = n_mcu * 6
     fp = _pad(F, SB * 128)

@@ -26,16 +26,6 @@ from ..containers import riff
 from ..kernels.entropy_encode import encode_frames_device
 
 
-@partial(jax.jit, static_argnames=("mb_w", "mb_h", "width", "height",
-                                   "qscale", "max_bytes"))
-def transcode_transform(levels_zz, mb_w, mb_h, width, height,
-                        qscale=2, max_bytes=4096):
-    """decode levels -> pixels -> re-encode -> device entropy pack."""
-    y, cb, cr = decode_transform(levels_zz, mb_w, mb_h, width, height)
-    lv2 = encode_transform(y, cb, cr, mb_w, mb_h, qscale)
-    return encode_frames_device(lv2, max_bytes=max_bytes)
-
-
 @partial(jax.jit, static_argnames=("qscale",))
 def transcode_levels_fused(levels_zz, qscale=2):
     """Fused Pallas transcode: zigzag levels -> re-quantized zigzag levels
@@ -92,10 +82,8 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     if w % 16 == 0 and h % 16 == 0:
         lv2, _ = transcode_levels_fused(jnp.asarray(levels), qscale)
     else:
-        from ..codecs.amv_video import decode_transform as _dt, \
-            encode_transform as _et
-        y, cb, cr = _dt(jnp.asarray(levels), mb_w, mb_h, w, h)
-        lv2 = _et(y, cb, cr, mb_w, mb_h, qscale)
+        y, cb, cr = decode_transform(jnp.asarray(levels), mb_w, mb_h, w, h)
+        lv2 = encode_transform(y, cb, cr, mb_w, mb_h, qscale)
     if jax.default_backend() != "cpu":
         # Pallas bit-packer + C framing (~100x the XLA scatter packer)
         from ..kernels.entropy_encode_pallas import encode_scans_pallas

@@ -266,10 +266,13 @@ def main():
         FT2 = F * KT
         rows_ft_t = np.tile(rows_ft, (KT, 1))
 
+        n_ft = FT2 * M * 6
+        n_ftp = (n_ft + 4095) // 4096 * 4096  # transcode tile multiple
+
         @jax.jit
         def full_transcode(rw, salt):
             lv = decode_scans_pallas(rw, M)
-            cmx = lv.reshape(FT2 * M * 6, 64).T
+            cmx = lv.reshape(n_ft, 64).T
             dcd = cmx[0].astype(jnp.int32).reshape(FT2, M, 6)
             dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(FT2, M * 4) * qdc_l,
                                axis=1).reshape(FT2, M, 4) + 1024)
@@ -277,7 +280,11 @@ def main():
             dc_cr = jnp.cumsum(dcd[:, :, 5] * qdc_c, axis=1) + 1024
             dcx = jnp.concatenate(
                 [dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
-            pix, lv2 = transcode_zz(cmx, dcx.reshape(FT2 * M * 6), qk)
+            pix, lv2 = transcode_zz(
+                jnp.pad(cmx, ((0, 0), (0, n_ftp - n_ft))),
+                jnp.pad(dcx.reshape(n_ft), (0, n_ftp - n_ft)), qk)
+            pix = pix[:, :n_ft]
+            lv2 = lv2[:, :n_ft]
             fsel = jnp.arange(0, FT2, 97)
             Fs = fsel.shape[0]
             pf = pix.reshape(64, FT2, M * 6)[:, fsel]
@@ -465,6 +472,8 @@ def main():
             f"ADPCM pallas checksum {cs0} != C reference {exp_adpcm_cs}"
         t_adpcm = best_time(lambda: int(fused_adpcm_pallas(
             pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
+    except AssertionError:
+        raise  # a bit-exactness violation must fail the bench, not fall back
     except Exception:
         adpcm_kernel = "xla-scan"
         try:
