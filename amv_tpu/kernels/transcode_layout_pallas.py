@@ -1,0 +1,100 @@
+"""Layout-native fused transcode: consumes/produces the entropy kernels'
+slab layout directly.
+
+transcode_zz (kernels/transcode_pallas.py) is coefficient-major
+([64, N] planes), which forces two 64xN transposes when chained between
+the Pallas entropy decoder and encoder (both work in
+[CB, n_blocks, 64, 8, 128] frame-slab layout).  This kernel walks grid
+(frame-chunk, MCU, slot) over that layout directly: the quant-table
+choice is a scalar select on the slot index and both zigzag
+permutations are compile-time row orders — no lane-dependent selects at
+all.  Same arithmetic as transcode_zz (dequant + IDCT + FDCT + requant
+in one VMEM pass, mjpegdec/simple_idct/jfdctint/dct_quantize
+semantics); bit-exact with transcode_levels_fused (tests).
+
+Input slot 0 must be the *resolved* dequantized DC (+1024 bias), which
+the caller computes in-layout with per-component cumulative sums of the
+DC differences the entropy decoder emits; output slot 0 is the absolute
+re-quantized DC the entropy encoder expects.  Prototype status: the
+round-2 path to a zero-relayout complete transcode; not yet wired into
+the bench chain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..bitstream import jpeg_tables as T
+from .transcode_pallas import _idct_cols, _wrap16
+from .fdct_pallas import _fdct_1d, PASS1_BITS
+
+SB = 8
+
+_QM_L = np.zeros(64, np.int32)
+_QM_C = np.zeros(64, np.int32)
+_QM_L[T.ZIGZAG] = T.SP5X_QUANT_LUMA_ZZ
+_QM_C[T.ZIGZAG] = T.SP5X_QUANT_CHROMA_ZZ
+_ZZ = [int(v) for v in T.ZIGZAG]
+
+
+def _make_kernel(qmat_key):
+    q = list(qmat_key)
+
+    def kernel(lv_ref, dc_ref, out_ref):
+        luma = pl.program_id(2) < 4  # scalar slot type
+        deq = [None] * 64
+        deq[0] = _wrap16(dc_ref[0, 0, 0].astype(jnp.int32))
+        # zigzag input row i holds the raster-ZIGZAG[i] coefficient
+        for i in range(1, 64):
+            qv = jnp.where(luma, int(_QM_L[_ZZ[i]]), int(_QM_C[_ZZ[i]]))
+            deq[_ZZ[i]] = _wrap16(lv_ref[0, 0, 0, i].astype(jnp.int32) * qv)
+        pix = _idct_cols(deq)
+        cols = [[pix[r * 8 + i2] for i2 in range(8)] for r in range(8)]
+        mid = [_fdct_1d(cols[r], 13 - PASS1_BITS, True) for r in range(8)]
+        out = [None] * 64
+        for j in range(8):
+            cc = [mid[i2][j] for i2 in range(8)]
+            o = _fdct_1d(cc, 13 + PASS1_BITS, False)
+            for i2 in range(8):
+                pos = i2 * 8 + j
+                coef = o[i2]
+                if pos == 0:
+                    out[0] = ((coef + 32) >> 6).astype(jnp.int16)
+                else:
+                    level = coef * q[pos]
+                    qv2 = jnp.where(level >= 0, level >> 22,
+                                    -((-level) >> 22))
+                    out[pos] = jnp.clip(qv2, -1023, 1023).astype(jnp.int16)
+        for i in range(64):
+            out_ref[0, 0, 0, i] = out[_ZZ[i]]      # raster -> zigzag rows
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("qmat_key", "interpret"))
+def transcode_mcu_layout(lv, dc, qmat_key, interpret: bool = False):
+    """lv int16 [CB, M, 6, 64, 8, 128] zigzag levels (slot0 ignored),
+    dc int32 [CB, M, 6, 8, 128] resolved dequantized DC ->
+    lv2 int16 [CB, M, 6, 64, 8, 128] zigzag re-quantized levels
+    (slot0 = absolute DC)."""
+    cb, m = lv.shape[0], lv.shape[1]
+    kernel = _make_kernel(qmat_key)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, SB, 128), jnp.int16),
+        grid=(cb, m, 6),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 64, SB, 128),
+                         lambda i, j, k: (i, j, k, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, SB, 128),
+                         lambda i, j, k: (i, j, k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, 64, SB, 128),
+                               lambda i, j, k: (i, j, k, 0, 0, 0)),
+        interpret=interpret,
+    )(lv, dc)

@@ -1,0 +1,48 @@
+"""Layout-native transcode kernel vs transcode_levels_fused (bit-exact)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from amv_tpu.bitstream import jpeg_tables as T
+from amv_tpu.codecs.amv_video import _encoder_quant_qmat_np
+from amv_tpu.kernels.transcode_layout_pallas import transcode_mcu_layout
+from amv_tpu.pipeline.transcode import transcode_levels_fused
+
+
+def _to_layout(levels):
+    """[F, M, 6, 64] -> ([CB, M, 6, 64, 8, 128], dc [CB, M, 6, 8, 128])."""
+    F, M = levels.shape[0], levels.shape[1]
+    fp = (F + 1023) // 1024 * 1024
+    lv = np.zeros((fp, M, 6, 64), np.int16)
+    lv[:F] = levels
+    cb = fp // 1024
+    lvl = lv.reshape(cb, 8, 128, M, 6, 64).transpose(0, 3, 4, 5, 1, 2)
+    # resolved DC in-layout: per-component cumsum of DC diffs
+    qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
+    qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
+    d = lvl[:, :, :, 0].astype(np.int64)            # [cb, M, 6, 8, 128]
+    dy = np.cumsum(d[:, :, :4].reshape(cb, M * 4, 8, 128) * qdc_l,
+                   axis=1).reshape(cb, M, 4, 8, 128) + 1024
+    dcb = np.cumsum(d[:, :, 4] * qdc_c, axis=1) + 1024
+    dcr = np.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
+    dc = np.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
+    return lvl, dc.astype(np.int32), fp
+
+
+def test_layout_transcode_matches_fused():
+    rng = np.random.default_rng(9)
+    F, M = 5, 4  # tiny M: interpret-mode cost is per grid step
+    levels = np.zeros((F, M, 6, 64), np.int16)
+    levels[..., 0] = rng.integers(-40, 40, (F, M, 6))
+    mask = rng.random((F, M, 6, 63)) < 0.2
+    levels[..., 1:] = np.where(
+        mask, rng.integers(-80, 80, (F, M, 6, 63)), 0)
+
+    want = np.asarray(transcode_levels_fused(jnp.asarray(levels), 2)[0])
+
+    lvl, dc, fp = _to_layout(levels)
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    out = np.asarray(transcode_mcu_layout(
+        jnp.asarray(lvl), jnp.asarray(dc), qk, interpret=True))
+    got = out.transpose(0, 4, 5, 1, 2, 3).reshape(fp, M, 6, 64)[:F]
+    np.testing.assert_array_equal(got, want)
