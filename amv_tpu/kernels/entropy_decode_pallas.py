@@ -296,6 +296,21 @@ def _pad(n, m):
     return (n + m - 1) // m * m
 
 
+def scan_words_layout(scans: jnp.ndarray) -> jnp.ndarray:
+    """scans uint8 [F, max_bytes] (unescaped, zero-padded) ->
+    big-endian word slabs int32 [CB, W, 8, 128] for _decode_layout
+    (frame f lives at chunk f//1024, sublane (f%1024)//128, lane f%128)."""
+    F, max_bytes = scans.shape
+    fp = _pad(F, SB * 128)
+    bp = _pad(max_bytes, 4)
+    s = jnp.pad(scans, ((0, fp - F), (0, bp - max_bytes))).astype(jnp.uint32)
+    words = ((s[:, 0::4] << 24) | (s[:, 1::4] << 16) |
+             (s[:, 2::4] << 8) | s[:, 3::4]).astype(jnp.int32)  # [Fp, W]
+    w_rows = words.shape[1]
+    cbn = fp // (SB * 128)
+    return words.reshape(cbn, SB, 128, w_rows).transpose(0, 3, 1, 2)
+
+
 @partial(jax.jit, static_argnames=("n_mcu", "interpret"))
 def decode_scans_pallas(scans: jnp.ndarray, n_mcu: int,
                         interpret: bool = False) -> jnp.ndarray:
@@ -304,16 +319,10 @@ def decode_scans_pallas(scans: jnp.ndarray, n_mcu: int,
 
     Drop-in for kernels.entropy_decode.decode_scans_device.
     """
-    F, max_bytes = scans.shape
+    F = scans.shape[0]
     n_blocks = n_mcu * 6
     fp = _pad(F, SB * 128)
-    bp = _pad(max_bytes, 4)
-    s = jnp.pad(scans, ((0, fp - F), (0, bp - max_bytes))).astype(jnp.uint32)
-    words = ((s[:, 0::4] << 24) | (s[:, 1::4] << 16) |
-             (s[:, 2::4] << 8) | s[:, 3::4]).astype(jnp.int32)  # [Fp, W]
-    w_rows = words.shape[1]
-    cbn = fp // (SB * 128)
-    wl = words.reshape(cbn, SB, 128, w_rows).transpose(0, 3, 1, 2)
+    wl = scan_words_layout(scans)
     out = _decode_layout(wl, n_blocks, interpret=interpret)
     # [CB, nb, 64, 8, 128] -> [F, n_mcu, 6, 64]
     lv = out.transpose(0, 3, 4, 1, 2).reshape(fp, n_blocks, 64)

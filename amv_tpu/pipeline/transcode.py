@@ -69,6 +69,56 @@ def transcode_levels_fused(levels_zz, qscale=2):
     return lv2_zz, pix[:, :n].T.reshape(F, M, 6, 8, 8)
 
 
+@partial(jax.jit, static_argnames=("n_mcu", "qmat_key", "w_out", "interpret"))
+def transcode_complete_layout(scans, n_mcu: int, qmat_key,
+                              w_out: int = 1024, interpret: bool = False):
+    """Zero-relayout COMPLETE device transcode: unescaped scan bytes in,
+    re-encoded scan words out, with all three Pallas stages chained in
+    the entropy kernels' native [CB, blocks, 64, 8, 128] slab layout.
+
+    The previous chain (bench.py make_complete) moved levels through
+    frame-major [F, M, 6, 64] between stages, paying two 64xN
+    transposes (~594 MB at K=64).  Here the decoder's output slab feeds
+    transcode_mcu_layout directly (a pure reshape), the DC prediction
+    cumsum runs in-layout (lanes trailing, so it vectorizes), and the
+    encoder consumes the transcode output slab as-is.  Only the word
+    prep on the way in and the per-frame word untranspose on the way
+    out touch layout, both ~100x smaller than the level planes.
+
+    scans uint8 [F, max_bytes] (unescaped, zero-padded) ->
+    (words int32 [F, w_out] big-endian unescaped scan words,
+     bits int32 [F]) for native.escape_frames.
+    """
+    from ..bitstream import jpeg_tables as T
+    from ..kernels.entropy_decode_pallas import (scan_words_layout,
+                                                 _decode_layout)
+    from ..kernels.entropy_encode_pallas import _encode_layout, WIN_O
+    from ..kernels.transcode_layout_pallas import transcode_mcu_layout
+
+    w_out = max(WIN_O, (w_out + WIN_O - 1) // WIN_O * WIN_O)
+    F = scans.shape[0]
+    fp = (F + 1023) // 1024 * 1024
+    cb, nb = fp // 1024, n_mcu * 6
+    wl = scan_words_layout(scans)
+    lv = _decode_layout(wl, nb, interpret=interpret)
+    lvl = lv.reshape(cb, n_mcu, 6, 64, 8, 128)
+    # resolved dequantized DC (+1024 bias), cumsum per component in-layout
+    qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
+    qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
+    d = lvl[:, :, :, 0].astype(jnp.int32)           # [cb, M, 6, 8, 128]
+    dy = (jnp.cumsum(d[:, :, :4].reshape(cb, n_mcu * 4, 8, 128) * qdc_l,
+                     axis=1).reshape(cb, n_mcu, 4, 8, 128) + 1024)
+    dcb = jnp.cumsum(d[:, :, 4] * qdc_c, axis=1) + 1024
+    dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
+    dc = jnp.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
+    lv2 = transcode_mcu_layout(lvl, dc, qmat_key, interpret=interpret)
+    words, bits = _encode_layout(lv2.reshape(cb, nb, 64, 8, 128), w_out,
+                                 interpret=interpret)
+    wout = words.transpose(0, 2, 3, 1).reshape(fp, w_out)[:F]
+    bout = bits[:, 0].reshape(fp)[:F]
+    return wout, bout
+
+
 def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     """Re-encode a complete .amv file (video re-quantized at qscale;
     audio chunks are already bit-exact ADPCM and pass through).

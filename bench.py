@@ -314,38 +314,20 @@ def main():
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
     # ---------------- COMPLETE device transcode (both entropy stages) -------
-    # Pallas Huffman decode + fused transcode + Pallas Huffman encode in one
-    # program: scan bytes in, re-encoded scan words out.  Gated end-to-end at
-    # K=1: the emitted words run through the C framing pass and must equal
-    # the host encoder's payload bytes for every corpus frame.
+    # Pallas Huffman decode + layout-native fused transcode + Pallas Huffman
+    # encode in one program, all three stages chained in the entropy kernels'
+    # slab layout (zero level-plane relayout; pipeline/transcode.py).  Gated
+    # end-to-end at K=1: the emitted words run through the C framing pass and
+    # must equal the host encoder's payload bytes for every corpus frame.
     dev_complete_fps = None
     try:
-        from amv_tpu.kernels.entropy_decode_pallas import decode_scans_pallas
-        from amv_tpu.kernels.entropy_encode_pallas import encode_scans_pallas
-        unzz = np.zeros(64, np.int64)
-        unzz[:] = [int(v) for v in T.ZIGZAG]
+        from amv_tpu.pipeline.transcode import transcode_complete_layout
 
         def make_complete(fe):
-            n_total = fe * M * 6
-            n_pad = (n_total + 4095) // 4096 * 4096  # transcode tile multiple
-
             @jax.jit
             def complete(rw, salt):
-                lv = decode_scans_pallas(rw, M)
-                cmx = lv.reshape(n_total, 64).T
-                dcd = cmx[0].astype(jnp.int32).reshape(fe, M, 6)
-                dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(fe, M * 4) * qdc_l,
-                                   axis=1).reshape(fe, M, 4) + 1024)
-                dc_cb = jnp.cumsum(dcd[:, :, 4] * qdc_c, axis=1) + 1024
-                dc_cr = jnp.cumsum(dcd[:, :, 5] * qdc_c, axis=1) + 1024
-                dcx = jnp.concatenate(
-                    [dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
-                cmp_ = jnp.pad(cmx, ((0, 0), (0, n_pad - n_total)))
-                dcp = jnp.pad(dcx.reshape(n_total), (0, n_pad - n_total))
-                _, lv2 = transcode_zz(cmp_, dcp, qk)
-                lvz = lv2[jnp.asarray(unzz), :n_total]  # raster -> zigzag
-                lvz = lvz.T.reshape(fe, M, 6, 64)
-                words, bits = encode_scans_pallas(lvz, w_out=1024)
+                words, bits = transcode_complete_layout(rw, M, qk,
+                                                        w_out=1024)
                 return words, bits, (jnp.sum(words[::31, ::17]) +
                                      jnp.sum(bits) + salt)
             return complete
@@ -371,6 +353,52 @@ def main():
         dev_complete_fps = FC / t_c
     except Exception as e:
         print(f"# complete device transcode section skipped: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    # ---------------- COMPLETE transcode at the 160x120 north-star shape ----
+    # BASELINE.json frames "160x120 decode+encode, bit-exact" as the metric;
+    # this section runs the same complete chain on synthetic 160x120 streams
+    # (M=80) produced by the host encoder.  Gated: the chain's re-encoded
+    # payloads for the first 1024-frame chunk must equal the host re-encode.
+    dev_complete160_fps = None
+    try:
+        M160, F160 = 80, 1024                 # one frame-chunk, cb=1
+        rng160 = np.random.default_rng(7)
+        lv160c = np.zeros((64, M160, 6, 64), np.int16)  # 64 unique frames
+        lv160c[..., 0] = rng160.integers(64, 192, (64, M160, 6))
+        m160 = rng160.random((64, M160, 6, 63)) < 0.12
+        lv160c[..., 1:] = np.where(
+            m160, rng160.integers(-60, 60, (64, M160, 6, 63)), 0)
+        pay160 = [huffman_encode_frame(lv160c[f]) for f in range(64)]
+        rows160, _ = native.unescape_frames(pay160 * (F160 // 64))
+        from amv_tpu.pipeline.transcode import transcode_complete_layout
+
+        @jax.jit
+        def complete160(rw, salt):
+            words, bits = transcode_complete_layout(rw, M160, qk, w_out=1024)
+            return words, bits, (jnp.sum(words[::31, ::17]) +
+                                 jnp.sum(bits) + salt)
+
+        rows160_d = jax.device_put(jnp.asarray(rows160))
+        jax.block_until_ready(rows160_d)
+        w160, b160, _ = complete160(rows160_d, jnp.int32(0))
+        got160 = native.escape_frames(np.asarray(w160[:64]),
+                                      np.asarray(b160[:64]))
+        lvdec160 = np.asarray(huffman_decode_frames(pay160, M160))
+        from amv_tpu.pipeline.transcode import transcode_levels_fused
+        lv2_160 = np.asarray(transcode_levels_fused(
+            jnp.asarray(lvdec160), 2)[0])
+        want160 = [huffman_encode_frame(lv2_160[f]) for f in range(64)]
+        assert got160 == want160, \
+            "160x120 complete transcode != host re-encode payloads"
+        K160 = int(os.environ.get("AMV_BENCH_COMPLETE160_K", "8"))
+        rows160_k = jax.device_put(jnp.asarray(np.tile(rows160, (K160, 1))))
+        jax.block_until_ready(rows160_k)
+        t_c160 = best_time(lambda: int(complete160(
+            rows160_k, jnp.int32(np.random.randint(1000)))[2][...]))
+        dev_complete160_fps = F160 * K160 / t_c160
+    except Exception as e:
+        print(f"# complete 160x120 transcode section skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
     # optional: the pure-XLA two-stage path (pre-Pallas headline)
@@ -551,6 +579,8 @@ def main():
                if dev_fulltrans_fps else {}),
             **({"device_complete_transcode_fps": round(dev_complete_fps, 1)}
                if dev_complete_fps else {}),
+            **({"device_complete_160x120_fps": round(dev_complete160_fps, 1)}
+               if dev_complete160_fps else {}),
             **({"host_unescape_fps": round(unescape_fps, 1)}
                if unescape_fps else {}),
             "adpcm_kernel": adpcm_kernel,

@@ -29,6 +29,41 @@ def _to_layout(levels):
     return lvl, dc.astype(np.int32), fp
 
 
+def test_complete_layout_chain_byte_exact():
+    """Scan bytes -> zero-relayout complete chain -> framed payloads must
+    equal the host path (decode -> fused transcode -> host Huffman)."""
+    from amv_tpu.bitstream.entropy import (huffman_decode_frames,
+                                           huffman_encode_frame)
+    from amv_tpu.native import entropy_native as native
+    from amv_tpu.pipeline.transcode import transcode_complete_layout
+    from amv_tpu.verify.ref_jpeg import unescape_scan
+
+    rng = np.random.default_rng(3)
+    F, M = 2, 2
+    lv = np.zeros((F, M, 6, 64), np.int16)
+    lv[..., 0] = rng.integers(0, 400, (F, M, 6))      # absolute DC
+    mask = rng.random((F, M, 6, 63)) < 0.15
+    lv[..., 1:] = np.where(mask, rng.integers(-200, 200, (F, M, 6, 63)), 0)
+    lv[0, 0, 0, 63] = 5                               # EOB-less block
+    payloads = [huffman_encode_frame(lv[f]) for f in range(F)]
+
+    scans = [unescape_scan(p[2:-2]) for p in payloads]
+    maxb = (max(len(x) for x in scans) + 3) & ~3
+    arr = np.zeros((F, maxb), np.uint8)
+    for i, x in enumerate(scans):
+        arr[i, :len(x)] = np.frombuffer(x, np.uint8)
+
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    words, bits = transcode_complete_layout(
+        jnp.asarray(arr), M, qk, w_out=256, interpret=True)
+    got = native.escape_frames(np.asarray(words), np.asarray(bits))
+
+    levels = np.asarray(huffman_decode_frames(payloads, M))
+    lv2 = np.asarray(transcode_levels_fused(jnp.asarray(levels), 2)[0])
+    want = [huffman_encode_frame(lv2[f]) for f in range(F)]
+    assert got == want
+
+
 def test_layout_transcode_matches_fused():
     rng = np.random.default_rng(9)
     F, M = 5, 4  # tiny M: interpret-mode cost is per grid step
