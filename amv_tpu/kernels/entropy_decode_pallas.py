@@ -82,10 +82,31 @@ def _tables():
 _DCL, _DCC, _ACL, _ACC, _AC_VALS_L, _AC_VALS_C = _tables()
 
 
-WIN = 256  # windowed-fetch rows (1 KB of stream per round)
+def _bitslice_masks(vals, n_words):
+    """Pack table `vals` (8-bit entries) into per-output-bit 32-entry
+    bitmask words: masks[b][w] bit j = bit b of vals[w*32+j].  A lookup
+    is then 8x (word select + variable shift) instead of a len(vals)-way
+    masked-select tree."""
+    m = [[0] * n_words for _ in range(8)]
+    for k, v in enumerate(vals):
+        for b in range(8):
+            if (v >> b) & 1:
+                m[b][k >> 5] |= 1 << (k & 31)
+    # int32-representable (Mosaic scalars are signed)
+    return [[w - (1 << 32) if w >= (1 << 31) else w for w in row]
+            for row in m]
 
 
-def _make_kernel(w_rows: int, n_blocks: int):
+_ACW = 6  # ceil(162/32)
+_ACM_L = _bitslice_masks(_AC_VALS_L, _ACW)
+_ACM_C = _bitslice_masks(_AC_VALS_C, _ACW)
+
+
+WIN = 256  # default windowed-fetch rows (1 KB of stream per round)
+
+
+def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN):
+    WIN = win
 
     def fetch_word(words_ref, wc, need):
         """Per-lane word at row cursor wc (uint32), for lanes in `need`.
@@ -187,13 +208,16 @@ def _make_kernel(w_rows: int, n_blocks: int):
         luma = (b % 6) < 4  # scalar: block type is synchronized
         sw = lambda a, c: jnp.where(luma, a, c)  # scalar table select
 
+        # delta[l] = valptr[l] - mincode[l]: one select gives the
+        # canonical index as peek + delta instead of two table passes
         dc_bound = [sw(int(_DCL[0][l]), int(_DCC[0][l])) for l in range(16)]
-        dc_min = [sw(int(_DCL[1][l]), int(_DCC[1][l])) for l in range(17)]
-        dc_ptr = [sw(int(_DCL[2][l]), int(_DCC[2][l])) for l in range(17)]
+        dc_delta = [sw(int(_DCL[2][l] - _DCL[1][l]),
+                       int(_DCC[2][l] - _DCC[1][l])) for l in range(17)]
         ac_bound = [sw(int(_ACL[0][l]), int(_ACC[0][l])) for l in range(16)]
-        ac_min = [sw(int(_ACL[1][l]), int(_ACC[1][l])) for l in range(17)]
-        ac_ptr = [sw(int(_ACL[2][l]), int(_ACC[2][l])) for l in range(17)]
-        ac_val = [sw(_AC_VALS_L[k], _AC_VALS_C[k]) for k in range(162)]
+        ac_delta = [sw(int(_ACL[2][l] - _ACL[1][l]),
+                       int(_ACC[2][l] - _ACC[1][l])) for l in range(17)]
+        ac_mask = [[sw(_ACM_L[b][w], _ACM_C[b][w]) for w in range(_ACW)]
+                   for b in range(8)]
 
         hi, lo = hi_ref[:, :], lo_ref[:, :]
         nb, wc = nb_ref[:, :], wc_ref[:, :]
@@ -203,8 +227,7 @@ def _make_kernel(w_rows: int, n_blocks: int):
         p16 = (hi >> 16).astype(jnp.int32)
         ln = dec_len(p16, dc_bound)
         code = p16 >> (16 - ln)
-        size = jnp.clip(code - sel_by_len(ln, dc_min) +
-                        sel_by_len(ln, dc_ptr), 0, 11)
+        size = jnp.clip(code + sel_by_len(ln, dc_delta), 0, 11)
         hi, lo, nb = consume(hi, lo, nb, ln)
         mant = jnp.where(size > 0,
                          hi >> ((32 - size) & 31).astype(jnp.uint32),
@@ -213,28 +236,36 @@ def _make_kernel(w_rows: int, n_blocks: int):
         hi, lo, nb = consume(hi, lo, nb, size)
 
         out_ref[0, 0, 0] = diff.astype(jnp.int16)
-        for k in range(1, 64):
-            out_ref[0, 0, k] = jnp.zeros((SB, 128), jnp.int16)
 
         # ---------------- AC loop ----------------
+        # Levels accumulate into 32 pair-packed int32 carries (two
+        # 16-bit halves; each position is written at most once, so OR
+        # is exact) — ~3x cheaper per token than a 63-row VMEM RMW.
         def cond(st):
-            it, posd, hi, lo, nb, wc = st
+            it, posd = st[0], st[1]
             # done is encoded as pos > 63; all-done <=> min(pos) > 63
             return (it < 64) & (jnp.min(posd) <= 63)
 
         def body(st):
-            it, posd, hi, lo, nb, wc = st
+            (it, posd, hi, lo, nb, wc), acc = st[:6], list(st[6])
             pos = posd
             done = posd > 63  # local bool mask (i1 carries don't lower)
             hi, lo, nb, wc = ensure(words_ref, hi, lo, nb, wc)
             p16 = (hi >> 16).astype(jnp.int32)
             ln = dec_len(p16, ac_bound)
-            idx = jnp.clip((p16 >> (16 - ln)) -
-                           sel_by_len(ln, ac_min) +
-                           sel_by_len(ln, ac_ptr), 0, 161)
+            idx = jnp.clip((p16 >> (16 - ln)) +
+                           sel_by_len(ln, ac_delta), 0, 161)
+            # bit-sliced table lookup: per output bit, select the
+            # 32-entry mask word then variable-shift by idx&31
+            wsel = idx >> 5
+            shv = (idx & 31).astype(jnp.uint32)
             sym = jnp.zeros(idx.shape, jnp.int32)
-            for k in range(162):
-                sym = sym | jnp.where(idx == k, ac_val[k], 0)
+            for b in range(8):
+                word = jnp.zeros(idx.shape, jnp.int32)
+                for w_ in range(_ACW):
+                    word = word | jnp.where(wsel == w_, ac_mask[b][w_], 0)
+                bit = (word.astype(jnp.uint32) >> shv) & jnp.uint32(1)
+                sym = sym | (bit.astype(jnp.int32) << b)
             run = sym >> 4
             size = sym & 0xF
             eob = sym == 0
@@ -249,18 +280,26 @@ def _make_kernel(w_rows: int, n_blocks: int):
             level = extend(mant, size)
             c2 = jnp.where(done, 0, size)
             hi, lo, nb = consume(hi, lo, nb, c2)
-            lv16 = jnp.where(write, level, 0).astype(jnp.int16)
-            for k in range(1, 64):
-                cur = out_ref[0, 0, k]
-                out_ref[0, 0, k] = jnp.where(write & (wpos == k), lv16, cur)
+            lv16 = jnp.where(write, level & 0xFFFF, 0)
+            contrib = jnp.where((wpos & 1) != 0, lv16 << 16, lv16)
+            half = wpos >> 1
+            for j in range(32):
+                acc[j] = acc[j] | jnp.where(write & (half == j), contrib, 0)
             pos = jnp.where(done, pos,
                             jnp.where(eob, 64,
                                       jnp.where(zrl, pos + 16, wpos + 1)))
-            return it + 1, pos, hi, lo, nb, wc
+            return (it + 1, pos, hi, lo, nb, wc, tuple(acc))
 
+        zpair = tuple(jnp.zeros((SB, 128), jnp.int32) for _ in range(32))
         st0 = (jnp.int32(0), jnp.ones((SB, 128), jnp.int32),
-               hi, lo, nb, wc)
-        _, _, hi, lo, nb, wc = jax.lax.while_loop(cond, body, st0)
+               hi, lo, nb, wc, zpair)
+        out_st = jax.lax.while_loop(cond, body, st0)
+        hi, lo, nb, wc, acc = out_st[2], out_st[3], out_st[4], out_st[5], \
+            out_st[6]
+        out_ref[0, 0, 1] = (acc[0] >> 16).astype(jnp.int16)
+        for j in range(1, 32):
+            out_ref[0, 0, 2 * j] = (acc[j] & 0xFFFF).astype(jnp.int16)
+            out_ref[0, 0, 2 * j + 1] = (acc[j] >> 16).astype(jnp.int16)
 
         hi_ref[:, :] = hi
         lo_ref[:, :] = lo
@@ -270,11 +309,15 @@ def _make_kernel(w_rows: int, n_blocks: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n_blocks", "interpret"))
-def _decode_layout(words, n_blocks: int, interpret: bool = False):
-    """words uint32 [CB, W, 8, 128] -> levels int16 [CB, n_blocks, 64, 8, 128]."""
+@partial(jax.jit, static_argnames=("n_blocks", "interpret", "win"))
+def _decode_layout(words, n_blocks: int, interpret: bool = False,
+                   win: int = WIN):
+    """words uint32 [CB, W, 8, 128] -> levels int16 [CB, n_blocks, 64, 8, 128].
+
+    `win` sizes the fetch window: lanes whose stream cursors cluster
+    (e.g. length-sorted batches) can use a much smaller window."""
     cbn, w_rows = words.shape[0], words.shape[1]
-    kernel = _make_kernel(w_rows, n_blocks)
+    kernel = _make_kernel(w_rows, n_blocks, win=win)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((cbn, n_blocks, 64, SB, 128),

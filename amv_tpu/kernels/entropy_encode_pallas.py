@@ -60,8 +60,8 @@ def _packed(table, sym):
     return int((c[sym] << 5) | s[sym])
 
 
-def _make_kernel(n_blocks: int, w_out: int):
-    win = min(WIN_O, w_out)
+def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
+    win = min(win_rows, w_out)
     assert w_out % win == 0, (w_out, win)
 
     def bitlen(v):
@@ -180,33 +180,54 @@ def _make_kernel(n_blocks: int, w_out: int):
                                                tbits)
 
         # ---------------- AC token loop ----------------
-        nzm = [None] + [(lv[k] != 0).astype(jnp.int32) for k in range(1, 64)]
-        pref = [None] * 64
-        acc = jnp.zeros((SB, 128), jnp.int32)
-        for k in range(1, 64):
-            acc = acc + nzm[k]
-            pref[k] = acc
-        nnz = acc
+        # Nonzero positions live in a 2-word bitmask; each iteration
+        # isolates the lowest set bit (pos = popcount(low-1)) and reads
+        # the value from 32 pair-packed registers — ~3x cheaper than
+        # the 63-row rank-match extraction it replaces.
+        mlo = jnp.zeros((SB, 128), jnp.int32)
+        mhi = jnp.zeros((SB, 128), jnp.int32)
+        for k in range(1, 32):
+            mlo = mlo | jnp.where(lv[k] != 0, jnp.int32(1) << k, 0)
+        for k in range(32, 64):
+            bit = 1 << (k - 32)
+            mhi = mhi | jnp.where(lv[k] != 0,
+                                  jnp.int32(bit - (1 << 32) if k == 63
+                                            else bit), 0)
+        pv = [(lv[2 * j] & 0xFFFF) | (lv[2 * j + 1] << 16)
+              for j in range(32)]
+
+        def popc(xu):
+            xu = xu - ((xu >> 1) & jnp.uint32(0x55555555))
+            xu = (xu & jnp.uint32(0x33333333)) + \
+                ((xu >> 2) & jnp.uint32(0x33333333))
+            xu = (xu + (xu >> 4)) & jnp.uint32(0x0F0F0F0F)
+            return ((xu * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
 
         def cond(st):
-            it, i, prev, z, eobd, hi, lo, nb, wcur, tbits = st
-            done = (i >= nnz) & ((eobd != 0) | (prev == 63))
+            it, mlo, mhi, prev, z, eobd = st[:6]
+            done = (mlo == 0) & (mhi == 0) & ((eobd != 0) | (prev == 63))
             return (it < 70) & (jnp.sum(1 - done.astype(jnp.int32)) > 0)
 
         def body(st):
-            it, i, prev, z, eobd, hi, lo, nb, wcur, tbits = st
-            in_ac = i < nnz
-            # extract position/value of the (i+1)-th nonzero
-            pos = jnp.zeros((SB, 128), jnp.int32)
-            val = jnp.zeros((SB, 128), jnp.int32)
-            for k in range(1, 64):
-                m = (pref[k] == i + 1) & (nzm[k] != 0)
-                pos = pos | jnp.where(m, k, 0)
-                val = val | jnp.where(m, lv[k], 0)
+            it, mlo, mhi, prev, z, eobd, hi, lo, nb, wcur, tbits = st
+            in_ac = (mlo != 0) | (mhi != 0)
+            sel_lo = mlo != 0
+            wmask = jnp.where(sel_lo, mlo, mhi)
+            low = wmask & -wmask
+            pos = popc((low - 1).astype(jnp.uint32)) + \
+                jnp.where(sel_lo, 0, 32)
+            half = jnp.zeros((SB, 128), jnp.int32)
+            for j in range(32):
+                half = half | jnp.where((pos >> 1) == j, pv[j], 0)
+            val = jnp.where((pos & 1) != 0, half >> 16,
+                            ((half & 0xFFFF) ^ 0x8000) - 0x8000)
             run = pos - prev - 1 - 16 * z
             is_zrl = in_ac & (run >= 16)
             is_sym = in_ac & (run < 16)
             is_eob = (~in_ac) & (eobd == 0) & (prev != 63)
+            clear = is_sym & sel_lo
+            mlo = jnp.where(clear, mlo ^ low, mlo)
+            mhi = jnp.where(is_sym & (~sel_lo), mhi ^ low, mhi)
 
             negv = val < 0
             nbv = bitlen(jnp.abs(val))
@@ -228,15 +249,14 @@ def _make_kernel(n_blocks: int, w_out: int):
             hi, lo, nb, wcur, tbits = emit_if_full(out_ref, hi, lo, nb,
                                                    wcur, tbits)
 
-            i = i + is_sym.astype(jnp.int32)
             prev = jnp.where(is_sym, pos, prev)
             z = jnp.where(is_sym, 0, z + is_zrl.astype(jnp.int32))
             eobd = eobd | is_eob.astype(jnp.int32)
-            return it + 1, i, prev, z, eobd, hi, lo, nb, wcur, tbits
+            return it + 1, mlo, mhi, prev, z, eobd, hi, lo, nb, wcur, tbits
 
         zi = jnp.zeros((SB, 128), jnp.int32)
-        st = (jnp.int32(0), zi, zi, zi, zi, hi, lo, nb, wcur, tbits)
-        _, _, _, _, _, hi, lo, nb, wcur, tbits = jax.lax.while_loop(
+        st = (jnp.int32(0), mlo, mhi, zi, zi, zi, hi, lo, nb, wcur, tbits)
+        _, _, _, _, _, _, hi, lo, nb, wcur, tbits = jax.lax.while_loop(
             cond, body, st)
 
         @pl.when(b == n_blocks - 1)
@@ -277,13 +297,17 @@ def _pad(n, m):
     return (n + m - 1) // m * m
 
 
-@partial(jax.jit, static_argnames=("w_out", "interpret"))
-def _encode_layout(lv, w_out: int, interpret: bool = False):
+@partial(jax.jit, static_argnames=("w_out", "interpret", "win_rows"))
+def _encode_layout(lv, w_out: int, interpret: bool = False,
+                   win_rows: int = WIN_O):
     """lv int16 [CB, n_blocks, 64, SB, 128] zigzag (slot0 = absolute
     quantized DC) -> (words int32 [CB, w_out, SB, 128] big-endian
-    unescaped scan, bits int32 [CB, 1, SB, 128])."""
+    unescaped scan, bits int32 [CB, 1, SB, 128]).
+
+    `win_rows` sizes the emit window (must divide w_out); smaller is
+    faster when per-lane output cursors cluster (length-sorted batches)."""
     cbn, nblk = lv.shape[0], lv.shape[1]
-    kernel = _make_kernel(nblk, w_out)
+    kernel = _make_kernel(nblk, w_out, win_rows=win_rows)
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((cbn, w_out, SB, 128), jnp.int32),

@@ -69,9 +69,11 @@ def transcode_levels_fused(levels_zz, qscale=2):
     return lv2_zz, pix[:, :n].T.reshape(F, M, 6, 8, 8)
 
 
-@partial(jax.jit, static_argnames=("n_mcu", "qmat_key", "w_out", "interpret"))
+@partial(jax.jit, static_argnames=("n_mcu", "qmat_key", "w_out", "interpret",
+                                   "win_fetch", "win_emit"))
 def transcode_complete_layout(scans, n_mcu: int, qmat_key,
-                              w_out: int = 1024, interpret: bool = False):
+                              w_out: int = 1024, interpret: bool = False,
+                              win_fetch: int = 256, win_emit: int = 128):
     """Zero-relayout COMPLETE device transcode: unescaped scan bytes in,
     re-encoded scan words out, with all three Pallas stages chained in
     the entropy kernels' native [CB, blocks, 64, 8, 128] slab layout.
@@ -100,7 +102,7 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     fp = (F + 1023) // 1024 * 1024
     cb, nb = fp // 1024, n_mcu * 6
     wl = scan_words_layout(scans)
-    lv = _decode_layout(wl, nb, interpret=interpret)
+    lv = _decode_layout(wl, nb, interpret=interpret, win=win_fetch)
     lvl = lv.reshape(cb, n_mcu, 6, 64, 8, 128)
     # resolved dequantized DC (+1024 bias), cumsum per component in-layout
     qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
@@ -113,7 +115,7 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     dc = jnp.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
     lv2 = transcode_mcu_layout(lvl, dc, qmat_key, interpret=interpret)
     words, bits = _encode_layout(lv2.reshape(cb, nb, 64, 8, 128), w_out,
-                                 interpret=interpret)
+                                 interpret=interpret, win_rows=win_emit)
     wout = words.transpose(0, 2, 3, 1).reshape(fp, w_out)[:F]
     bout = bits[:, 0].reshape(fp)[:F]
     return wout, bout
