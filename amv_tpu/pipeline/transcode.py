@@ -125,18 +125,40 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     """Re-encode a complete .amv file (video re-quantized at qscale;
     audio chunks are already bit-exact ADPCM and pass through).
 
-    MB-aligned sizes take the fused Pallas kernel (block layout end to
-    end); others fall back to the two-stage decode+encode transform."""
+    On TPU, MB-aligned sizes run the zero-relayout complete device
+    chain (both entropy stages + transform in one program) over a
+    length-sorted batch — host work is only byte framing; other sizes
+    (or the CPU mesh) fall back to host entropy + the two-stage or
+    fused transform."""
     s = riff.demux(data)
     w, h = s.info.width, s.info.height
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    mb_aligned = w % 16 == 0 and h % 16 == 0
+    on_tpu = jax.default_backend() != "cpu"
+    if mb_aligned and on_tpu and s.video_chunks:
+        from ..codecs.amv_video import _encoder_quant_qmat_np
+        from ..native import entropy_native as native
+        rows, _ = native.unescape_frames(s.video_chunks)
+        lens = np.array([len(p) for p in s.video_chunks])
+        order = np.argsort(lens, kind="stable")
+        inv = np.argsort(order)
+        qk = tuple(int(v) for v in _encoder_quant_qmat_np(qscale))
+        # output budget scales with frame area (words of 32 bits)
+        w_out = 1024 * ((mb_w * mb_h + 47) // 48)
+        words, bits = transcode_complete_layout(
+            jnp.asarray(rows[order]), mb_w * mb_h, qk, w_out=w_out,
+            win_fetch=64, win_emit=64)
+        vchunks = native.escape_frames(np.asarray(words)[inv],
+                                       np.asarray(bits)[inv])
+        return riff.mux(vchunks, s.audio_chunks, width=w, height=h,
+                        fps=s.info.fps_num, sample_rate=s.info.sample_rate)
     levels = huffman_decode_frames(s.video_chunks, mb_w * mb_h)
-    if w % 16 == 0 and h % 16 == 0:
+    if mb_aligned:
         lv2, _ = transcode_levels_fused(jnp.asarray(levels), qscale)
     else:
         y, cb, cr = decode_transform(jnp.asarray(levels), mb_w, mb_h, w, h)
         lv2 = encode_transform(y, cb, cr, mb_w, mb_h, qscale)
-    if jax.default_backend() != "cpu":
+    if on_tpu:
         # Pallas bit-packer + C framing (~100x the XLA scatter packer)
         from ..kernels.entropy_encode_pallas import encode_scans_pallas
         from ..native import entropy_native as native

@@ -316,9 +316,13 @@ def main():
     # ---------------- COMPLETE device transcode (both entropy stages) -------
     # Pallas Huffman decode + layout-native fused transcode + Pallas Huffman
     # encode in one program, all three stages chained in the entropy kernels'
-    # slab layout (zero level-plane relayout; pipeline/transcode.py).  Gated
-    # end-to-end at K=1: the emitted words run through the C framing pass and
-    # must equal the host encoder's payload bytes for every corpus frame.
+    # slab layout (zero level-plane relayout; pipeline/transcode.py).  The
+    # batch is length-sorted so per-lane stream/output cursors cluster: the
+    # lockstep AC loops run ~1.4x fewer straggler iterations and the
+    # fetch/emit windows shrink to 64 rows (measured 39.8K -> 71.9K fps).
+    # Gated end-to-end at K=1: the emitted words (unsorted back to frame
+    # order) run through the C framing pass and must equal the host
+    # encoder's payload bytes for every corpus frame.
     dev_complete_fps = None
     try:
         from amv_tpu.pipeline.transcode import transcode_complete_layout
@@ -326,25 +330,30 @@ def main():
         def make_complete(fe):
             @jax.jit
             def complete(rw, salt):
-                words, bits = transcode_complete_layout(rw, M, qk,
-                                                        w_out=1024)
+                words, bits = transcode_complete_layout(
+                    rw, M, qk, w_out=1024, win_fetch=64, win_emit=64)
                 return words, bits, (jnp.sum(words[::31, ::17]) +
                                      jnp.sum(bits) + salt)
             return complete
 
-        # end-to-end byte gate at K=1
+        # end-to-end byte gate at K=1 (sorted in, unsorted out)
         rows_c1, _ = native.unescape_frames(payloads)
+        lens_c1 = np.array([len(p) for p in payloads])
+        ord1 = np.argsort(lens_c1, kind="stable")
+        inv1 = np.argsort(ord1)
         wds1, bts1, _ = make_complete(F)(
-            jax.device_put(jnp.asarray(rows_c1)), jnp.int32(0))
-        got_payloads = native.escape_frames(np.asarray(wds1),
-                                            np.asarray(bts1))
+            jax.device_put(jnp.asarray(rows_c1[ord1])), jnp.int32(0))
+        got_payloads = native.escape_frames(np.asarray(wds1)[inv1],
+                                            np.asarray(bts1)[inv1])
         want_payloads = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
         assert got_payloads == want_payloads, \
             "complete device transcode != host re-encode payloads"
 
         KC = int(os.environ.get("AMV_BENCH_COMPLETE_K", "64"))
         FC = F * KC
-        rows_ct = jax.device_put(jnp.asarray(np.tile(rows_c1, (KC, 1))))
+        ord_k = np.argsort(np.tile(lens_c1, KC), kind="stable")
+        rows_ct = jax.device_put(jnp.asarray(
+            np.tile(rows_c1, (KC, 1))[ord_k]))
         jax.block_until_ready(rows_ct)
         complete_k = make_complete(FC)
         _ = int(complete_k(rows_ct, jnp.int32(0))[2][...])
@@ -371,19 +380,23 @@ def main():
             m160, rng160.integers(-60, 60, (64, M160, 6, 63)), 0)
         pay160 = [huffman_encode_frame(lv160c[f]) for f in range(64)]
         rows160, _ = native.unescape_frames(pay160 * (F160 // 64))
+        lens160 = np.array([len(p) for p in pay160] * (F160 // 64))
+        ord160 = np.argsort(lens160, kind="stable")
+        inv160 = np.argsort(ord160)
         from amv_tpu.pipeline.transcode import transcode_complete_layout
 
         @jax.jit
         def complete160(rw, salt):
-            words, bits = transcode_complete_layout(rw, M160, qk, w_out=1024)
+            words, bits = transcode_complete_layout(
+                rw, M160, qk, w_out=1024, win_fetch=64, win_emit=64)
             return words, bits, (jnp.sum(words[::31, ::17]) +
                                  jnp.sum(bits) + salt)
 
-        rows160_d = jax.device_put(jnp.asarray(rows160))
+        rows160_d = jax.device_put(jnp.asarray(rows160[ord160]))
         jax.block_until_ready(rows160_d)
         w160, b160, _ = complete160(rows160_d, jnp.int32(0))
-        got160 = native.escape_frames(np.asarray(w160[:64]),
-                                      np.asarray(b160[:64]))
+        got160 = native.escape_frames(np.asarray(w160)[inv160][:64],
+                                      np.asarray(b160)[inv160][:64])
         lvdec160 = np.asarray(huffman_decode_frames(pay160, M160))
         from amv_tpu.pipeline.transcode import transcode_levels_fused
         lv2_160 = np.asarray(transcode_levels_fused(
@@ -392,7 +405,9 @@ def main():
         assert got160 == want160, \
             "160x120 complete transcode != host re-encode payloads"
         K160 = int(os.environ.get("AMV_BENCH_COMPLETE160_K", "8"))
-        rows160_k = jax.device_put(jnp.asarray(np.tile(rows160, (K160, 1))))
+        ordk160 = np.argsort(np.tile(lens160, K160), kind="stable")
+        rows160_k = jax.device_put(jnp.asarray(
+            np.tile(rows160, (K160, 1))[ordk160]))
         jax.block_until_ready(rows160_k)
         t_c160 = best_time(lambda: int(complete160(
             rows160_k, jnp.int32(np.random.randint(1000)))[2][...]))
