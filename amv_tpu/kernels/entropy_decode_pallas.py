@@ -108,57 +108,68 @@ WIN = 256  # default windowed-fetch rows (1 KB of stream per round)
 def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN):
     WIN = win
 
-    def fetch_word(words_ref, wc, need):
-        """Per-lane word at row cursor wc (uint32), for lanes in `need`.
+    def fetch_word(words_ref, wc, need, soft):
+        """Per-lane word at row cursor wc for lanes in `need`, plus
+        opportunistic service of `soft` lanes whose row falls in a
+        visited window.
 
         Masked reduction (exactly one row matches, so sum == select);
         Mosaic has no dynamic vector gather and no unsigned reductions,
         so the sum runs on the int32 bit view.  Instead of reducing over
         all w_rows every time, reduce over a WIN-row window anchored at
-        the minimum unserved cursor; a while-loop re-anchors for
-        straggler lanes (cursor spread across a slab exceeds WIN only
-        when frame byte-rates diverge a lot)."""
+        the minimum unserved `need` cursor; a while-loop re-anchors for
+        stragglers.  Serving every in-window `soft` lane in the same
+        pass re-synchronizes the slab: lanes leave each pass topped up,
+        so the next pass is several symbols away instead of immediate.
+
+        Returns (word, got): got lanes received a word (their state
+        must advance); `need` lanes past the stream end are reported
+        got with a zero word (matches the full-reduce semantics)."""
         if w_rows <= WIN:
             words = words_ref[0]
             it = jax.lax.broadcasted_iota(jnp.int32, (w_rows, SB, 128), 0)
-            sel = jnp.where((it == wc[None]) & need[None], words,
+            sel = jnp.where((it == wc[None]) & soft[None], words,
                             jnp.int32(0))
-            return jnp.sum(sel, axis=0).astype(jnp.uint32)
+            return (jnp.sum(sel, axis=0).astype(jnp.uint32),
+                    soft)  # full view: every soft lane is served
 
         def cond(st):
-            _, unserved = st
-            return jnp.sum(unserved) > 0
+            return jnp.sum(st[2]) > 0
 
         def body(st):
-            w, unserved = st
+            w, got, unserved = st
             wcn = jnp.where(unserved != 0, wc, jnp.int32(0x7FFFFFFF))
             lo0 = jnp.clip(jnp.min(wcn), 0, w_rows - WIN)
             win = words_ref[0, pl.ds(lo0, WIN)]            # [WIN, SB, 128]
             it = lo0 + jax.lax.broadcasted_iota(jnp.int32, (WIN, SB, 128), 0)
-            hit = (it == wc[None]) & (unserved != 0)[None]
+            hit = (it == wc[None]) & (soft & (got == 0))[None]
             w = w | jnp.sum(jnp.where(hit, win, jnp.int32(0)), axis=0)
             inwin = (wc >= lo0) & (wc < lo0 + WIN)
+            got = got | (soft & inwin).astype(jnp.int32)
             unserved = jnp.where(inwin, 0, unserved)
-            return w, unserved
+            return w, got, unserved
 
         w0 = jnp.zeros((SB, 128), jnp.int32)
-        # lanes past the stream end read zeros (matches the full-reduce
-        # semantics where no row matches)
+        g0 = jnp.zeros((SB, 128), jnp.int32)
         u0 = (need & (wc < w_rows)).astype(jnp.int32)
-        w, _ = jax.lax.while_loop(cond, body, (w0, u0))
-        return w.astype(jnp.uint32)
+        w, got, _ = jax.lax.while_loop(cond, body, (w0, g0, u0))
+        return w.astype(jnp.uint32), (got != 0) | (need & (wc >= w_rows))
 
     def ensure(words_ref, hi, lo, nb, wc):
-        """Refill one 32-bit word into lanes holding < 27 bits."""
+        """Refill one 32-bit word into lanes holding < 27 bits; lanes
+        with buffer room (nb <= 31) top up for free when a fetch pass
+        covers their cursor."""
         need = nb < 27
-        w = jnp.where(need, fetch_word(words_ref, wc, need), jnp.uint32(0))
+        soft = nb <= 31
+        w, got = fetch_word(words_ref, wc, need, soft)
+        w = jnp.where(got, w, jnp.uint32(0))
         sh = jnp.clip(nb, 0, 31).astype(jnp.uint32)
         hi = hi | (w >> sh)
         lo = lo | jnp.where(nb > 0,
                             w << ((32 - nb) & 31).astype(jnp.uint32),
                             jnp.uint32(0))
-        nb = nb + jnp.where(need, 32, 0)
-        wc = wc + jnp.where(need, 1, 0)
+        nb = nb + jnp.where(got, 32, 0)
+        wc = wc + jnp.where(got, 1, 0)
         return hi, lo, nb, wc
 
     def consume(hi, lo, nb, c):

@@ -60,6 +60,58 @@ def _packed(table, sym):
     return int((c[sym] << 5) | s[sym])
 
 
+def _i32(w):
+    return w - (1 << 32) if w >= (1 << 31) else w
+
+
+def _ac_canonical(bits, vals):
+    """AC emit tables exploiting canonical codes: for rs = run*10+size-1,
+    code = cidx[rs] - delta[ln[rs]] where cidx is the symbol's rank in
+    the canonical value order and delta[l] = valptr[l] - mincode[l].
+
+    Returns (ln4: 20 packed words of 4-bit (ln-2) fields,
+             cidx_planes: 8 bit-planes x 5 mask words,
+             delta: 17 ints indexed by code length)."""
+    bits = [int(b) for b in bits[1:17]] if len(bits) == 17 else \
+        [int(b) for b in bits]
+    code, k = 0, 0
+    mincode = [0] * 17
+    valptr = [0] * 17
+    sizes = [0] * 17
+    for l in range(1, 17):
+        mincode[l] = code
+        valptr[l] = k
+        code += bits[l - 1]
+        k += bits[l - 1]
+        code <<= 1
+    vals = [int(v) for v in vals]
+    pos_of = {v: i for i, v in enumerate(vals)}
+    ln_of_rank = [0] * len(vals)
+    for l in range(1, 17):
+        for j in range(bits[l - 1]):
+            ln_of_rank[valptr[l] + j] = l
+    ln4 = [0] * 20
+    cidx = [0] * 160
+    for r in range(16):
+        for s in range(1, 11):
+            rs = r * 10 + (s - 1)
+            rank = pos_of[(r << 4) | s]
+            cidx[rs] = rank
+            ln4[rs >> 3] |= (ln_of_rank[rank] - 2) << ((rs & 7) * 4)
+    planes = [[0] * 5 for _ in range(8)]
+    for rs, v in enumerate(cidx):
+        for b in range(8):
+            if (v >> b) & 1:
+                planes[b][rs >> 5] |= 1 << (rs & 31)
+    delta = [valptr[l] - mincode[l] for l in range(17)]
+    return ([_i32(w) for w in ln4],
+            [[_i32(w) for w in row] for row in planes], delta)
+
+
+_ACE_L = _ac_canonical(list(T.BITS_AC_LUMA), list(T.VALS_AC_LUMA))
+_ACE_C = _ac_canonical(list(T.BITS_AC_CHROMA), list(T.VALS_AC_CHROMA))
+
+
 def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
     win = min(win_rows, w_out)
     assert w_out % win == 0, (w_out, win)
@@ -74,33 +126,44 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
             x = jnp.where(m, x >> s, x)
         return r + (v > 0).astype(jnp.int32)
 
-    def emit_if_full(out_ref, hi, lo, nb, wcur, tbits):
-        """Emit one 32-bit word from lanes holding >= 32 bits."""
-        emitting = nb >= 32
+    def emit_if_full(out_ref, hi, lo, nb, wcur, tbits, force=False):
+        """Flush one ready 32-bit word per lane, lazily: only lanes
+        that MUST flush (nb >= 37: the next append could overflow the
+        64-bit buffer) anchor a window pass, but every lane with a
+        ready word (nb >= 32) whose cursor falls in a visited window
+        flushes in the same pass.  Lanes leave each pass drained, so
+        passes amortize over several tokens instead of firing on every
+        one.  `force` flushes every ready lane (final drain)."""
+        hard = nb >= (32 if force else 37)
+        soft = nb >= 32
 
         def cond(st):
-            _, unserved = st
-            return jnp.sum(unserved) > 0
+            return jnp.sum(st[1]) > 0
 
         def body(st):
-            _, unserved = st
+            got, unserved = st
             wn = jnp.where(unserved != 0, wcur, jnp.int32(0x7FFFFFFF))
             lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
             wview = out_ref[0, pl.ds(lo0, win)]
             it = lo0 + jax.lax.broadcasted_iota(jnp.int32,
                                                 (win, SB, 128), 0)
-            hit = (it == wcur[None]) & (unserved != 0)[None]
+            hit = (it == wcur[None]) & (soft & (got == 0))[None]
             out_ref[0, pl.ds(lo0, win)] = jnp.where(
                 hit, hi.astype(jnp.int32)[None], wview)
             inwin = (wcur >= lo0) & (wcur < lo0 + win)
-            return jnp.int32(0), jnp.where(inwin, 0, unserved)
+            got = got | (soft & inwin).astype(jnp.int32)
+            return got, jnp.where(inwin, 0, unserved)
 
-        u0 = (emitting & (wcur < w_out)).astype(jnp.int32)
-        jax.lax.while_loop(cond, body, (jnp.int32(0), u0))
-        hi2 = jnp.where(emitting, lo, hi)
-        lo2 = jnp.where(emitting, jnp.uint32(0), lo)
-        nb2 = jnp.where(emitting, nb - 32, nb)
-        wc2 = wcur + jnp.where(emitting, 1, 0)
+        g0 = jnp.zeros((SB, 128), jnp.int32)
+        u0 = (hard & (wcur < w_out)).astype(jnp.int32)
+        got, _ = jax.lax.while_loop(cond, body, (g0, u0))
+        # lanes past the output cap drop the word once flushing becomes
+        # mandatory (hard), preserving the no-overflow invariant
+        emitted = (got != 0) | (hard & (wcur >= w_out))
+        hi2 = jnp.where(emitted, lo, hi)
+        lo2 = jnp.where(emitted, jnp.uint32(0), lo)
+        nb2 = jnp.where(emitted, nb - 32, nb)
+        wc2 = wcur + jnp.where(emitted, 1, 0)
         return hi2, lo2, nb2, wc2, tbits
 
     def append(hi, lo, nb, tbits, code, ln, active):
@@ -146,10 +209,11 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
 
         dc_pack = [sw(_packed(_ET["dc_l"], n), _packed(_ET["dc_c"], n))
                    for n in range(12)]
-        # AC table indexed by run*10 + nbits-1 (nbits 1..10)
-        ac_pack = [sw(_packed(_ET["ac_l"], (r << 4) | s),
-                      _packed(_ET["ac_c"], (r << 4) | s))
-                   for r in range(16) for s in range(1, 11)]
+        # AC canonical-code tables indexed by rs = run*10 + nbits-1
+        ac_ln4 = [sw(_ACE_L[0][i], _ACE_C[0][i]) for i in range(20)]
+        ac_cplane = [[sw(_ACE_L[1][b][i], _ACE_C[1][b][i]) for i in range(5)]
+                     for b in range(8)]
+        ac_delta = [sw(_ACE_L[2][l], _ACE_C[2][l]) for l in range(17)]
         eob_pack = sw(_packed(_ET["ac_l"], 0), _packed(_ET["ac_c"], 0))
         zrl_pack = sw(_packed(_ET["ac_l"], 0xF0), _packed(_ET["ac_c"], 0xF0))
 
@@ -233,12 +297,29 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
             nbv = bitlen(jnp.abs(val))
             mantv = jnp.where(negv, val - 1, val) & \
                 ((jnp.int32(1) << nbv) - 1)
-            idx = jnp.clip(run, 0, 15) * 10 + jnp.clip(nbv - 1, 0, 9)
-            pk = jnp.zeros((SB, 128), jnp.int32)
-            for k in range(160):
-                pk = pk | jnp.where(idx == k, ac_pack[k], 0)
-            code_s = ((pk >> 5) << nbv) | mantv
-            ln_s = (pk & 31) + nbv
+            rs = jnp.clip(run, 0, 15) * 10 + jnp.clip(nbv - 1, 0, 9)
+            # canonical Huffman: code = rank(sym) - (valptr - mincode)[ln]
+            wsel = rs >> 5
+            shv = (rs & 31).astype(jnp.uint32)
+            cidx = jnp.zeros((SB, 128), jnp.int32)
+            for b in range(8):
+                wd = jnp.zeros((SB, 128), jnp.int32)
+                for i in range(5):
+                    wd = wd | jnp.where(wsel == i, ac_cplane[b][i], 0)
+                bit = (wd.astype(jnp.uint32) >> shv) & jnp.uint32(1)
+                cidx = cidx | (bit.astype(jnp.int32) << b)
+            w4 = jnp.zeros((SB, 128), jnp.int32)
+            for i in range(20):
+                w4 = w4 | jnp.where((rs >> 3) == i, ac_ln4[i], 0)
+            lnc = 2 + ((w4.astype(jnp.uint32) >>
+                        ((rs & 7) << 2).astype(jnp.uint32)).astype(jnp.int32)
+                       & 15)
+            dsel = jnp.zeros((SB, 128), jnp.int32)
+            for l in range(2, 17):
+                dsel = dsel | jnp.where(lnc == l, ac_delta[l], 0)
+            code_ac = cidx - dsel
+            code_s = (code_ac << nbv) | mantv
+            ln_s = lnc + nbv
 
             code = jnp.where(is_sym, code_s,
                              jnp.where(is_zrl, zrl_pack >> 5, eob_pack >> 5))
@@ -261,26 +342,29 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
 
         @pl.when(b == n_blocks - 1)
         def _flush():
-            # final partial word (bits beyond nb are zero; the C pass
-            # 1-pads the last byte)
+            # drain any full deferred word, then the partial word (bits
+            # beyond nb are zero; the C pass 1-pads the last byte)
+            hi_f, lo_f, nb_f, wcur_f, _ = emit_if_full(
+                out_ref, hi, lo, nb, wcur, tbits, force=True)
+
             def cond_f(st):
                 _, unserved = st
                 return jnp.sum(unserved) > 0
 
             def body_f(st):
                 _, unserved = st
-                wn = jnp.where(unserved != 0, wcur, jnp.int32(0x7FFFFFFF))
+                wn = jnp.where(unserved != 0, wcur_f, jnp.int32(0x7FFFFFFF))
                 lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
                 wview = out_ref[0, pl.ds(lo0, win)]
                 it2 = lo0 + jax.lax.broadcasted_iota(
                     jnp.int32, (win, SB, 128), 0)
-                hit = (it2 == wcur[None]) & (unserved != 0)[None]
+                hit = (it2 == wcur_f[None]) & (unserved != 0)[None]
                 out_ref[0, pl.ds(lo0, win)] = jnp.where(
-                    hit, hi.astype(jnp.int32)[None], wview)
-                inwin = (wcur >= lo0) & (wcur < lo0 + win)
+                    hit, hi_f.astype(jnp.int32)[None], wview)
+                inwin = (wcur_f >= lo0) & (wcur_f < lo0 + win)
                 return jnp.int32(0), jnp.where(inwin, 0, unserved)
 
-            u0 = ((nb > 0) & (wcur < w_out)).astype(jnp.int32)
+            u0 = ((nb_f > 0) & (wcur_f < w_out)).astype(jnp.int32)
             jax.lax.while_loop(cond_f, body_f, (jnp.int32(0), u0))
             bits_ref[0, 0] = tbits
 

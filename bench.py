@@ -388,7 +388,7 @@ def main():
         @jax.jit
         def complete160(rw, salt):
             words, bits = transcode_complete_layout(
-                rw, M160, qk, w_out=1024, win_fetch=64, win_emit=64)
+                rw, M160, qk, w_out=2048, win_fetch=64, win_emit=64)
             return words, bits, (jnp.sum(words[::31, ::17]) +
                                  jnp.sum(bits) + salt)
 
