@@ -85,6 +85,31 @@ def sharded_entropy_decode(mesh: Mesh, n_mcu: int):
     return jax.jit(fn, in_shardings=(in_s,), out_shardings=out_s)
 
 
+def sharded_adpcm_encode(mesh: Mesh):
+    """Jitted ADPCM encode scan with streams sharded on dp.
+
+    Like decode, each chunk carries its own {predictor, step_index}
+    state, so encode shards with zero collectives."""
+    s = NamedSharding(mesh, P("dp"))
+    return jax.jit(KA.encode_samples, in_shardings=(s, s, s),
+                   out_shardings=(s, s))
+
+
+def sharded_g729_decode_chain(mesh: Mesh):
+    """Jitted G.729A frame-chain decoder with streams sharded on dp.
+
+    Speech streams are independent recurrences (state is per-stream,
+    SURVEY.md §5 long-context mapping), so the batch axis shards with
+    zero collectives; the frame axis stays sequential on-chip.
+    Takes (state pytree [B,...], parms int32 [T, B, 16]) like
+    codecs.g729a._decode_chain."""
+    from ..codecs.g729a import _decode_chain
+    st_s = NamedSharding(mesh, P("dp"))
+    parms_s = NamedSharding(mesh, P(None, "dp"))
+    return jax.jit(_decode_chain, in_shardings=(st_s, parms_s),
+                   out_shardings=(st_s, parms_s))
+
+
 def sharded_transcode_step(mesh: Mesh, qscale: int = 2):
     """Jitted fused transcode (pipeline.transcode.transcode_levels_fused)
     with frames sharded on dp.

@@ -51,3 +51,40 @@ def test_sharded_adpcm_matches_single(mesh):
     want = np.asarray(decode_chunks(jnp.asarray(payload), jnp.asarray(pred),
                                     jnp.asarray(sidx)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_adpcm_encode_matches_single(mesh):
+    import jax.numpy as jnp
+    from amv_tpu.kernels.adpcm import encode_samples
+    from amv_tpu.parallel.sharding import sharded_adpcm_encode
+    rng = np.random.default_rng(5)
+    B, n = 8, 128
+    samples = rng.integers(-20000, 20000, (B, n)).astype(np.int32)
+    reset = np.zeros((B, n), bool)
+    reset[:, 0] = True
+    sidx0 = rng.integers(0, 89, B).astype(np.int32)
+    fn = sharded_adpcm_encode(mesh)
+    got = fn(jnp.asarray(samples), jnp.asarray(reset), jnp.asarray(sidx0))
+    want = encode_samples(jnp.asarray(samples), jnp.asarray(reset),
+                          jnp.asarray(sidx0))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_sharded_g729_chain_matches_single(mesh):
+    import jax.numpy as jnp
+    from amv_tpu.codecs import g729a
+    from amv_tpu.parallel.sharding import sharded_g729_decode_chain
+    from test_g729 import make_frame
+    rng = np.random.default_rng(6)
+    T, B = 8, 8
+    frames = np.zeros((T, B, 10), np.uint8)
+    for t in range(T):
+        for b in range(B):
+            frames[t, b] = np.frombuffer(make_frame(rng), np.uint8)
+    want = g729a.decode_streams(frames)          # [B, T*80]
+    parms = jnp.asarray(g729a.unpack_frames(frames))
+    fn = sharded_g729_decode_chain(mesh)
+    st, pcm = fn(g729a.init_state(B), parms)     # pcm [T, B, 80]
+    got = np.asarray(pcm).transpose(1, 0, 2).reshape(B, T * 80)
+    np.testing.assert_array_equal(got, np.asarray(want))
