@@ -135,7 +135,10 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     mb_aligned = w % 16 == 0 and h % 16 == 0
     on_tpu = jax.default_backend() != "cpu"
-    if mb_aligned and on_tpu and s.video_chunks:
+    # the encoder's output block lives in VMEM: 1664 words (6.7KB of
+    # scan per frame) is the largest budget that fits the 16MB scoped
+    # limit; frames beyond ~80 MCUs fall back to host entropy decode
+    if mb_aligned and on_tpu and s.video_chunks and mb_w * mb_h <= 80:
         from ..codecs.amv_video import _encoder_quant_qmat_np
         from ..native import entropy_native as native
         rows, _ = native.unescape_frames(s.video_chunks)
@@ -143,8 +146,8 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
         order = np.argsort(lens, kind="stable")
         inv = np.argsort(order)
         qk = tuple(int(v) for v in _encoder_quant_qmat_np(qscale))
-        # output budget scales with frame area (words of 32 bits)
-        w_out = 1024 * ((mb_w * mb_h + 47) // 48)
+        # output budget scales with frame area, VMEM-capped (32-bit words)
+        w_out = min(1664, 1024 * ((mb_w * mb_h + 47) // 48))
         words, bits = transcode_complete_layout(
             jnp.asarray(rows[order]), mb_w * mb_h, qk, w_out=w_out,
             win_fetch=64, win_emit=64)
