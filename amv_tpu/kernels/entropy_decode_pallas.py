@@ -365,19 +365,21 @@ def scan_words_layout(scans: jnp.ndarray) -> jnp.ndarray:
     return words.reshape(cbn, SB, 128, w_rows).transpose(0, 3, 1, 2)
 
 
-@partial(jax.jit, static_argnames=("n_mcu", "interpret"))
+@partial(jax.jit, static_argnames=("n_mcu", "interpret", "win"))
 def decode_scans_pallas(scans: jnp.ndarray, n_mcu: int,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        win: int = WIN) -> jnp.ndarray:
     """scans uint8 [F, max_bytes] (unescaped, zero-padded) ->
     levels int16 [F, n_mcu, 6, 64] (zigzag, slot0 = DC difference).
 
-    Drop-in for kernels.entropy_decode.decode_scans_device.
+    Drop-in for kernels.entropy_decode.decode_scans_device.  `win`
+    sizes the fetch window (see _decode_layout).
     """
     F = scans.shape[0]
     n_blocks = n_mcu * 6
     fp = _pad(F, SB * 128)
     wl = scan_words_layout(scans)
-    out = _decode_layout(wl, n_blocks, interpret=interpret)
+    out = _decode_layout(wl, n_blocks, interpret=interpret, win=win)
     # [CB, nb, 64, 8, 128] -> [F, n_mcu, 6, 64]
     lv = out.transpose(0, 3, 4, 1, 2).reshape(fp, n_blocks, 64)
     return lv[:F].reshape(F, n_mcu, 6, 64)

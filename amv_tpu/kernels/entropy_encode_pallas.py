@@ -409,9 +409,9 @@ def _encode_layout(lv, w_out: int, interpret: bool = False,
     )(lv)
 
 
-@partial(jax.jit, static_argnames=("w_out", "interpret"))
+@partial(jax.jit, static_argnames=("w_out", "interpret", "win_rows"))
 def encode_scans_pallas(levels_zz: jnp.ndarray, w_out: int = 1024,
-                        interpret: bool = False):
+                        interpret: bool = False, win_rows: int = WIN_O):
     """levels int16 [F, n_mcu, 6, 64] zigzag (slot0 = absolute quantized
     DC) -> (words int32 [F, w_out] big-endian unescaped scan words,
     bits int32 [F]).
@@ -428,7 +428,8 @@ def encode_scans_pallas(levels_zz: jnp.ndarray, w_out: int = 1024,
     lv = jnp.pad(levels_zz.reshape(F, nblk, 64),
                  ((0, fp - F), (0, 0), (0, 0)))
     lvl = lv.reshape(cbn, SB, 128, nblk, 64).transpose(0, 3, 4, 1, 2)
-    words, bits = _encode_layout(lvl, w_out, interpret=interpret)
+    words, bits = _encode_layout(lvl, w_out, interpret=interpret,
+                                 win_rows=win_rows)
     wout = words.transpose(0, 2, 3, 1).reshape(fp, w_out)[:F]
     bout = bits[:, 0].reshape(fp)[:F]
     return wout, bout

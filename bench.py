@@ -227,21 +227,24 @@ def main():
         from amv_tpu.kernels.entropy_decode_pallas import decode_scans_pallas
         KE = int(os.environ.get("AMV_BENCH_ENTROPY_K", "32"))
         FE = F * KE
-        rows_t = np.tile(rows, (KE, 1))
+        lens_e = np.array([len(p) for p in payloads])
+        ids_e = np.tile(np.arange(F), KE)[
+            np.argsort(np.tile(lens_e, KE), kind="stable")]
+        rows_t = np.tile(rows, (KE, 1))[ids_e]  # length-sorted batch
 
         @jax.jit
         def fused_full_decode(rw, salt):
-            lv = decode_scans_pallas(rw, M)
+            lv = decode_scans_pallas(rw, M, win=64)
             yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
             return (jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)) +
                     jnp.sum(ccb[::53, ::7, ::11].astype(jnp.int32)) +
                     jnp.sum(ccr[::53, ::7, ::11].astype(jnp.int32)) + salt)
 
-        exp_full = ((int(yh[np.arange(0, FE, 97) % F, ::13, ::17]
+        exp_full = ((int(yh[ids_e[np.arange(0, FE, 97)], ::13, ::17]
                          .astype(np.int64).sum()) +
-                     int(cbh[np.arange(0, FE, 53) % F, ::7, ::11]
+                     int(cbh[ids_e[np.arange(0, FE, 53)], ::7, ::11]
                          .astype(np.int64).sum()) +
-                     int(crh[np.arange(0, FE, 53) % F, ::7, ::11]
+                     int(crh[ids_e[np.arange(0, FE, 53)], ::7, ::11]
                          .astype(np.int64).sum()) + 2**31) % 2**32 - 2**31)
         rows_dev = jax.device_put(jnp.asarray(rows_t))
         jax.block_until_ready(rows_dev)
@@ -264,14 +267,17 @@ def main():
         rows_ft, _ = native.unescape_frames(payloads)
         KT = int(os.environ.get("AMV_BENCH_FULLTRANS_K", "64"))
         FT2 = F * KT
-        rows_ft_t = np.tile(rows_ft, (KT, 1))
+        lens_ft = np.array([len(p) for p in payloads])
+        ids_ft = np.tile(np.arange(F), KT)[
+            np.argsort(np.tile(lens_ft, KT), kind="stable")]
+        rows_ft_t = np.tile(rows_ft, (KT, 1))[ids_ft]  # length-sorted
 
         n_ft = FT2 * M * 6
         n_ftp = (n_ft + 4095) // 4096 * 4096  # transcode tile multiple
 
         @jax.jit
         def full_transcode(rw, salt):
-            lv = decode_scans_pallas(rw, M)
+            lv = decode_scans_pallas(rw, M, win=64)
             cmx = lv.reshape(n_ft, 64).T
             dcd = cmx[0].astype(jnp.int32).reshape(FT2, M, 6)
             dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(FT2, M * 4) * qdc_l,
@@ -296,9 +302,10 @@ def main():
             return (jnp.sum(lv2[:, ::37].astype(jnp.int32)) +
                     jnp.sum(yv[:, ::13, ::17].astype(jnp.int32)) + salt)
 
-        sel_ft = np.arange(0, FT2 * M * 6, 37) % (F * M * 6)
-        exp_ft = (((int(block_sums[sel_ft].sum()) +
-                    int(yh[np.arange(0, FT2, 97) % F, ::13, ::17]
+        bs_sorted = block_sums.reshape(F, M * 6)[ids_ft].reshape(-1)
+        sel_ft = np.arange(0, FT2 * M * 6, 37)
+        exp_ft = (((int(bs_sorted[sel_ft].sum()) +
+                    int(yh[ids_ft[np.arange(0, FT2, 97)], ::13, ::17]
                         .astype(np.int64).sum())) & 0xFFFFFFFF)
                   ^ 0x80000000) - 0x80000000
         rw_dev = jax.device_put(jnp.asarray(rows_ft_t))
@@ -413,6 +420,46 @@ def main():
         dev_complete160_fps = F160 * K160 / t_c160
     except Exception as e:
         print(f"# complete 160x120 transcode section skipped: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    # ---------------- COMPLETE device encode (pixels -> scan words) ---------
+    # BASELINE config 4's device-resident half: YUV planes in HBM -> FDCT +
+    # quant (XLA) -> Pallas Huffman pack; only framed payload bytes leave.
+    # Gated at K=1: framed payloads must equal the host encoder's bytes.
+    dev_completeenc_fps = None
+    try:
+        from amv_tpu.kernels.entropy_encode_pallas import encode_scans_pallas
+        want_enc = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
+        lens_en = np.array([len(p) for p in want_enc])
+        KE2 = int(os.environ.get("AMV_BENCH_COMPLETEENC_K", "32"))
+        FE2 = F * KE2
+        ids_en = np.tile(np.arange(F), KE2)[
+            np.argsort(np.tile(lens_en, KE2), kind="stable")]
+
+        @jax.jit
+        def complete_encode(yy, cc, rr, salt):
+            yy = (yy.astype(jnp.int32) + salt * 0).astype(jnp.uint8)
+            lv = encode_transform(yy, cc, rr, mb_w, mb_h, 2)
+            words, bits = encode_scans_pallas(lv, w_out=1024, win_rows=64)
+            return words, bits, (jnp.sum(words[::31, ::17]) +
+                                 jnp.sum(bits) + salt)
+
+        y1, cb1d, cr1d = (jax.device_put(jnp.asarray(x))
+                          for x in (yh, cbh, crh))
+        w1, b1, _ = complete_encode(y1, cb1d, cr1d, jnp.int32(0))
+        got_enc = native.escape_frames(np.asarray(w1), np.asarray(b1))
+        assert got_enc == want_enc, \
+            "complete device encode != host encoder payloads"
+
+        ys, cbs, crs = (jax.device_put(jnp.asarray(
+            np.tile(x, (KE2, 1, 1))[ids_en])) for x in (yh, cbh, crh))
+        jax.block_until_ready((ys, cbs, crs))
+        _ = int(complete_encode(ys, cbs, crs, jnp.int32(0))[2][...])
+        t_ce = best_time(lambda: int(complete_encode(
+            ys, cbs, crs, jnp.int32(np.random.randint(1000)))[2][...]))
+        dev_completeenc_fps = FE2 / t_ce
+    except Exception as e:
+        print(f"# complete device encode section skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
     # optional: the pure-XLA two-stage path (pre-Pallas headline)
@@ -595,6 +642,8 @@ def main():
                if dev_complete_fps else {}),
             **({"device_complete_160x120_fps": round(dev_complete160_fps, 1)}
                if dev_complete160_fps else {}),
+            **({"device_complete_encode_fps": round(dev_completeenc_fps, 1)}
+               if dev_completeenc_fps else {}),
             **({"host_unescape_fps": round(unescape_fps, 1)}
                if unescape_fps else {}),
             "adpcm_kernel": adpcm_kernel,
