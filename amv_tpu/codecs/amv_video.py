@@ -77,7 +77,13 @@ def decode_transform(levels_zz: jnp.ndarray, mb_w: int, mb_h: int,
     else:
         pix = KI.dequantize_idct(raster, dc, qm)  # uint8 [F, M, 6, 8, 8]
 
-    # --- MCU assembly + AMV flip (mjpeg_decode_scan:672-723) ----------------
+    return assemble_planes(pix, mb_w, mb_h, width, height)
+
+
+def assemble_planes(pix, mb_w: int, mb_h: int, width: int, height: int):
+    """Decoded blocks uint8 [F, M, 6, 8, 8] -> YUV420 display planes
+    (MCU assembly + AMV flip, mjpeg_decode_scan:672-723)."""
+    F = pix.shape[0]
     mcu = pix.reshape(F, mb_h, mb_w, 6, 8, 8)
     yb = mcu[:, :, :, :4].reshape(F, mb_h, mb_w, 2, 2, 8, 8)
     ycoded = yb.transpose(0, 1, 3, 5, 2, 4, 6).reshape(F, 16 * mb_h, 16 * mb_w)
@@ -124,15 +130,16 @@ def decode_frames(payloads: list[bytes], width: int, height: int,
             from ..kernels.entropy_decode import decode_scans_device
             levels = decode_scans_device(jnp.asarray(arr), mb_w * mb_h)
         else:
-            from ..kernels.entropy_decode_pallas import decode_scans_pallas
-            # length-sorted batch: lane cursors cluster, so the Pallas
-            # kernel's fetch window shrinks and stragglers drop (~1.5x)
+            from ..pipeline.transcode import decode_scans_layout
+            # length-sorted batch (lane cursors cluster: fetch window
+            # shrinks, stragglers drop ~1.5x) through the zero-relayout
+            # slab chain (entropy + dequant/IDCT share one layout)
             lens = np.array([len(p) for p in payloads])
             order = np.argsort(lens, kind="stable")
             inv = np.argsort(order)
-            levels = decode_scans_pallas(jnp.asarray(arr[order]),
-                                         mb_w * mb_h, win=64)
-            y, cb, cr = decode_transform(levels, mb_w, mb_h, width, height)
+            pix = decode_scans_layout(jnp.asarray(arr[order]),
+                                      mb_w * mb_h, win_fetch=64)
+            y, cb, cr = assemble_planes(pix, mb_w, mb_h, width, height)
             return (np.asarray(y)[inv], np.asarray(cb)[inv],
                     np.asarray(cr)[inv])
     else:

@@ -76,6 +76,45 @@ def _make_kernel(qmat_key):
     return kernel
 
 
+def _make_dec_kernel():
+    def kernel(lv_ref, dc_ref, out_ref):
+        luma = pl.program_id(2) < 4  # scalar slot type
+        deq = [None] * 64
+        deq[0] = _wrap16(dc_ref[0, 0, 0].astype(jnp.int32))
+        for i in range(1, 64):
+            qv = jnp.where(luma, int(_QM_L[_ZZ[i]]), int(_QM_C[_ZZ[i]]))
+            deq[_ZZ[i]] = _wrap16(lv_ref[0, 0, 0, i].astype(jnp.int32) * qv)
+        pix = _idct_cols(deq)
+        for k in range(64):
+            out_ref[0, 0, 0, k] = pix[k].astype(jnp.uint8)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def decode_mcu_layout(lv, dc, interpret: bool = False):
+    """Decode-only half of transcode_mcu_layout: dequant + zigzag + IDCT
+    on the entropy decoder's slab layout (mjpegdec/simple_idct
+    semantics).  lv int16 [CB, M, 6, 64, 8, 128] zigzag (slot0 ignored),
+    dc int32 [CB, M, 6, 8, 128] resolved dequantized DC ->
+    pix uint8 [CB, M, 6, 64, 8, 128] raster pixel rows."""
+    cb, m = lv.shape[0], lv.shape[1]
+    return pl.pallas_call(
+        _make_dec_kernel(),
+        out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, SB, 128), jnp.uint8),
+        grid=(cb, m, 6),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 64, SB, 128),
+                         lambda i, j, k: (i, j, k, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, SB, 128),
+                         lambda i, j, k: (i, j, k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, 64, SB, 128),
+                               lambda i, j, k: (i, j, k, 0, 0, 0)),
+        interpret=interpret,
+    )(lv, dc)
+
+
 @partial(jax.jit, static_argnames=("qmat_key", "interpret"))
 def transcode_mcu_layout(lv, dc, qmat_key, interpret: bool = False):
     """lv int16 [CB, M, 6, 64, 8, 128] zigzag levels (slot0 ignored),

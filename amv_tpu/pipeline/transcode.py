@@ -121,6 +121,42 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     return wout, bout
 
 
+@partial(jax.jit, static_argnames=("n_mcu", "interpret", "win_fetch"))
+def decode_scans_layout(scans, n_mcu: int, interpret: bool = False,
+                        win_fetch: int = 256):
+    """Zero-relayout device decode: unescaped scan bytes -> decoded
+    pixel blocks uint8 [F, n_mcu, 6, 8, 8].
+
+    Pallas entropy decode + in-layout DC cumsum + slab-layout
+    dequant/IDCT (decode_mcu_layout); the only relayout is the final
+    uint8 pixel transpose — half the bytes of the int16 level transpose
+    the decode_scans_pallas + decode_transform pairing pays.  Feed
+    codecs.amv_video.assemble_planes for display planes.
+    """
+    from ..bitstream import jpeg_tables as T
+    from ..kernels.entropy_decode_pallas import (scan_words_layout,
+                                                 _decode_layout)
+    from ..kernels.transcode_layout_pallas import decode_mcu_layout
+
+    F = scans.shape[0]
+    fp = (F + 1023) // 1024 * 1024
+    cb, nb = fp // 1024, n_mcu * 6
+    wl = scan_words_layout(scans)
+    lv = _decode_layout(wl, nb, interpret=interpret, win=win_fetch)
+    lvl = lv.reshape(cb, n_mcu, 6, 64, 8, 128)
+    qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
+    qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
+    d = lvl[:, :, :, 0].astype(jnp.int32)
+    dy = (jnp.cumsum(d[:, :, :4].reshape(cb, n_mcu * 4, 8, 128) * qdc_l,
+                     axis=1).reshape(cb, n_mcu, 4, 8, 128) + 1024)
+    dcb = jnp.cumsum(d[:, :, 4] * qdc_c, axis=1) + 1024
+    dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
+    dc = jnp.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
+    pixs = decode_mcu_layout(lvl, dc, interpret=interpret)
+    pix = pixs.transpose(0, 4, 5, 1, 2, 3).reshape(fp, n_mcu, 6, 64)
+    return pix[:F].reshape(F, n_mcu, 6, 8, 8)
+
+
 def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     """Re-encode a complete .amv file (video re-quantized at qscale;
     audio chunks are already bit-exact ADPCM and pass through).

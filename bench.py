@@ -232,10 +232,13 @@ def main():
             np.argsort(np.tile(lens_e, KE), kind="stable")]
         rows_t = np.tile(rows, (KE, 1))[ids_e]  # length-sorted batch
 
+        from amv_tpu.pipeline.transcode import decode_scans_layout
+        from amv_tpu.codecs.amv_video import assemble_planes
+
         @jax.jit
         def fused_full_decode(rw, salt):
-            lv = decode_scans_pallas(rw, M, win=64)
-            yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
+            pix = decode_scans_layout(rw, M, win_fetch=64)
+            yy, ccb, ccr = assemble_planes(pix, mb_w, mb_h, w, h)
             return (jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)) +
                     jnp.sum(ccb[::53, ::7, ::11].astype(jnp.int32)) +
                     jnp.sum(ccr[::53, ::7, ::11].astype(jnp.int32)) + salt)

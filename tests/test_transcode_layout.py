@@ -64,6 +64,75 @@ def test_complete_layout_chain_byte_exact():
     assert got == want
 
 
+def test_complete_layout_chain_fuzz():
+    """Randomized property check: for any valid stream the chain must
+    reproduce the host path byte-for-byte (3 seeds, varied density and
+    magnitude, incl. ZRL-heavy and DC-only extremes)."""
+    from amv_tpu.bitstream.entropy import (huffman_decode_frames,
+                                           huffman_encode_frame)
+    from amv_tpu.native import entropy_native as native
+    from amv_tpu.pipeline.transcode import transcode_complete_layout
+    from amv_tpu.verify.ref_jpeg import unescape_scan
+
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    for seed, dens, mag in ((11, 0.02, 500), (12, 0.3, 30), (13, 0.08, 150)):
+        rng = np.random.default_rng(seed)
+        F, M = 2, 1
+        lv = np.zeros((F, M, 6, 64), np.int16)
+        lv[..., 0] = rng.integers(-300, 300, (F, M, 6))
+        mask = rng.random((F, M, 6, 63)) < dens
+        lv[..., 1:] = np.where(mask,
+                               rng.integers(-mag, mag, (F, M, 6, 63)), 0)
+        lv[0, 0, 1, 1:] = 0                      # DC-only block
+        payloads = [huffman_encode_frame(lv[f]) for f in range(F)]
+        scans = [unescape_scan(p[2:-2]) for p in payloads]
+        maxb = (max(len(x) for x in scans) + 3) & ~3
+        arr = np.zeros((F, maxb), np.uint8)
+        for i, x in enumerate(scans):
+            arr[i, :len(x)] = np.frombuffer(x, np.uint8)
+        words, bits = transcode_complete_layout(
+            jnp.asarray(arr), M, qk, w_out=256, interpret=True,
+            win_fetch=32, win_emit=64)
+        got = native.escape_frames(np.asarray(words), np.asarray(bits))
+        levels = np.asarray(huffman_decode_frames(payloads, M))
+        lv2 = np.asarray(transcode_levels_fused(jnp.asarray(levels), 2)[0])
+        want = [huffman_encode_frame(lv2[f]) for f in range(F)]
+        assert got == want, f"seed {seed}"
+
+
+def test_decode_layout_chain_matches_transform():
+    """Scan bytes -> slab decode chain pixels == host decode + transform."""
+    from amv_tpu.bitstream.entropy import (huffman_decode_frames,
+                                           huffman_encode_frame)
+    from amv_tpu.codecs.amv_video import assemble_planes, decode_transform
+    from amv_tpu.pipeline.transcode import decode_scans_layout
+    from amv_tpu.verify.ref_jpeg import unescape_scan
+
+    rng = np.random.default_rng(21)
+    F, mbw, mbh = 2, 2, 1
+    M = mbw * mbh
+    lv = np.zeros((F, M, 6, 64), np.int16)
+    lv[..., 0] = rng.integers(0, 300, (F, M, 6))
+    mask = rng.random((F, M, 6, 63)) < 0.15
+    lv[..., 1:] = np.where(mask, rng.integers(-150, 150, (F, M, 6, 63)), 0)
+    payloads = [huffman_encode_frame(lv[f]) for f in range(F)]
+    scans = [unescape_scan(p[2:-2]) for p in payloads]
+    maxb = (max(len(x) for x in scans) + 3) & ~3
+    arr = np.zeros((F, maxb), np.uint8)
+    for i, x in enumerate(scans):
+        arr[i, :len(x)] = np.frombuffer(x, np.uint8)
+
+    pix = decode_scans_layout(jnp.asarray(arr), M, interpret=True,
+                              win_fetch=32)
+    w, h = 16 * mbw, 16 * mbh
+    got = [np.asarray(p) for p in assemble_planes(pix, mbw, mbh, w, h)]
+    levels = np.asarray(huffman_decode_frames(payloads, M))
+    want = [np.asarray(p) for p in
+            decode_transform(jnp.asarray(levels), mbw, mbh, w, h)]
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(g, wv)
+
+
 def test_layout_transcode_matches_fused():
     rng = np.random.default_rng(9)
     F, M = 5, 4  # tiny M: interpret-mode cost is per grid step
