@@ -152,19 +152,13 @@ def decode_frames(payloads: list[bytes], width: int, height: int,
 # Encode
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mb_w", "mb_h", "qscale"))
-def encode_transform(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
-                     mb_w: int, mb_h: int, qscale: int = 2):
-    """YUV420 frames -> quantized levels [F, n_mcu, 6, 64] (zigzag order).
-
-    Implements the flip + bottom/right edge replication
-    (amv_encode_picture:467-471 + ff_emulated_edge_mc) and the
-    fdct+quantize path on device.
-    """
-    F, H, W = y.shape
-    qmat = jnp.asarray(
-        ((1 << 22) // (8 * _encoder_quant_matrix(qscale).astype(np.int64)))
-        .astype(np.int32))
+@partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def extract_blocks(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
+                   mb_w: int, mb_h: int):
+    """YUV420 planes -> encoder block layout uint8 [F, n_mcu, 6, 8, 8]
+    (flip + bottom/right edge replication, amv_encode_picture:467-471 +
+    ff_emulated_edge_mc)."""
+    F = y.shape[0]
 
     def flip_pad(p, th, tw):
         p = p[:, ::-1]
@@ -175,16 +169,29 @@ def encode_transform(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
     yc = flip_pad(y, 16 * mb_h, 16 * mb_w)
     cbc = flip_pad(cb, 8 * mb_h, 8 * mb_w)
     crc = flip_pad(cr, 8 * mb_h, 8 * mb_w)
-
-    # extract blocks: Y -> [F, mb_h, mb_w, 2, 2, 8, 8]
     yb = yc.reshape(F, mb_h, 2, 8, mb_w, 2, 8).transpose(0, 1, 4, 2, 5, 3, 6)
     cbb = cbc.reshape(F, mb_h, 8, mb_w, 8).transpose(0, 1, 3, 2, 4)
     crb = crc.reshape(F, mb_h, 8, mb_w, 8).transpose(0, 1, 3, 2, 4)
-    blocks = jnp.concatenate([
+    return jnp.concatenate([
         yb.reshape(F, mb_h * mb_w, 4, 8, 8),
         cbb.reshape(F, mb_h * mb_w, 1, 8, 8),
         crb.reshape(F, mb_h * mb_w, 1, 8, 8),
     ], axis=2)
+
+
+@partial(jax.jit, static_argnames=("mb_w", "mb_h", "qscale"))
+def encode_transform(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
+                     mb_w: int, mb_h: int, qscale: int = 2):
+    """YUV420 frames -> quantized levels [F, n_mcu, 6, 64] (zigzag order).
+
+    Implements the flip + bottom/right edge replication
+    (amv_encode_picture:467-471 + ff_emulated_edge_mc) and the
+    fdct+quantize path on device.
+    """
+    qmat = jnp.asarray(
+        ((1 << 22) // (8 * _encoder_quant_matrix(qscale).astype(np.int64)))
+        .astype(np.int32))
+    blocks = extract_blocks(y, cb, cr, mb_w, mb_h)
 
     if _use_pallas():
         from ..kernels.fdct_pallas import fdct_quantize_pallas

@@ -115,6 +115,53 @@ def decode_mcu_layout(lv, dc, interpret: bool = False):
     )(lv, dc)
 
 
+def _make_enc_kernel(qmat_key):
+    q = list(qmat_key)
+
+    def kernel(pix_ref, out_ref):
+        pix = [pix_ref[0, 0, 0, k].astype(jnp.int32) for k in range(64)]
+        cols = [[pix[r * 8 + i2] for i2 in range(8)] for r in range(8)]
+        mid = [_fdct_1d(cols[r], 13 - PASS1_BITS, True) for r in range(8)]
+        out = [None] * 64
+        for j in range(8):
+            cc = [mid[i2][j] for i2 in range(8)]
+            o = _fdct_1d(cc, 13 + PASS1_BITS, False)
+            for i2 in range(8):
+                pos = i2 * 8 + j
+                coef = o[i2]
+                if pos == 0:
+                    out[0] = ((coef + 32) >> 6).astype(jnp.int16)
+                else:
+                    level = coef * q[pos]
+                    qv2 = jnp.where(level >= 0, level >> 22,
+                                    -((-level) >> 22))
+                    out[pos] = jnp.clip(qv2, -1023, 1023).astype(jnp.int16)
+        for i in range(64):
+            out_ref[0, 0, 0, i] = out[_ZZ[i]]      # raster -> zigzag rows
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("qmat_key", "interpret"))
+def encode_mcu_layout(pix, qmat_key, interpret: bool = False):
+    """Encode-only half of transcode_mcu_layout: FDCT + quantize on
+    pixel-row slabs (jfdctint/dct_quantize semantics).  pix uint8
+    [CB, M, 6, 64, 8, 128] raster rows -> lv int16 [CB, M, 6, 64, 8,
+    128] zigzag levels (slot0 = absolute quantized DC, the entropy
+    encoder's contract)."""
+    cb, m = pix.shape[0], pix.shape[1]
+    return pl.pallas_call(
+        _make_enc_kernel(qmat_key),
+        out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, SB, 128), jnp.int16),
+        grid=(cb, m, 6),
+        in_specs=[pl.BlockSpec((1, 1, 1, 64, SB, 128),
+                               lambda i, j, k: (i, j, k, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, 1, 64, SB, 128),
+                               lambda i, j, k: (i, j, k, 0, 0, 0)),
+        interpret=interpret,
+    )(pix)
+
+
 @partial(jax.jit, static_argnames=("qmat_key", "interpret"))
 def transcode_mcu_layout(lv, dc, qmat_key, interpret: bool = False):
     """lv int16 [CB, M, 6, 64, 8, 128] zigzag levels (slot0 ignored),

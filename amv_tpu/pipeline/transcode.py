@@ -157,6 +157,41 @@ def decode_scans_layout(scans, n_mcu: int, interpret: bool = False,
     return pix[:F].reshape(F, n_mcu, 6, 8, 8)
 
 
+@partial(jax.jit, static_argnames=("mb_w", "mb_h", "qmat_key", "w_out",
+                                   "interpret", "win_emit"))
+def encode_planes_layout(y, cb_p, cr_p, mb_w: int, mb_h: int, qmat_key,
+                         w_out: int = 1024, interpret: bool = False,
+                         win_emit: int = 128):
+    """Zero-relayout device encode: YUV420 planes -> scan words.
+
+    Block extraction (flip + edge replication, XLA) feeds the slab
+    layout once as uint8 pixels — half the bytes of the int16 level
+    relayout that encode_transform + encode_scans_pallas pays — then
+    FDCT/quant (encode_mcu_layout) and the Pallas Huffman packer run
+    in-layout.  Returns (words int32 [F, w_out], bits int32 [F]) for
+    native.escape_frames.
+    """
+    from ..codecs.amv_video import extract_blocks
+    from ..kernels.entropy_encode_pallas import _encode_layout, WIN_O
+    from ..kernels.transcode_layout_pallas import encode_mcu_layout
+
+    w_out = max(WIN_O, (w_out + WIN_O - 1) // WIN_O * WIN_O)
+    F = y.shape[0]
+    n_mcu = mb_w * mb_h
+    fp = (F + 1023) // 1024 * 1024
+    cb_n, nb = fp // 1024, n_mcu * 6
+    blocks = extract_blocks(y, cb_p, cr_p, mb_w, mb_h)  # [F, M, 6, 8, 8]
+    bl = jnp.pad(blocks.reshape(F, n_mcu, 6, 64),
+                 ((0, fp - F), (0, 0), (0, 0), (0, 0)))
+    pix = bl.reshape(cb_n, 8, 128, n_mcu, 6, 64).transpose(0, 3, 4, 5, 1, 2)
+    lv2 = encode_mcu_layout(pix, qmat_key, interpret=interpret)
+    words, bits = _encode_layout(lv2.reshape(cb_n, nb, 64, 8, 128), w_out,
+                                 interpret=interpret, win_rows=win_emit)
+    wout = words.transpose(0, 2, 3, 1).reshape(fp, w_out)[:F]
+    bout = bits[:, 0].reshape(fp)[:F]
+    return wout, bout
+
+
 def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     """Re-encode a complete .amv file (video re-quantized at qscale;
     audio chunks are already bit-exact ADPCM and pass through).

@@ -431,7 +431,7 @@ def main():
     # Gated at K=1: framed payloads must equal the host encoder's bytes.
     dev_completeenc_fps = None
     try:
-        from amv_tpu.kernels.entropy_encode_pallas import encode_scans_pallas
+        from amv_tpu.pipeline.transcode import encode_planes_layout
         want_enc = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
         lens_en = np.array([len(p) for p in want_enc])
         KE2 = int(os.environ.get("AMV_BENCH_COMPLETEENC_K", "32"))
@@ -442,8 +442,8 @@ def main():
         @jax.jit
         def complete_encode(yy, cc, rr, salt):
             yy = (yy.astype(jnp.int32) + salt * 0).astype(jnp.uint8)
-            lv = encode_transform(yy, cc, rr, mb_w, mb_h, 2)
-            words, bits = encode_scans_pallas(lv, w_out=1024, win_rows=64)
+            words, bits = encode_planes_layout(yy, cc, rr, mb_w, mb_h, qk,
+                                               w_out=1024, win_emit=64)
             return words, bits, (jnp.sum(words[::31, ::17]) +
                                  jnp.sum(bits) + salt)
 

@@ -133,6 +133,34 @@ def test_decode_layout_chain_matches_transform():
         np.testing.assert_array_equal(g, wv)
 
 
+def test_encode_layout_chain_byte_exact():
+    """YUV planes -> slab encode chain -> framed payloads must equal the
+    host path (encode_transform + host Huffman), incl. the flip and
+    edge-replication semantics on a non-aligned height."""
+    from amv_tpu.bitstream.entropy import huffman_encode_frame
+    from amv_tpu.codecs.amv_video import encode_transform
+    from amv_tpu.native import entropy_native as native
+    from amv_tpu.pipeline.transcode import encode_planes_layout
+
+    rng = np.random.default_rng(31)
+    F, mbw, mbh = 2, 2, 1
+    w, h = 32, 12                          # h=12: edge-replicated rows
+    y = rng.integers(0, 256, (F, h, w), dtype=np.uint8)
+    cb = rng.integers(0, 256, (F, h // 2, w // 2), dtype=np.uint8)
+    cr = rng.integers(0, 256, (F, h // 2, w // 2), dtype=np.uint8)
+
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    words, bits = encode_planes_layout(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), mbw, mbh, qk,
+        w_out=256, interpret=True, win_emit=64)
+    got = native.escape_frames(np.asarray(words), np.asarray(bits))
+
+    lv = np.asarray(encode_transform(jnp.asarray(y), jnp.asarray(cb),
+                                     jnp.asarray(cr), mbw, mbh, 2))
+    want = [huffman_encode_frame(lv[f]) for f in range(F)]
+    assert got == want
+
+
 def test_layout_transcode_matches_fused():
     rng = np.random.default_rng(9)
     F, M = 5, 4  # tiny M: interpret-mode cost is per grid step
