@@ -224,21 +224,34 @@ def encode_frames(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     """
     F, H, W = y.shape
     mb_w, mb_h = (W + 15) // 16, (H + 15) // 16
-    levels_dev = encode_transform(
-        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), mb_w, mb_h, qscale)
     if device_entropy:
-        if jax.default_backend() != "cpu":
-            # Pallas bit-packer (~100x the XLA scatter path) + C framing
-            from ..kernels.entropy_encode_pallas import encode_scans_pallas
+        if jax.default_backend() != "cpu" and mb_w * mb_h <= 80:
+            # zero-relayout Pallas chain (extract -> FDCT/quant ->
+            # Huffman pack in slab layout) + C framing.  w_out is
+            # VMEM-capped; if a frame overflows it the C pass raises
+            # and we fall through to the host packer below.
             from ..native import entropy_native as native
-            w_out = max(1024, mb_w * mb_h * 6 * 35)
-            words, bits = encode_scans_pallas(levels_dev, w_out=w_out)
-            return native.escape_frames(np.asarray(words), np.asarray(bits))
+            from ..pipeline.transcode import encode_planes_layout
+            qk = tuple(int(v) for v in _encoder_quant_qmat_np(qscale))
+            w_out = min(1664, 1024 * ((mb_w * mb_h + 47) // 48))
+            words, bits = encode_planes_layout(
+                jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+                mb_w, mb_h, qk, w_out=w_out)
+            try:
+                return native.escape_frames(np.asarray(words),
+                                            np.asarray(bits))
+            except ValueError:
+                pass  # frame exceeded the VMEM-safe budget: host packer
         from ..kernels.entropy_encode import encode_frames_device
+        levels_dev = encode_transform(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+            mb_w, mb_h, qscale)
         # worst case ~2.2 bytes/coeff incl. escapes; frames are tiny
         max_bytes = max(4096, mb_w * mb_h * 6 * 140)
         payload, lens = encode_frames_device(levels_dev, max_bytes=max_bytes)
         payload, lens = np.asarray(payload), np.asarray(lens)
         return [payload[f, :lens[f]].tobytes() for f in range(F)]
-    levels = np.asarray(levels_dev)
+    levels = np.asarray(encode_transform(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), mb_w, mb_h,
+        qscale))
     return [huffman_encode_frame(levels[f]) for f in range(F)]
