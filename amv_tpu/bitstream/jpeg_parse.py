@@ -27,6 +27,9 @@ class JpegFrame:
     # per scan component: (comp_index, dc_id, ac_id)
     scan_components: list = field(default_factory=list)
     scan: bytes = b""
+    # DRI restart interval in MCUs (0 = no restart markers),
+    # mjpegdec.c ff_mjpeg_decode_dri
+    restart_interval: int = 0
 
     @property
     def is_420_3c(self):
@@ -35,6 +38,24 @@ class JpegFrame:
         (h0, v0) = self.components[0][1:3]
         return (h0, v0) == (2, 2) and all(
             c[1] == 1 and c[2] == 1 for c in self.components[1:])
+
+    @property
+    def sampling(self):
+        """(h_max, v_max) over components."""
+        return (max(c[1] for c in self.components),
+                max(c[2] for c in self.components))
+
+    def mcu_blocks(self):
+        """Interleaved-MCU block list in scan order: one entry
+        (comp_index, dc_table_id, ac_table_id, quant_id) per 8x8 block
+        (mjpegdec.c mjpeg_decode_scan's nb_blocks/h_count/v_count walk).
+        """
+        ids = {ci: (dc, ac) for ci, dc, ac in self.scan_components}
+        out = []
+        for ci, (cid, h, v, tq) in enumerate(self.components):
+            dc, ac = ids[ci]
+            out.extend([(ci, dc, ac, tq)] * (h * v))
+        return out
 
 
 def parse_jpeg(data: bytes) -> JpegFrame:
@@ -87,6 +108,8 @@ def parse_jpeg(data: bytes) -> JpegFrame:
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError(f"unsupported SOF type 0x{marker:02x} "
                              "(baseline only)")
+        elif marker == 0xDD:  # DRI (restart interval in MCUs)
+            f.restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for c in range(ns):

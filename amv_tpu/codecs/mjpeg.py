@@ -1,9 +1,14 @@
-"""Standard baseline MJPEG decoder (per-frame tables), 4:2:0.
+"""Standard baseline MJPEG codec (per-frame tables).
 
 Generalizes the AMV path: quant/Huffman tables are parsed from each frame
 (bitstream/jpeg_parse.py) instead of canned, output is top-down (no AMV
-flip).  Covers the reference's mjpegdec.c baseline usage for MJPEG-in-AVI
-material; the same bit-exact integer IDCT path is reused on device.
+flip), sampling may be 4:2:0 / 4:2:2 / 4:4:4 / grayscale, and restart
+markers (DRI/RSTn, mjpegdec.c:533-548) are decoded with the DC-prediction
+reset expressed as a restart-segmented cumsum on device.  Covers the
+reference's mjpegdec.c baseline usage for MJPEG-in-AVI material (which
+commonly carries DRI/RST); the same bit-exact integer IDCT path is reused
+on device.  Progressive JPEG (decode_block_progressive, mjpegdec.c:432)
+is not implemented — the reference never exercises it for MJPEG-in-AVI.
 """
 
 from __future__ import annotations
@@ -38,23 +43,53 @@ def _tables_are_k3(frame) -> bool:
     return True
 
 
+def _layout_of(frame):
+    """(kind, nb, mcu_w, mcu_h) for the supported interleaved samplings
+    (mjpegdec.c mjpeg_decode_sof's h/v handling, baseline subset)."""
+    comps = frame.components
+    if len(comps) == 1 and comps[0][1:3] == (1, 1):
+        return ("gray", 1, 8, 8)
+    if len(comps) == 3:
+        sub = tuple(c[1:3] for c in comps)
+        if sub == ((2, 2), (1, 1), (1, 1)):
+            return ("420", 6, 16, 16)
+        if sub == ((2, 1), (1, 1), (1, 1)):
+            return ("422", 4, 16, 8)
+        if sub == ((1, 1), (1, 1), (1, 1)):
+            return ("444", 3, 8, 8)
+    raise ValueError(
+        "unsupported MJPEG sampling "
+        f"{[(c[1], c[2]) for c in comps]} (4:2:0/4:2:2/4:4:4/gray only)")
+
+
+# per layout: component index of each MCU block
+_COMP_OF_BLOCK = {"420": (0, 0, 0, 0, 1, 2), "422": (0, 0, 1, 2),
+                  "444": (0, 1, 2), "gray": (0,)}
+
+
 def _decode_scan_generic(scan: bytes, n_mcu: int, frame) -> np.ndarray:
-    """Python Huffman decode with arbitrary parsed tables (420, 3 comp)."""
+    """Python Huffman decode with arbitrary parsed tables, any supported
+    sampling, and restart markers (scalar oracle for the C fast path;
+    mjpegdec.c decode_block + the :533-548 RSTn resync)."""
     luts = {}
     for key, spec in frame.huff.items():
         luts[key] = T.build_decode_table(*spec)
-    # per block index within MCU: (dc table id, ac table id)
-    sc = frame.scan_components
-    tabs = []
-    for b in range(6):
-        comp = 0 if b < 4 else b - 3
-        _, dc_id, ac_id = sc[comp]
-        tabs.append((luts[(0, dc_id)], luts[(1, ac_id)]))
+    blocks = frame.mcu_blocks()
+    nb = len(blocks)
+    tabs = [(luts[(0, dc_id)], luts[(1, ac_id)])
+            for (_, dc_id, ac_id, _) in blocks]
+    ri = frame.restart_interval
 
     br = R.BitReader(scan)
-    levels = np.zeros((n_mcu, 6, 64), dtype=np.int16)
+    levels = np.zeros((n_mcu, nb, 64), dtype=np.int16)
     for m in range(n_mcu):
-        for b in range(6):
+        if ri and m and m % ri == 0:
+            br.pos = (br.pos + 7) & ~7          # byte align
+            marker = br.get_bits(16)
+            if marker & 0xFFF8 != 0xFFD0:
+                raise ValueError(f"expected RSTn at MCU {m}, "
+                                 f"got 0x{marker:04x}")
+        for b in range(nb):
             dc_lut, ac_lut = tabs[b]
             sym = R._read_vlc(br, dc_lut)
             levels[m, b, 0] = br.get_xbits(sym) if sym else 0
@@ -79,50 +114,109 @@ def _decode_scan_generic(scan: bytes, n_mcu: int, frame) -> np.ndarray:
     return levels
 
 
-@partial(jax.jit, static_argnames=("mb_w", "mb_h", "width", "height"))
-def _transform(levels_zz, qm_zz_luma, qm_zz_chroma, mb_w, mb_h, width, height):
-    """Like amv_video.decode_transform but parameterized tables, no flip."""
-    F, M = levels_zz.shape[0], levels_zz.shape[1]
+def _seg_cumsum(x, seg_len: int):
+    """Cumulative sum along axis 1 that resets every seg_len entries
+    (seg_len <= 0: plain cumsum).  The restart-marker DC-prediction
+    reset (mjpegdec.c:545-547) expressed as prefix subtraction so it
+    stays one XLA gather instead of a ragged scan."""
+    c = jnp.cumsum(x, axis=1)
+    if seg_len <= 0 or x.shape[1] <= seg_len:
+        return c
+    idx = jnp.arange(x.shape[1])
+    start = (idx // seg_len) * seg_len
+    prev = jnp.take(c, jnp.maximum(start - 1, 0), axis=1)
+    return c - jnp.where(start > 0, prev, 0)
+
+
+def _assemble(pix, layout, mb_w, mb_h, width, height):
+    """Pixel blocks [F, M, nb, 8, 8] -> top-down planes per layout."""
+    F = pix.shape[0]
+    mcu = pix.reshape(F, mb_h, mb_w, -1, 8, 8)
+    if layout == "420":
+        yb = mcu[:, :, :, :4].reshape(F, mb_h, mb_w, 2, 2, 8, 8)
+        y = yb.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            F, 16 * mb_h, 16 * mb_w)[:, :height, :width]
+        cb = mcu[:, :, :, 4].transpose(0, 1, 3, 2, 4).reshape(
+            F, 8 * mb_h, 8 * mb_w)[:, :height // 2, :width // 2]
+        cr = mcu[:, :, :, 5].transpose(0, 1, 3, 2, 4).reshape(
+            F, 8 * mb_h, 8 * mb_w)[:, :height // 2, :width // 2]
+        return y, cb, cr
+    if layout == "422":
+        yb = mcu[:, :, :, :2]                  # [F, mh, mw, 2, 8, 8]
+        y = yb.transpose(0, 1, 4, 2, 3, 5).reshape(
+            F, 8 * mb_h, 16 * mb_w)[:, :height, :width]
+        cb = mcu[:, :, :, 2].transpose(0, 1, 3, 2, 4).reshape(
+            F, 8 * mb_h, 8 * mb_w)[:, :height, :(width + 1) // 2]
+        cr = mcu[:, :, :, 3].transpose(0, 1, 3, 2, 4).reshape(
+            F, 8 * mb_h, 8 * mb_w)[:, :height, :(width + 1) // 2]
+        return y, cb, cr
+    if layout == "444":
+        planes = [mcu[:, :, :, k].transpose(0, 1, 3, 2, 4).reshape(
+            F, 8 * mb_h, 8 * mb_w)[:, :height, :width] for k in range(3)]
+        return tuple(planes)
+    # gray
+    y = mcu[:, :, :, 0].transpose(0, 1, 3, 2, 4).reshape(
+        F, 8 * mb_h, 8 * mb_w)[:, :height, :width]
+    return y, None, None
+
+
+@partial(jax.jit, static_argnames=("layout", "mb_w", "mb_h", "width",
+                                   "height", "restart"))
+def _transform(levels_zz, qm_zz, layout, mb_w, mb_h, width, height,
+               restart=0):
+    """Like amv_video.decode_transform but parameterized tables, general
+    sampling, no flip, optional restart-segmented DC prediction.
+
+    levels_zz: int16 [F, M, nb, 64] zigzag (slot 0 = DC difference);
+    qm_zz: int32 [nb, 64] per-block quant tables, zigzag order.
+    """
+    F, M, nb = levels_zz.shape[0], levels_zz.shape[1], levels_zz.shape[2]
+    comp_of = _COMP_OF_BLOCK[layout]
     lv = levels_zz.astype(jnp.int32)
-    dc_y = jnp.cumsum(lv[:, :, :4, 0].reshape(F, M * 4) * qm_zz_luma[0],
-                      axis=1).reshape(F, M, 4) + 1024
-    dc_cb = jnp.cumsum(lv[:, :, 4, 0] * qm_zz_chroma[0], axis=1) + 1024
-    dc_cr = jnp.cumsum(lv[:, :, 5, 0] * qm_zz_chroma[0], axis=1) + 1024
-    dc = jnp.concatenate([dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
+    # blocks of each component are contiguous in MCU order for every
+    # supported layout, so the per-component DC chains concatenate back
+    # without a scatter
+    parts = []
+    for c in sorted(set(comp_of)):
+        blks = [b for b in range(nb) if comp_of[b] == c]
+        k = len(blks)
+        x = lv[:, :, blks[0]:blks[0] + k, 0].reshape(F, M * k) * \
+            qm_zz[blks[0], 0]
+        s = _seg_cumsum(x, restart * k) + 1024
+        parts.append(s.reshape(F, M, k))
+    dc = jnp.concatenate(parts, axis=2)
     raster = jnp.take(lv, jnp.asarray(T.UNZIGZAG), axis=-1)
-    unzz = jnp.asarray(T.UNZIGZAG)
-    qm_l = jnp.take(qm_zz_luma, unzz)
-    qm_c = jnp.take(qm_zz_chroma, unzz)
-    qm = jnp.stack([qm_l] * 4 + [qm_c] * 2)[None, None]
+    qm = jnp.take(qm_zz, jnp.asarray(T.UNZIGZAG), axis=-1)[None, None]
     pix = KI.dequantize_idct(raster, dc, qm)
-    mcu = pix.reshape(F, mb_h, mb_w, 6, 8, 8)
-    yb = mcu[:, :, :, :4].reshape(F, mb_h, mb_w, 2, 2, 8, 8)
-    y = yb.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
-        F, 16 * mb_h, 16 * mb_w)[:, :height, :width]
-    cb = mcu[:, :, :, 4].transpose(0, 1, 3, 2, 4).reshape(
-        F, 8 * mb_h, 8 * mb_w)[:, :height // 2, :width // 2]
-    cr = mcu[:, :, :, 5].transpose(0, 1, 3, 2, 4).reshape(
-        F, 8 * mb_h, 8 * mb_w)[:, :height // 2, :width // 2]
-    return y, cb, cr
+    return _assemble(pix, layout, mb_w, mb_h, width, height)
 
 
 def decode_mjpeg_frames(payloads: list[bytes]):
-    """Decode standard baseline MJPEG frames (4:2:0, 3 components).
+    """Decode standard baseline MJPEG frames.
 
-    All frames must share geometry; tables may vary per frame (batched per
-    table-group).  Returns (y, cb, cr) uint8 arrays, top-down.
+    Supports 4:2:0, 4:2:2, 4:4:4 and grayscale sampling, per-frame
+    quant/Huffman tables, and restart markers (DRI/RSTn,
+    mjpegdec.c:533-548).  All frames must share geometry; tables/DRI may
+    vary per frame (batched per table-group).  Returns (y, cb, cr)
+    uint8 arrays, top-down; chroma is None for grayscale, half-width
+    for 4:2:2, half-size for 4:2:0, full-size for 4:4:4.
     """
     frames = [parse_jpeg(p) for p in payloads]
     f0 = frames[0]
-    if not f0.is_420_3c:
-        raise ValueError("only 3-component 4:2:0 baseline MJPEG supported")
+    layout, nb, mcu_w, mcu_h = _layout_of(f0)
+    for f in frames[1:]:
+        if _layout_of(f)[0] != layout or (f.width, f.height) != \
+                (f0.width, f0.height):
+            raise ValueError("frames must share geometry and sampling")
     w, h = f0.width, f0.height
-    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    mb_w = (w + mcu_w - 1) // mcu_w
+    mb_h = (h + mcu_h - 1) // mcu_h
     n_mcu = mb_w * mb_h
 
-    levels = np.zeros((len(frames), n_mcu, 6, 64), np.int16)
-    std_scan = all(f.scan_components == [(0, 0, 0), (1, 1, 1), (2, 1, 1)]
-                   for f in frames)
+    levels = np.zeros((len(frames), n_mcu, nb, 64), np.int16)
+    std_scan = (layout == "420" and all(
+        f.scan_components == [(0, 0, 0), (1, 1, 1), (2, 1, 1)] and
+        f.restart_interval == 0 for f in frames))
     if std_scan and all(_tables_are_k3(f) for f in frames):
         # common case: stock tables -> reuse the fast C scan decoder
         wrapped = [b"\xFF\xD8" + f.scan + b"\xFF\xD9" for f in frames]
@@ -134,20 +228,18 @@ def decode_mjpeg_frames(payloads: list[bytes]):
             return tuple(sorted(
                 (k, bits.tobytes(), vals.tobytes())
                 for k, (bits, vals) in f.huff.items())) + \
-                tuple(map(tuple, f.scan_components))
+                tuple(map(tuple, f.scan_components)) + (f.restart_interval,)
         groups = {}
         for i, f in enumerate(frames):
             groups.setdefault(hkey(f), []).append(i)
         for idxs in groups.values():
             f = frames[idxs[0]]
-            pairs = []
-            for b in range(6):
-                comp = 0 if b < 4 else b - 3
-                _, dc_id, ac_id = f.scan_components[comp]
-                pairs.append((dc_id, ac_id))
+            pairs = [(dc_id, ac_id)
+                     for (_, dc_id, ac_id, _) in f.mcu_blocks()]
             try:
                 got = native.decode_scans_custom(
-                    [frames[i].scan for i in idxs], n_mcu, f.huff, pairs)
+                    [frames[i].scan for i in idxs], n_mcu, f.huff, pairs,
+                    restart_interval=f.restart_interval)
                 for j, i in enumerate(idxs):
                     levels[i] = got[j]
             except AttributeError:   # pure-python fallback (no native lib)
@@ -155,26 +247,31 @@ def decode_mjpeg_frames(payloads: list[bytes]):
                     scan = R.unescape_scan(frames[i].scan)
                     levels[i] = _decode_scan_generic(scan, n_mcu, frames[i])
 
-    # quant tables may vary per frame; group identical-table runs
+    # quant tables / restart interval may vary per frame; group runs
     def qkey(f):
-        qt_l = f.quant[f.components[0][3]]
-        qt_c = f.quant[f.components[1][3]]
-        return qt_l.tobytes() + qt_c.tobytes()
+        return b"".join(f.quant[tq].tobytes()
+                        for (_, _, _, tq) in f.mcu_blocks()) + \
+            bytes([f.restart_interval & 0xFF, f.restart_interval >> 8])
 
-    y = np.zeros((len(frames), h, w), np.uint8)
-    cb = np.zeros((len(frames), h // 2, w // 2), np.uint8)
-    cr = np.zeros_like(cb)
+    y = cb = cr = None
     idxs_by_key = {}
     for i, f in enumerate(frames):
         idxs_by_key.setdefault(qkey(f), []).append(i)
     for key, idxs in idxs_by_key.items():
         f = frames[idxs[0]]
-        qt_l = jnp.asarray(f.quant[f.components[0][3]].astype(np.int32))
-        qt_c = jnp.asarray(f.quant[f.components[1][3]].astype(np.int32))
-        yy, ccb, ccr = _transform(jnp.asarray(levels[idxs]), qt_l, qt_c,
-                                  mb_w, mb_h, w, h)
-        y[idxs], cb[idxs], cr[idxs] = (np.asarray(yy), np.asarray(ccb),
-                                       np.asarray(ccr))
+        qm = np.stack([f.quant[tq].astype(np.int32)
+                       for (_, _, _, tq) in f.mcu_blocks()])
+        yy, ccb, ccr = _transform(jnp.asarray(levels[idxs]),
+                                  jnp.asarray(qm), layout, mb_w, mb_h,
+                                  w, h, restart=f.restart_interval)
+        if y is None:
+            y = np.zeros((len(frames),) + yy.shape[1:], np.uint8)
+            if ccb is not None:
+                cb = np.zeros((len(frames),) + ccb.shape[1:], np.uint8)
+                cr = np.zeros_like(cb)
+        y[idxs] = np.asarray(yy)
+        if ccb is not None:
+            cb[idxs], cr[idxs] = np.asarray(ccb), np.asarray(ccr)
     return y, cb, cr
 
 
@@ -182,9 +279,15 @@ def decode_mjpeg_frames(payloads: list[bytes]):
 # Standard MJPEG/JPEG encoding (self-consistent tables)
 # ---------------------------------------------------------------------------
 
-def _jpeg_header_with_tables(width, height, qm_zz: np.ndarray) -> bytes:
-    """Full JPEG header with the given quant table (both components) and the
-    K.3 Huffman set — mjpegenc.c jpeg_table_header/picture_header layout."""
+_SOF_SAMPLING = {"420": 0x22, "422": 0x21, "444": 0x11}
+
+
+def _jpeg_header_with_tables(width, height, qm_zz: np.ndarray,
+                             layout: str = "420",
+                             restart_interval: int = 0) -> bytes:
+    """Full JPEG header with the given quant table (all components) and the
+    K.3 Huffman set — mjpegenc.c jpeg_table_header/picture_header layout —
+    plus optional DRI and 4:2:2/4:4:4/grayscale SOF variants."""
     out = bytearray()
     out += b"\xFF\xD8"
     out += b"\xFF\xDB" + (2 + 65).to_bytes(2, "big") + b"\x00"
@@ -200,16 +303,117 @@ def _jpeg_header_with_tables(width, height, qm_zz: np.ndarray) -> bytes:
         dht += bytes(bits[1:].astype(np.uint8))
         dht += bytes(vals.astype(np.uint8))
     out += b"\xFF\xC4" + (len(dht) + 2).to_bytes(2, "big") + dht
-    out += b"\xFF\xC0\x00\x11\x08"
-    out += int(height).to_bytes(2, "big") + int(width).to_bytes(2, "big")
-    out += b"\x03\x01\x22\x00\x02\x11\x00\x03\x11\x00"
-    out += b"\xFF\xDA\x00\x0C\x03\x01\x00\x02\x11\x03\x11\x00\x3F\x00"
+    if restart_interval:
+        out += b"\xFF\xDD\x00\x04" + int(restart_interval).to_bytes(2, "big")
+    if layout == "gray":
+        out += b"\xFF\xC0\x00\x0B\x08"
+        out += int(height).to_bytes(2, "big") + int(width).to_bytes(2, "big")
+        out += b"\x01\x01\x11\x00"
+        out += b"\xFF\xDA\x00\x08\x01\x01\x00\x00\x3F\x00"
+    else:
+        samp = _SOF_SAMPLING[layout]
+        out += b"\xFF\xC0\x00\x11\x08"
+        out += int(height).to_bytes(2, "big") + int(width).to_bytes(2, "big")
+        out += bytes([3, 1, samp, 0, 2, 0x11, 0, 3, 0x11, 0])
+        out += b"\xFF\xDA\x00\x0C\x03\x01\x00\x02\x11\x03\x11\x00\x3F\x00"
     return bytes(out)
 
 
-def encode_mjpeg_frames(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                        qscale: int = 2) -> list[bytes]:
-    """Encode top-down YUV420 frames as standalone baseline JPEGs.
+def _extract_blocks_topdown(y, cb, cr, layout, mb_w, mb_h):
+    """Top-down plane(s) -> MCU block layout uint8 [F, M, nb, 8, 8] with
+    bottom/right edge replication (ff_emulated_edge_mc semantics, no AMV
+    flip)."""
+    F = y.shape[0]
+
+    def pad(p, th, tw):
+        return jnp.pad(p, ((0, 0), (0, th - p.shape[1]),
+                           (0, tw - p.shape[2])), mode="edge")
+
+    def blocks8(p, bh, bw):
+        return pad(p, 8 * bh, 8 * bw).reshape(
+            F, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4).reshape(
+            F, bh * bw, 1, 8, 8)
+
+    if layout == "gray":
+        return blocks8(y, mb_h, mb_w)
+    if layout == "444":
+        return jnp.concatenate(
+            [blocks8(p, mb_h, mb_w) for p in (y, cb, cr)], axis=2)
+    if layout == "422":
+        yc = pad(y, 8 * mb_h, 16 * mb_w)
+        yb = yc.reshape(F, mb_h, 8, mb_w, 2, 8).transpose(
+            0, 1, 3, 4, 2, 5).reshape(F, mb_h * mb_w, 2, 8, 8)
+        return jnp.concatenate(
+            [yb, blocks8(cb, mb_h, mb_w), blocks8(cr, mb_h, mb_w)], axis=2)
+    # 420
+    yc = pad(y, 16 * mb_h, 16 * mb_w)
+    yb = yc.reshape(F, mb_h, 2, 8, mb_w, 2, 8).transpose(
+        0, 1, 4, 2, 5, 3, 6).reshape(F, mb_h * mb_w, 4, 8, 8)
+    return jnp.concatenate(
+        [yb, blocks8(cb, mb_h, mb_w), blocks8(cr, mb_h, mb_w)], axis=2)
+
+
+def _pack_scan_generic(levels_zz: np.ndarray, comp_of, ri: int) -> bytes:
+    """Huffman-pack one frame's zigzag levels [M, nb, 64] with K.3 tables
+    (luma for component 0, chroma otherwise), inserting RSTn markers and
+    resetting DC prediction every ri MCUs.  Returns the escaped scan
+    (no SOI/EOI)."""
+    from ..verify import ref_jpeg as RJ
+
+    n_mcu, nb = levels_zz.shape[0], levels_zz.shape[1]
+    segs = []
+    bw = RJ.BitWriter()
+    last_dc = [128, 128, 128]
+    for m in range(n_mcu):
+        if ri and m and m % ri == 0:
+            pad = (-bw.bit_count()) & 7
+            if pad:
+                bw.put_bits(pad, (1 << pad) - 1)   # 1-bit stuffing
+            segs.append(RJ.escape_ff(bw.flush()))
+            segs.append(bytes([0xFF, 0xD0 + ((m // ri - 1) & 7)]))
+            bw = RJ.BitWriter()
+            last_dc = [128, 128, 128]
+        for b in range(nb):
+            comp = comp_of[b]
+            luma = comp == 0
+            dc_t = RJ._ENC_DC_L if luma else RJ._ENC_DC_C
+            ac_sizes, ac_codes = RJ._ENC_AC_L if luma else RJ._ENC_AC_C
+            zz = levels_zz[m, b]
+            dc = int(zz[0])
+            RJ._encode_dc(bw, dc - last_dc[comp], dc_t)
+            last_dc[comp] = dc
+            nz = np.nonzero(zz[1:])[0]
+            prev = 0
+            for idx in nz:
+                i = int(idx) + 1
+                run = i - prev - 1
+                prev = i
+                val = int(zz[i])
+                while run >= 16:
+                    bw.put_bits(int(ac_sizes[0xF0]), int(ac_codes[0xF0]))
+                    run -= 16
+                mant = val
+                if val < 0:
+                    val = -val
+                    mant -= 1
+                nbits = val.bit_length()
+                code = (run << 4) | nbits
+                bw.put_bits(int(ac_sizes[code]), int(ac_codes[code]))
+                bw.put_bits(nbits, mant & ((1 << nbits) - 1))
+            if prev != 63:
+                bw.put_bits(int(ac_sizes[0]), int(ac_codes[0]))  # EOB
+    pad = (-bw.bit_count()) & 7
+    if pad:
+        bw.put_bits(pad, (1 << pad) - 1)
+    segs.append(RJ.escape_ff(bw.flush()))
+    return b"".join(segs)
+
+
+def encode_mjpeg_frames(y: np.ndarray, cb: np.ndarray = None,
+                        cr: np.ndarray = None, qscale: int = 2,
+                        subsampling: str = "420",
+                        restart_interval: int = 0) -> list[bytes]:
+    """Encode top-down YUV frames as standalone baseline JPEGs.
 
     Unlike the AMV format (whose encoder and decoder use mismatched
     tables, the reference's known WIP bug), these files carry the
@@ -217,20 +421,47 @@ def encode_mjpeg_frames(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     them correctly.  DC predictors start at 128 like the AMV scan, and the
     decoder's 1024 bias cancels against qm[0]=8 (1024 = 128*8), keeping
     scan-level compatibility with the K.3 path.
+
+    subsampling: "420" (chroma half-size), "422" (half-width),
+    "444" (full), "gray" (no chroma; cb/cr ignored).
+    restart_interval > 0 writes DRI and RSTn markers every that many
+    MCUs with DC-prediction reset (the reference's mjpegenc.c never
+    emits these; the decoder side mjpegdec.c:533-548 consumes them).
     """
-    from .amv_video import encode_transform, _encoder_quant_matrix
+    from .amv_video import (encode_transform, _encoder_quant_matrix,
+                            _encoder_quant_qmat_np)
     from ..bitstream.entropy import huffman_encode_frame
+    from ..kernels import fdct as KF
     F, H, W = y.shape
-    mb_w, mb_h = (W + 15) // 16, (H + 15) // 16
-    # cancel the AMV flip inside encode_transform to get top-down coding
-    lv = np.asarray(encode_transform(
-        jnp.asarray(y[:, ::-1].copy()), jnp.asarray(cb[:, ::-1].copy()),
-        jnp.asarray(cr[:, ::-1].copy()), mb_w, mb_h, qscale))
     qm_raster = _encoder_quant_matrix(qscale)
     qm_zz = qm_raster[T.ZIGZAG]
-    hdr = _jpeg_header_with_tables(W, H, qm_zz)
+    if subsampling == "420" and restart_interval == 0:
+        mb_w, mb_h = (W + 15) // 16, (H + 15) // 16
+        # cancel the AMV flip inside encode_transform: top-down coding
+        lv = np.asarray(encode_transform(
+            jnp.asarray(y[:, ::-1].copy()), jnp.asarray(cb[:, ::-1].copy()),
+            jnp.asarray(cr[:, ::-1].copy()), mb_w, mb_h, qscale))
+        hdr = _jpeg_header_with_tables(W, H, qm_zz)
+        out = []
+        for f in range(F):
+            payload = huffman_encode_frame(lv[f])  # SOI + scan + EOI
+            out.append(hdr + payload[2:])
+        return out
+    mcu_w, mcu_h = {"420": (16, 16), "422": (16, 8),
+                    "444": (8, 8), "gray": (8, 8)}[subsampling]
+    mb_w = (W + mcu_w - 1) // mcu_w
+    mb_h = (H + mcu_h - 1) // mcu_h
+    blocks = _extract_blocks_topdown(
+        jnp.asarray(y), None if cb is None else jnp.asarray(cb),
+        None if cr is None else jnp.asarray(cr), subsampling, mb_w, mb_h)
+    lv_raster = np.asarray(KF.fdct_quantize(
+        blocks, jnp.asarray(_encoder_quant_qmat_np(qscale))))  # [F,M,nb,64]
+    lv_zz = lv_raster[..., T.ZIGZAG]
+    comp_of = _COMP_OF_BLOCK[subsampling]
+    hdr = _jpeg_header_with_tables(W, H, qm_zz, layout=subsampling,
+                                   restart_interval=restart_interval)
     out = []
     for f in range(F):
-        payload = huffman_encode_frame(lv[f])  # SOI + scan + EOI
-        out.append(hdr + payload[2:])
+        scan = _pack_scan_generic(lv_zz[f], comp_of, restart_interval)
+        out.append(hdr + scan + b"\xFF\xD9")
     return out

@@ -1,14 +1,19 @@
-"""Minimal AVI container support (the reference pipeline's input/output).
+"""AVI container support (the reference pipeline's input/output).
 
 The canonical reference invocations convert AVI <-> AMV
 (AMVmuxer/Makefile:24-27).  This module provides the host-side subset
 needed for parity:
 
 * demux: RIFF-AVI chunk walk (avidec.c structure) for uncompressed video
-  (I420 / YV12 / 24-bit BGR DIB) and PCM s16 audio — enough to feed the
-  AMV encoder with raw material;
-* mux: writes standard AVI with I420 video + PCM s16 audio so decoded AMV
-  output opens in stock players/tools.
+  (I420 / YV12 / packed YUY2/UYVY / 16/24/32-bit RGB DIB / grayscale /
+  MJPEG) and PCM s16 audio — enough to feed the AMV encoder with raw
+  material;
+* index: idx1 parse (avi_read_idx1, avidec.c:740-806) and ODML indx /
+  ix## parse (read_braindead_odml_indx, avidec.c:520-598), used for
+  index-based chunk extraction and seeking (avi_read_seek,
+  avidec.c:933-1012) instead of the linear movi walk;
+* mux: writes standard AVI with I420 video + PCM s16 audio plus an idx1
+  index so decoded AMV output opens (and seeks) in stock players/tools.
 """
 
 from __future__ import annotations
@@ -31,6 +36,9 @@ class AviStream:
     channels: int = 0
     bits: int = 0
     chunks: list = field(default_factory=list)
+    # per-chunk (file_offset_of_payload, size, keyframe) from idx1/indx;
+    # empty when the file carries no index
+    index: list = field(default_factory=list)
 
 
 def _walk_list(data, pos, end, handler):

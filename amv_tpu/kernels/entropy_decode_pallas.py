@@ -123,8 +123,9 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN):
         so the next pass is several symbols away instead of immediate.
 
         Returns (word, got): got lanes received a word (their state
-        must advance); `need` lanes past the stream end are reported
-        got with a zero word (matches the full-reduce semantics)."""
+        must advance); `soft` lanes past the stream end are reported
+        got with a zero word in BOTH branches (the stream is zero-
+        padded, so absorbing 32 zero bits is exact either way)."""
         if w_rows <= WIN:
             words = words_ref[0]
             it = jax.lax.broadcasted_iota(jnp.int32, (w_rows, SB, 128), 0)
@@ -153,7 +154,7 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN):
         g0 = jnp.zeros((SB, 128), jnp.int32)
         u0 = (need & (wc < w_rows)).astype(jnp.int32)
         w, got, _ = jax.lax.while_loop(cond, body, (w0, g0, u0))
-        return w.astype(jnp.uint32), (got != 0) | (need & (wc >= w_rows))
+        return w.astype(jnp.uint32), (got != 0) | (soft & (wc >= w_rows))
 
     def ensure(words_ref, hi, lo, nb, wc):
         """Refill one 32-bit word into lanes holding < 27 bits; lanes

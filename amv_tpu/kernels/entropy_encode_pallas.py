@@ -53,6 +53,22 @@ def _enc_tables():
 
 _ET = _enc_tables()
 
+# The bit-writer appends with the 64-bit (hi, lo) buffer holding up to 36
+# bits (the lazy flush in emit_if_full only forces a drain at nb >= 37),
+# so every appended token must fit 36 + ln <= 63 (the shift arithmetic in
+# `append` additionally needs (-sh_hi) & 31 not to wrap, i.e. ln <= 27 at
+# nb <= 36).  K.3 tokens are code(<=16) + mantissa(<=11 DC / <=10 AC).
+_MAX_TOKEN_BITS = max(
+    max(int(s) for s in _ET["dc_l"][0][:12]) + 11,
+    max(int(s) for s in _ET["dc_c"][0][:12]) + 11,
+    max(int(s) for s in _ET["ac_l"][0]) + 10,
+    max(int(s) for s in _ET["ac_c"][0]) + 10,
+)
+assert _MAX_TOKEN_BITS <= 27, (
+    "append/emit_if_full invariant broken: a code+mantissa token of "
+    f"{_MAX_TOKEN_BITS} bits can overflow the 64-bit buffer at nb == 36 "
+    "(lazy-flush threshold 37); shrink the threshold or split the append")
+
 
 def _packed(table, sym):
     """(code << 5) | size packed into one int (size <= 16, code < 2^16)."""
@@ -167,7 +183,14 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
         return hi2, lo2, nb2, wc2, tbits
 
     def append(hi, lo, nb, tbits, code, ln, active):
-        """Append ln (<= 27) bits of code MSB-first at position nb < 32."""
+        """Append ln bits of code MSB-first at position nb <= 36.
+
+        The lazy flush (emit_if_full, hard threshold nb >= 37) lets
+        appends run at nb up to 36, so correctness relies on
+        ln <= _MAX_TOKEN_BITS <= 27: nb + ln <= 63 fits the 64-bit
+        (hi, lo) buffer, and at the edge (nb=36, ln=27) the spill
+        shift (-sh_hi) & 31 = 31 does not wrap.  The module-level
+        static assert enforces this against the built tables."""
         cu = code.astype(jnp.uint32)
         lnu = ln
         sh_hi = (32 - nb - lnu)

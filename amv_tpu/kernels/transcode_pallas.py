@@ -216,6 +216,11 @@ def transcode_zz(lv_cm: jnp.ndarray, dc: jnp.ndarray, qmat_key,
     n % 6 (AMV MCU order: 4Y + Cb + Cr), which selects the Q60 table.
     """
     n = lv_cm.shape[1]
+    if n % (8 * tile) != 0:
+        raise ValueError(
+            f"transcode_zz: N={n} must be a multiple of 8*tile={8 * tile} "
+            "(the grid would silently skip trailing blocks); pad the "
+            "coefficient-major input like transcode_levels_fused does")
     nm = n // 8
     x = lv_cm.reshape(64, 8, nm)
     d = dc.reshape(8, nm)

@@ -184,16 +184,21 @@ static inline int32_t br_get_xbits(BitReader *br, int n) {
 /* Scan unescape (mjpegdec 0xFF00 removal)                             */
 /* ------------------------------------------------------------------ */
 
+/* mjpegdec.c:1176-1199 semantics: FF 00 -> FF (stuffing removal),
+ * consecutive FFs collapse, FF D0-D7 (RSTn) passes through for the
+ * restart resync in the block decoder, any other marker ends the scan. */
 static size_t unescape(const uint8_t *src, size_t n, uint8_t *dst) {
     size_t i = 0, j = 0;
     while (i < n) {
-        uint8_t b = src[i];
-        if (b == 0xFF) {
-            if (i + 1 < n && src[i + 1] == 0x00) { dst[j++] = 0xFF; i += 2; continue; }
-            break;
+        uint8_t x = src[i++];
+        dst[j++] = x;
+        if (x == 0xFF) {
+            while (i < n && src[i] == 0xFF) i++;
+            if (i >= n) break;
+            x = src[i++];
+            if (x >= 0xD0 && x <= 0xD7) dst[j++] = x;
+            else if (x) break;
         }
-        dst[j++] = b;
-        i++;
     }
     return j;
 }
@@ -324,15 +329,20 @@ API int amv_decode_frames(const uint8_t *payload_blob, const int64_t *offsets,
 /* Generic-table variant for standard baseline MJPEG (mjpegdec.c with
  * per-frame DHT): caller supplies up to 8 Huffman specs (slots 0-3 = DC
  * classes id 0-3, slots 4-7 = AC id 0-3) and a per-block (dc,ac) slot map
- * for the 6 blocks of a 4:2:0 MCU.  Input rows are raw *escaped* scan
- * bytes (no SOI/EOI framing).  Levels come out in zigzag order with slot
- * 0 = DC difference, same contract as amv_decode_frames. */
+ * for the n_blk blocks of one interleaved MCU (6 for 4:2:0, 4 for 4:2:2,
+ * 3 for 4:4:4, 1 for grayscale).  restart_interval > 0 resyncs to the
+ * byte-aligned RSTn marker every that many MCUs (mjpegdec.c:533-548;
+ * DC prediction reset is the caller's segmented cumsum — levels here are
+ * raw differences).  Input rows are raw *escaped* scan bytes (no SOI/EOI
+ * framing).  Levels come out in zigzag order with slot 0 = DC difference,
+ * same contract as amv_decode_frames. */
 API int amv_decode_scans_custom(const uint8_t *scan_blob,
                                 const int64_t *offsets, const int64_t *sizes,
-                                int n_frames, int n_mcu,
+                                int n_frames, int n_mcu, int n_blk,
+                                int restart_interval,
                                 const uint8_t *bits8 /* [8][17] */,
                                 const uint8_t *vals8 /* [8][256] */,
-                                const uint8_t *tab_ids /* [6][2] */,
+                                const uint8_t *tab_ids /* [n_blk][2] */,
                                 int16_t *out_levels) {
     DecTable *tabs = (DecTable *)malloc(8 * sizeof(DecTable));
     if (!tabs) return -1000000;
@@ -348,18 +358,24 @@ API int amv_decode_scans_custom(const uint8_t *scan_blob,
     for (int f = 0; f < n_frames && rc == 0; f++) {
         size_t scan_len = unescape(scan_blob + offsets[f],
                                    (size_t)sizes[f], tmp);
-        int16_t *out = out_levels + (size_t)f * n_mcu * 6 * 64;
-        memset(out, 0, (size_t)n_mcu * 6 * 64 * sizeof(int16_t));
+        int16_t *out = out_levels + (size_t)f * n_mcu * n_blk * 64;
+        memset(out, 0, (size_t)n_mcu * n_blk * 64 * sizeof(int16_t));
         BitReader br;
         br_init(&br, tmp, scan_len);
         for (int m = 0; m < n_mcu && rc == 0; m++) {
-            for (int b = 0; b < 6; b++) {
+            if (restart_interval > 0 && m > 0 && m % restart_interval == 0) {
+                br_skip(&br, br.bits & 7);        /* byte align */
+                uint32_t pk = br_peek16(&br);
+                if ((pk & 0xFFF8) == 0xFFD0) br_skip(&br, 16);
+                else { rc = -(int)(m * n_blk + 1) - 4000000; break; }
+            }
+            for (int b = 0; b < n_blk; b++) {
                 DecTable *dc = &tabs[tab_ids[b * 2]];
                 DecTable *ac = &tabs[tab_ids[b * 2 + 1]];
-                int16_t *blk = out + ((size_t)m * 6 + b) * 64;
+                int16_t *blk = out + ((size_t)m * n_blk + b) * 64;
                 uint32_t peek = br_peek16(&br);
                 int len = dc->len[peek];
-                if (!len) { rc = -(int)(m * 6 + b + 1) - 3000000; break; }
+                if (!len) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
                 int sym = dc->sym[peek];
                 br_skip(&br, len);
                 blk[0] = sym ? (int16_t)br_get_xbits(&br, sym) : 0;
@@ -367,19 +383,19 @@ API int amv_decode_scans_custom(const uint8_t *scan_blob,
                 for (;;) {
                     peek = br_peek16(&br);
                     len = ac->len[peek];
-                    if (!len) { rc = -(int)(m * 6 + b + 1) - 3000000; break; }
+                    if (!len) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
                     sym = ac->sym[peek];
                     br_skip(&br, len);
                     if (sym == 0x00) break;
                     int run = sym >> 4, size = sym & 0xF;
                     if (size == 0) {
-                        if (run != 15) { rc = -(int)(m * 6 + b + 1) - 3000000; break; }
+                        if (run != 15) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
                         i += 16;
                         continue;
                     }
                     int32_t level = br_get_xbits(&br, size);
                     i += run + 1;
-                    if (i > 63) { rc = -(int)(m * 6 + b + 1) - 3000000; break; }
+                    if (i > 63) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
                     blk[i] = (int16_t)level;
                     if (i == 63) break;
                 }

@@ -140,37 +140,46 @@ _lib.amv_decode_scans_custom.restype = ctypes.c_int
 _lib.amv_decode_scans_custom.argtypes = [
     ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
     ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int,
     ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
     ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16)]
 
 
 def decode_scans_custom(scans: list[bytes], n_mcu: int,
-                        huff: dict, tab_pairs: list) -> np.ndarray:
-    """Baseline-MJPEG scan decode with arbitrary parsed tables.
+                        huff: dict, tab_pairs: list,
+                        restart_interval: int = 0) -> np.ndarray:
+    """Baseline-MJPEG scan decode with arbitrary parsed tables, any
+    interleaved sampling (blocks/MCU from len(tab_pairs)) and optional
+    restart markers (mjpegdec.c:533-548 RSTn resync).
 
     scans: raw escaped scan byte strings (no SOI/EOI);
     huff: {(class, id): (bits[17], vals[...])} as parsed from DHT;
-    tab_pairs: per MCU block b in 0..5, (dc_id, ac_id) table ids.
-    Returns int16 [F, n_mcu, 6, 64] zigzag levels (slot 0 = DC diff).
+    tab_pairs: per MCU block b, (dc_id, ac_id) table ids — 6 entries
+        for 4:2:0, 4 for 4:2:2, 3 for 4:4:4, 1 for grayscale;
+    restart_interval: MCUs between RSTn markers (0 = none).  DC levels
+        stay raw differences; the caller's cumsum must reset per
+        restart segment.
+    Returns int16 [F, n_mcu, n_blk, 64] zigzag levels (slot 0 = DC diff).
     """
+    n_blk = len(tab_pairs)
     bits8 = np.zeros((8, 17), np.uint8)
     vals8 = np.zeros((8, 256), np.uint8)
     for (cls, tid), (bits, vals) in huff.items():
         slot = cls * 4 + tid
         bits8[slot, :len(bits)] = bits
         vals8[slot, :len(vals)] = vals
-    tab_ids = np.zeros((6, 2), np.uint8)
+    tab_ids = np.zeros((n_blk, 2), np.uint8)
     for b, (dc_id, ac_id) in enumerate(tab_pairs):
         tab_ids[b] = (dc_id, 4 + ac_id)
     blob = b"".join(scans)
     offsets = np.zeros(len(scans), dtype=np.int64)
     sizes = np.array([len(x) for x in scans], dtype=np.int64)
     np.cumsum(sizes[:-1], out=offsets[1:])
-    out = np.zeros((len(scans), n_mcu, 6, 64), dtype=np.int16)
+    out = np.zeros((len(scans), n_mcu, n_blk, 64), dtype=np.int16)
     rc = _lib.amv_decode_scans_custom(
         blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(scans), n_mcu,
+        len(scans), n_mcu, n_blk, restart_interval,
         bits8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         vals8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         tab_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -110,6 +110,67 @@ def sharded_g729_decode_chain(mesh: Mesh):
                    out_shardings=(st_s, parms_s))
 
 
+def sharded_complete_transcode(mesh: Mesh, n_mcu: int, qmat_key,
+                               w_out: int = 1024, interpret: bool = False,
+                               win_fetch: int = 64, win_emit: int = 64):
+    """Complete zero-relayout device transcode (unescaped scan bytes ->
+    re-encoded scan words + bit counts) with frames sharded over the
+    whole mesh.
+
+    This is the production path (pipeline.transcode
+    transcode_complete_layout: Pallas Huffman decode + in-layout fused
+    transform + Pallas Huffman encode).  A pallas_call is a single
+    opaque custom call to XLA's SPMD partitioner, so the chain is
+    mapped explicitly with shard_map; frames are independent
+    bitstreams, so each shard runs the full chain on its local frames
+    with zero collectives.  Local frame counts pad to the kernel's
+    1024-lane chunk internally.
+    """
+    from jax.experimental.shard_map import shard_map
+    from ..pipeline.transcode import transcode_complete_layout
+
+    fn = partial(transcode_complete_layout, n_mcu=n_mcu, qmat_key=qmat_key,
+                 w_out=w_out, interpret=interpret, win_fetch=win_fetch,
+                 win_emit=win_emit)
+    spec = jax.sharding.PartitionSpec(("dp", "sp"))
+    mapped = shard_map(fn, mesh=mesh, in_specs=(spec,),
+                       out_specs=(spec, spec), check_rep=False)
+    return jax.jit(mapped)
+
+
+def sharded_decode_scans(mesh: Mesh, n_mcu: int, interpret: bool = False,
+                         win_fetch: int = 64):
+    """Zero-relayout device decode chain (scan bytes -> pixel blocks)
+    with frames sharded over the whole mesh via shard_map (see
+    sharded_complete_transcode for why shard_map, not pjit)."""
+    from jax.experimental.shard_map import shard_map
+    from ..pipeline.transcode import decode_scans_layout
+
+    fn = partial(decode_scans_layout, n_mcu=n_mcu, interpret=interpret,
+                 win_fetch=win_fetch)
+    spec = jax.sharding.PartitionSpec(("dp", "sp"))
+    mapped = shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                       check_rep=False)
+    return jax.jit(mapped)
+
+
+def sharded_encode_planes(mesh: Mesh, mb_w: int, mb_h: int, qmat_key,
+                          w_out: int = 1024, interpret: bool = False,
+                          win_emit: int = 64):
+    """Zero-relayout device encode chain (YUV planes -> scan words) with
+    frames sharded over the whole mesh via shard_map."""
+    from jax.experimental.shard_map import shard_map
+    from ..pipeline.transcode import encode_planes_layout
+
+    fn = partial(encode_planes_layout, mb_w=mb_w, mb_h=mb_h,
+                 qmat_key=qmat_key, w_out=w_out, interpret=interpret,
+                 win_emit=win_emit)
+    spec = jax.sharding.PartitionSpec(("dp", "sp"))
+    mapped = shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=(spec, spec), check_rep=False)
+    return jax.jit(mapped)
+
+
 def sharded_transcode_step(mesh: Mesh, qscale: int = 2):
     """Jitted fused transcode (pipeline.transcode.transcode_levels_fused)
     with frames sharded on dp.

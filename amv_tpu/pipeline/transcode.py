@@ -222,10 +222,14 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
         words, bits = transcode_complete_layout(
             jnp.asarray(rows[order]), mb_w * mb_h, qk, w_out=w_out,
             win_fetch=64, win_emit=64)
-        vchunks = native.escape_frames(np.asarray(words)[inv],
-                                       np.asarray(bits)[inv])
-        return riff.mux(vchunks, s.audio_chunks, width=w, height=h,
-                        fps=s.info.fps_num, sample_rate=s.info.sample_rate)
+        try:
+            vchunks = native.escape_frames(np.asarray(words)[inv],
+                                           np.asarray(bits)[inv])
+            return riff.mux(vchunks, s.audio_chunks, width=w, height=h,
+                            fps=s.info.fps_num,
+                            sample_rate=s.info.sample_rate)
+        except ValueError:
+            pass  # a frame overflowed the VMEM word budget: host entropy
     levels = huffman_decode_frames(s.video_chunks, mb_w * mb_h)
     if mb_aligned:
         lv2, _ = transcode_levels_fused(jnp.asarray(levels), qscale)

@@ -46,20 +46,28 @@ def _i16(x):
 
 
 def unescape_scan(data: bytes) -> bytes:
-    """Remove 0x00 stuffing after 0xFF; stop at a real marker (mjpegdec.c:1176-1199)."""
+    """Remove 0x00 stuffing after 0xFF, keep RSTn markers in the stream,
+    stop at any other real marker (mjpegdec.c:1176-1199: consecutive
+    0xFFs collapse; FF 00 -> FF; FF D0-D7 passes through for the
+    restart resync in the block decoder)."""
     out = bytearray()
     i = 0
     n = len(data)
     while i < n:
-        b = data[i]
-        if b == 0xFF:
-            if i + 1 < n and data[i + 1] == 0x00:
-                out.append(0xFF)
-                i += 2
-                continue
-            break  # marker: end of scan
-        out.append(b)
+        x = data[i]
         i += 1
+        out.append(x)
+        if x == 0xFF:
+            while i < n and data[i] == 0xFF:
+                i += 1
+            if i >= n:
+                break
+            x = data[i]
+            i += 1
+            if 0xD0 <= x <= 0xD7:
+                out.append(x)
+            elif x != 0:
+                break  # real marker: end of scan
     return bytes(out)
 
 

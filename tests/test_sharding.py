@@ -88,3 +88,62 @@ def test_sharded_g729_chain_matches_single(mesh):
     st, pcm = fn(g729a.init_state(B), parms)     # pcm [T, B, 80]
     got = np.asarray(pcm).transpose(1, 0, 2).reshape(B, T * 80)
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_sharded_complete_transcode_matches_single(mesh):
+    """The production zero-relayout chain (Pallas entropy decode +
+    in-layout transform + Pallas entropy encode) sharded over the mesh
+    equals the single-device run and the host re-encode payloads."""
+    import jax.numpy as jnp
+    from amv_tpu.bitstream.entropy import (huffman_encode_frame,
+                                           huffman_decode_frames)
+    from amv_tpu.codecs.amv_video import (_encoder_quant_qmat_np,
+                                          _unescape_pack)
+    from amv_tpu.parallel.sharding import sharded_complete_transcode
+    from amv_tpu.pipeline.transcode import (transcode_complete_layout,
+                                            transcode_levels_fused)
+
+    rng = np.random.default_rng(11)
+    F, M = 16, 2
+    lv = np.zeros((F, M, 6, 64), np.int16)
+    lv[..., 0] = rng.integers(-8, 48, (F, M, 6))
+    lv[..., 1] = rng.integers(-4, 4, (F, M, 6))
+    payloads = [huffman_encode_frame(lv[f]) for f in range(F)]
+    rows = _unescape_pack(payloads)
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+
+    fn = sharded_complete_transcode(mesh, M, qk, w_out=128, interpret=True)
+    words, bits = fn(jnp.asarray(rows))
+    w1, b1 = transcode_complete_layout(jnp.asarray(rows), M, qk,
+                                       w_out=128, interpret=True,
+                                       win_fetch=64, win_emit=64)
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(w1))
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(b1))
+
+    # end-to-end byte equality vs the host re-encode
+    from amv_tpu.native import entropy_native as native
+    got = native.escape_frames(np.asarray(words), np.asarray(bits))
+    lvdec = huffman_decode_frames(payloads, M)
+    lv2 = np.asarray(transcode_levels_fused(jnp.asarray(lvdec), 2)[0])
+    want = [huffman_encode_frame(lv2[f]) for f in range(F)]
+    assert got == want
+
+
+def test_sharded_decode_scans_matches_single(mesh):
+    import jax.numpy as jnp
+    from amv_tpu.bitstream.entropy import huffman_encode_frame
+    from amv_tpu.codecs.amv_video import _unescape_pack
+    from amv_tpu.parallel.sharding import sharded_decode_scans
+    from amv_tpu.pipeline.transcode import decode_scans_layout
+
+    rng = np.random.default_rng(12)
+    F, M = 16, 2
+    lv = np.zeros((F, M, 6, 64), np.int16)
+    lv[..., 0] = rng.integers(-8, 48, (F, M, 6))
+    payloads = [huffman_encode_frame(lv[f]) for f in range(F)]
+    rows = _unescape_pack(payloads)
+    fn = sharded_decode_scans(mesh, M, interpret=True)
+    got = np.asarray(fn(jnp.asarray(rows)))
+    want = np.asarray(decode_scans_layout(jnp.asarray(rows), M,
+                                          interpret=True, win_fetch=64))
+    np.testing.assert_array_equal(got, want)

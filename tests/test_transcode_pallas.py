@@ -91,3 +91,14 @@ def test_fused_transcode_zz_full_fusion(sample_amv_bytes):
                           interpret=True)
     np.testing.assert_array_equal(np.asarray(p1)[:, :n], np.asarray(p2)[:, :n])
     np.testing.assert_array_equal(np.asarray(l1)[:, :n], np.asarray(l2)[:, :n])
+
+
+def test_transcode_zz_rejects_unpadded():
+    """N not a multiple of 8*tile raises instead of silently skipping
+    trailing blocks (kernels/transcode_pallas.py guard)."""
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    n = 8 * 512 + 6 * 64  # one full tile plus a ragged tail
+    lv = jnp.zeros((64, n), jnp.int16)
+    dc = jnp.zeros((n,), jnp.int32)
+    with pytest.raises(ValueError, match="multiple of 8\\*tile"):
+        transcode_zz(lv, dc, qk, interpret=True)
