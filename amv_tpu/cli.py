@@ -83,6 +83,12 @@ def main(argv=None):
     p.add_argument("output", nargs="?", help="output file")
     args = p.parse_args(argv)
 
+    if args.channels != 1:
+        # adpcm.c:190-200: the AMV ADPCM encoder is mono-only; the
+        # reference CLI would fail at codec open, we fail at parse
+        raise SystemExit("-ac must be 1: AMV audio is mono "
+                         "(IMA-ADPCM AMV, adpcm.c mono guard)")
+
     if args.info:
         return _info(args.info)
 
@@ -300,6 +306,12 @@ def _encode(args):
         if not vstreams:
             raise SystemExit("AVI input has no video stream")
         vst = vstreams[0]
+        if args.seek:
+            # index-based seek (idx1/ODML when present): back up to the
+            # nearest keyframe like avi_read_seek (avidec.c:933-1012)
+            start = avimod.seek_frame(vst, args.seek)
+            vst.chunks = vst.chunks[start:]
+            vst.index = vst.index[start:]
         if args.max_frames:
             vst.chunks = vst.chunks[:args.max_frames]
         y, cb, cr = avimod.extract_yuv420(vst)

@@ -225,23 +225,32 @@ def encode_frames(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     F, H, W = y.shape
     mb_w, mb_h = (W + 15) // 16, (H + 15) // 16
     if device_entropy:
-        if jax.default_backend() != "cpu" and mb_w * mb_h <= 80:
+        from ..pipeline.transcode import pick_segments
+        segs = pick_segments(mb_w * mb_h)
+        if jax.default_backend() != "cpu" and segs:
             # zero-relayout Pallas chain (extract -> FDCT/quant ->
-            # Huffman pack in slab layout) + C framing.  w_out is
-            # VMEM-capped; if a frame overflows it the C pass raises
-            # and we fall through to the host packer below.
+            # Huffman pack in slab layout) + C framing.  Frames larger
+            # than the VMEM output budget split into `segs` lane-
+            # parallel segments (pipeline/transcode.py) so any geometry
+            # stays on device.  If a segment still overflows its word
+            # budget the C pass raises and we fall through to the host
+            # packer below.
             from ..native import entropy_native as native
             from ..pipeline.transcode import encode_planes_layout
             qk = tuple(int(v) for v in _encoder_quant_qmat_np(qscale))
-            w_out = min(1664, 1024 * ((mb_w * mb_h + 47) // 48))
+            ms = mb_w * mb_h // segs
+            w_out = min(1664, 1024 * ((ms + 47) // 48))
             words, bits = encode_planes_layout(
                 jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
-                mb_w, mb_h, qk, w_out=w_out)
+                mb_w, mb_h, qk, w_out=w_out, segs=segs)
             try:
-                return native.escape_frames(np.asarray(words),
-                                            np.asarray(bits))
+                if segs == 1:
+                    return native.escape_frames(np.asarray(words),
+                                                np.asarray(bits))
+                return native.concat_escape_frames(np.asarray(words),
+                                                   np.asarray(bits), segs)
             except ValueError:
-                pass  # frame exceeded the VMEM-safe budget: host packer
+                pass  # a segment exceeded the word budget: host packer
         from ..kernels.entropy_encode import encode_frames_device
         levels_dev = encode_transform(
             jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),

@@ -248,6 +248,10 @@ class G729Encoder:
         resid = ext[10:] + np.array(
             [np.dot(a_q, ext[10 + n - 1::-1][:10]) for n in range(FRAME)])
         hist_res = np.concatenate([self._res_hist, resid])
+        # raw correlation argmax; a spec-3.4-style normalized variant
+        # was measured slightly WORSE downstream (6.68 vs 6.83 dB
+        # segSNR on the fixtures speech) because the closed-loop search
+        # re-examines +-5 around t_op anyway
         corr = np.array([
             np.dot(resid, hist_res[len(hist_res) - FRAME - t:
                                    len(hist_res) - t])
@@ -286,15 +290,122 @@ class G729Encoder:
                 cands = [(base + k, f) for k in range(10)
                          for f in (-1, 0, 1)
                          if PITCH_MIN <= base + k <= PITCH_MAX]
-            best = None
+            scored = []
             for tc, fc_ in cands:
                 y = self._zsr(h, self._ac_candidate(i * SUBFRAME, tc, fc_))
                 e = float(np.dot(y, y))
                 c = max(float(np.dot(y, target)), 0.0)
                 score = c * c / e if e > 0 else 0.0
-                if best is None or score > best[0]:
-                    best = (score, tc, fc_)
-            t_int, t_frac = best[1], best[2]
+                scored.append((score, tc, fc_))
+            scored.sort(key=lambda s: -s[0])
+            # MEASURED: joint top-2 pitch refinement (full FC+gain search
+            # per candidate, keep lower subframe error) gives 6.72 dB vs
+            # 6.83 dB segSNR on the fixtures speech — the decoder's
+            # adaptive postfilter reshapes around the pitch delay, so
+            # lower pre-postfilter error does not mean better output.
+            # Single candidate kept (same finding as the quantized-gain
+            # re-search note below).
+            pitch_cands = [(tc, fc_) for _, tc, fc_ in scored[:1]]
+
+            P0 = np.arange(0, SUBFRAME, 5)
+            P1v = P0 + 1
+            P2v = P0 + 2
+            P3v = np.concatenate([P0 + 3, P0 + 4])     # track 3 + jitter bit
+            pred_snapshot = list(st.pred_energ_q)
+            seg_lo = st.exc_off + i * SUBFRAME
+            seg_hi = seg_lo + SUBFRAME
+            exc_snapshot = list(st.exc_base[seg_lo:seg_hi])
+
+            def eval_pitch(t_int, t_frac):
+                """Full FC + gain search for one pitch candidate.
+                Restores exc/pred state afterwards; returns the winning
+                (err, fc_idx, signs, ga, gb, y_ac, fc)."""
+                # exact AC vector via shadow decoder (mutates exc seg)
+                st.decode_ac_vector(t_int, t_frac, i * SUBFRAME)
+                acv = np.array(st.exc_base[seg_lo:seg_hi], dtype=np.float64)
+                y_ac = self._zsr(h, acv)
+                e_ac = float(np.dot(y_ac, y_ac))
+                gp_f = float(np.dot(y_ac, target)) / e_ac if e_ac > 0 else 0.0
+                gp_f = min(max(gp_f, 0.0), 1.2)  # gain codebook headroom
+
+                # --- fixed codebook + gains -------------------------------
+                # (a quantized-gain re-search pass was tried and measured
+                # slightly WORSE downstream — local subframe error does not
+                # align with multi-frame quality — so one pass is kept)
+                h2 = h.copy()
+                gp_sh = st.pitch_sharp / 16384.0
+                if t_int < SUBFRAME:
+                    for n in range(t_int, SUBFRAME):
+                        h2[n] += gp_sh * h2[n - t_int]
+                hpad = np.concatenate([h2, np.zeros(SUBFRAME)])
+                phi = np.array([[np.dot(hpad[:SUBFRAME - max(a, b)],
+                                        hpad[abs(a - b):SUBFRAME - min(a, b)])
+                                 for b in range(SUBFRAME)]
+                                for a in range(SUBFRAME)])
+
+                def search_fc(r):
+                    d = np.array([np.dot(r[n:], h2[:SUBFRAME - n])
+                                  for n in range(SUBFRAME)])
+                    sgn = np.where(d >= 0, 1.0, -1.0)
+                    dabs = np.abs(d)
+                    phi_s = phi * sgn[:, None] * sgn[None, :]
+                    num = (dabs[P0][:, None, None, None]
+                           + dabs[P1v][None, :, None, None]
+                           + dabs[P2v][None, None, :, None]
+                           + dabs[P3v][None, None, None, :])
+                    den = (phi_s[P0, P0][:, None, None, None]
+                           + phi_s[P1v, P1v][None, :, None, None]
+                           + phi_s[P2v, P2v][None, None, :, None]
+                           + phi_s[P3v, P3v][None, None, None, :]
+                           + 2.0 * (phi_s[P0[:, None], P1v[None, :]][:, :, None, None]
+                                    + phi_s[P0[:, None], P2v[None, :]][:, None, :, None]
+                                    + phi_s[P0[:, None], P3v[None, :]][:, None, None, :]
+                                    + phi_s[P1v[:, None], P2v[None, :]][None, :, :, None]
+                                    + phi_s[P1v[:, None], P3v[None, :]][None, :, None, :]
+                                    + phi_s[P2v[:, None], P3v[None, :]][None, None, :, :]))
+                    score = num * num / np.maximum(den, 1e-9)
+                    k0, k1, k2, k3 = np.unravel_index(int(np.argmax(score)),
+                                                      score.shape)
+                    chosen = [(int(P0[k0]), 0), (int(P1v[k1]), 1),
+                              (int(P2v[k2]), 2), (int(P3v[k3]), 3)]
+                    fci = 0
+                    sg = 0
+                    for pos, tr in chosen:
+                        s_bit = 1 if sgn[pos] > 0 else 0
+                        if tr < 3:
+                            fci |= (pos // 5) << (3 * tr)
+                        else:
+                            jbit = 1 if pos % 5 == 4 else 0
+                            fci |= ((pos // 5) << 10) | (jbit << 9)
+                        sg |= s_bit << tr
+                    return fci, sg
+
+                fc_idx, signs = search_fc(target - gp_f * y_ac)
+                fc, _ = st.decode_fc_vector(fc_idx, signs)
+                st.fix_fc_vector(t_int, fc)
+                fcv = np.array(fc, dtype=np.float64)
+                y_fc = self._zsr(h, fcv)
+                best_g = None
+                for ga in range(8):
+                    for gb in range(16):
+                        st.pred_energ_q = list(pred_snapshot)
+                        gp = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
+                        gc = st.get_gain_code(ga, gb, fc)
+                        rec = y_ac * (gp / 16384.0) + y_fc * (gc / 16384.0)
+                        err = float(np.sum((target - rec) ** 2))
+                        if best_g is None or err < best_g[0]:
+                            best_g = (err, ga, gb)
+                st.pred_energ_q = list(pred_snapshot)
+                st.exc_base[seg_lo:seg_hi] = exc_snapshot  # undo AC write
+                err, ga, gb = best_g
+                return err, fc_idx, signs, ga, gb
+
+            best_c = None
+            for tc, fc_ in pitch_cands:
+                r = eval_pitch(tc, fc_)
+                if best_c is None or r[0] < best_c[0]:
+                    best_c = r + (tc, fc_)
+            _, fc_idx, signs, ga, gb, t_int, t_frac = best_c
             prev_int = t_int if i == 0 else prev_int
 
             if i == 0:
@@ -311,97 +422,8 @@ class G729Encoder:
                 base = min(max(prev_int - 5, PITCH_MIN), PITCH_MAX - 9)
                 parm["ac_index"][1] = 3 * (t_int - base) + t_frac + 2
 
-            # exact AC vector via shadow decoder (mutates exc in place)
+            # materialize the chosen candidate exactly
             st.decode_ac_vector(t_int, t_frac, i * SUBFRAME)
-            acv = np.array(st.exc_base[st.exc_off + i * SUBFRAME:
-                                       st.exc_off + (i + 1) * SUBFRAME],
-                           dtype=np.float64)
-            y_ac = self._zsr(h, acv)
-            e_ac = float(np.dot(y_ac, y_ac))
-            gp_f = float(np.dot(y_ac, target)) / e_ac if e_ac > 0 else 0.0
-            gp_f = min(max(gp_f, 0.0), 1.2)  # decoder gain codebook headroom
-
-            # --- fixed codebook + gains -----------------------------------
-            # (a quantized-gain re-search pass was tried and measured
-            # slightly WORSE downstream — local subframe error does not
-            # align with multi-frame quality — so one pass is kept)
-            h2 = h.copy()
-            gp_sh = st.pitch_sharp / 16384.0
-            if t_int < SUBFRAME:
-                for n in range(t_int, SUBFRAME):
-                    h2[n] += gp_sh * h2[n - t_int]
-            hpad = np.concatenate([h2, np.zeros(SUBFRAME)])
-            phi = np.array([[np.dot(hpad[:SUBFRAME - max(a, b)],
-                                    hpad[abs(a - b):SUBFRAME - min(a, b)])
-                             for b in range(SUBFRAME)]
-                            for a in range(SUBFRAME)])
-            P0 = np.arange(0, SUBFRAME, 5)
-            P1 = P0 + 1
-            P2 = P0 + 2
-            P3 = np.concatenate([P0 + 3, P0 + 4])      # track 3 + jitter bit
-
-            def search_fc(r):
-                d = np.array([np.dot(r[n:], h2[:SUBFRAME - n])
-                              for n in range(SUBFRAME)])
-                sgn = np.where(d >= 0, 1.0, -1.0)
-                dabs = np.abs(d)
-                phi_s = phi * sgn[:, None] * sgn[None, :]
-                num = (dabs[P0][:, None, None, None]
-                       + dabs[P1][None, :, None, None]
-                       + dabs[P2][None, None, :, None]
-                       + dabs[P3][None, None, None, :])
-                den = (phi_s[P0, P0][:, None, None, None]
-                       + phi_s[P1, P1][None, :, None, None]
-                       + phi_s[P2, P2][None, None, :, None]
-                       + phi_s[P3, P3][None, None, None, :]
-                       + 2.0 * (phi_s[P0[:, None], P1[None, :]][:, :, None, None]
-                                + phi_s[P0[:, None], P2[None, :]][:, None, :, None]
-                                + phi_s[P0[:, None], P3[None, :]][:, None, None, :]
-                                + phi_s[P1[:, None], P2[None, :]][None, :, :, None]
-                                + phi_s[P1[:, None], P3[None, :]][None, :, None, :]
-                                + phi_s[P2[:, None], P3[None, :]][None, None, :, :]))
-                score = num * num / np.maximum(den, 1e-9)
-                k0, k1, k2, k3 = np.unravel_index(int(np.argmax(score)),
-                                                  score.shape)
-                chosen = [(int(P0[k0]), 0), (int(P1[k1]), 1),
-                          (int(P2[k2]), 2), (int(P3[k3]), 3)]
-                fci = 0
-                sg = 0
-                for pos, tr in chosen:
-                    s_bit = 1 if sgn[pos] > 0 else 0
-                    if tr < 3:
-                        fci |= (pos // 5) << (3 * tr)
-                    else:
-                        jbit = 1 if pos % 5 == 4 else 0
-                        fci |= ((pos // 5) << 10) | (jbit << 9)
-                    sg |= s_bit << tr
-                return fci, sg
-
-            gp_use = gp_f
-            pred_snapshot = list(st.pred_energ_q)
-            best_iter = None
-            for _refine in range(1):
-                fc_idx, signs = search_fc(target - gp_use * y_ac)
-                fc, _ = st.decode_fc_vector(fc_idx, signs)
-                st.fix_fc_vector(t_int, fc)
-                fcv = np.array(fc, dtype=np.float64)
-                y_fc = self._zsr(h, fcv)
-                best_g = None
-                for ga in range(8):
-                    for gb in range(16):
-                        st.pred_energ_q = list(pred_snapshot)
-                        gp = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
-                        gc = st.get_gain_code(ga, gb, fc)
-                        rec = y_ac * (gp / 16384.0) + y_fc * (gc / 16384.0)
-                        err = float(np.sum((target - rec) ** 2))
-                        if best_g is None or err < best_g[0]:
-                            best_g = (err, ga, gb)
-                st.pred_energ_q = list(pred_snapshot)
-                err, ga, gb = best_g
-                if best_iter is None or err < best_iter[0]:
-                    best_iter = (err, fc_idx, signs, ga, gb)
-                gp_use = (int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])) / 16384.0
-            _, fc_idx, signs, ga, gb = best_iter
             fc, _ = st.decode_fc_vector(fc_idx, signs)
             st.fix_fc_vector(t_int, fc)
             parm["fc_indexes"][i] = fc_idx

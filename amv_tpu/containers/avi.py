@@ -51,12 +51,74 @@ def _walk_list(data, pos, end, handler):
     return pos
 
 
-def demux(data: bytes):
-    """Returns list[AviStream] (video first when present)."""
+def _parse_idx1(data, body, size, movi_start, streams):
+    """idx1 entries -> per-stream (payload_offset, size, keyframe) lists
+    (avi_read_idx1, avidec.c:740-806).  Entry offsets are either absolute
+    file offsets or relative to the movi list's 'movi' tag; detected like
+    the reference does, by checking whether the first entry's offset
+    points at its own chunk tag."""
+    n = size // 16
+    if n == 0:
+        return
+    tag0, _, ofs0, _ = struct.unpack_from("<4sIII", data, body)
+    base = 0
+    if data[ofs0:ofs0 + 4] != tag0:
+        base = movi_start  # offsets relative to 'movi' tag
+    for k in range(n):
+        tag, flags, ofs, ln = struct.unpack_from("<4sIII", data,
+                                                 body + 16 * k)
+        if tag[2:4] not in (b"db", b"dc", b"wb") or not tag[:2].isdigit():
+            continue
+        sid = int(tag[:2])
+        if sid < len(streams):
+            streams[sid].index.append((base + ofs + 8, ln,
+                                       bool(flags & 0x10)))
+
+
+def _parse_odml_indx(data, body, size, sid, streams):
+    """OpenDML 'indx' super/standard index (read_braindead_odml_indx,
+    avidec.c:520-598).  Handles AVI_INDEX_OF_CHUNKS (standard ix##
+    entries, relative to qwBaseOffset) and AVI_INDEX_OF_INDEXES
+    (super index whose entries point at ix## chunks)."""
+    if size < 24 or sid >= len(streams):
+        return
+    longs_per_entry, _sub, idx_type = struct.unpack_from("<HBB", data, body)
+    n_in_use = struct.unpack_from("<I", data, body + 4)[0]
+    base_ofs = struct.unpack_from("<Q", data, body + 12)[0]
+    ent = body + 24
+    if idx_type == 1:          # AVI_INDEX_OF_CHUNKS
+        if longs_per_entry != 2:
+            return
+        for k in range(n_in_use):
+            ofs, ln = struct.unpack_from("<II", data, ent + 8 * k)
+            streams[sid].index.append(
+                (base_ofs + ofs, ln & 0x7FFFFFFF,
+                 not (ln & 0x80000000)))  # high bit set = non-key
+    elif idx_type == 0:        # AVI_INDEX_OF_INDEXES
+        if longs_per_entry != 4:
+            return
+        for k in range(n_in_use):
+            qw_ofs, sz = struct.unpack_from("<QI", data, ent + 16 * k)
+            # nested standard index chunk: 'ix##' + size + body
+            if data[qw_ofs:qw_ofs + 2] == b"ix":
+                sub_sz = struct.unpack_from("<I", data, qw_ofs + 4)[0]
+                _parse_odml_indx(data, qw_ofs + 8, sub_sz, sid, streams)
+
+
+def demux(data: bytes, use_index: bool = True):
+    """Returns list[AviStream] (video first when present).
+
+    With use_index=True (default) and an idx1/ODML index present,
+    chunks are read through the index (avi_load_index semantics)
+    instead of the linear movi walk — this is what makes seeking and
+    sparse access O(1) per chunk.
+    """
     if data[0:4] != b"RIFF" or data[8:12] not in (b"AVI ", b"AVIX"):
         raise ValueError("not an AVI file")
     streams: list[AviStream] = []
     movi_ranges = []
+    idx1_loc = []
+    indx_pending = []  # (strl stream id, body, size)
 
     def parse_strl(pos, end):
         st = None
@@ -65,6 +127,8 @@ def demux(data: bytes):
             tag = data[p:p + 4]
             size = struct.unpack_from("<I", data, p + 4)[0]
             body = p + 8
+            if tag == b"indx":
+                indx_pending.append((len(streams), body, size))
             if tag == b"strh":
                 fcc_type = data[body:body + 4]
                 handler = data[body + 4:body + 8]
@@ -111,11 +175,27 @@ def demux(data: bytes):
                         parse_strl(p2 + 12, p2 + 8 + s2)
                     p2 += 8 + s2 + (s2 & 1)
             elif ltype == b"movi":
-                movi_ranges.append((body + 4, body + size))
+                movi_ranges.append((body, body + size))
+        elif tag == b"idx1":
+            idx1_loc.append((body, size))
         pos = body + size + (size & 1)
 
+    # index-based chunk extraction (preferred when an index exists)
+    if use_index:
+        for sid, body, size in indx_pending:
+            _parse_odml_indx(data, body, size, sid, streams)
+        if not any(st.index for st in streams):
+            for body, size in idx1_loc:
+                # relative idx1 offsets count from the 'movi' fourcc
+                movi_start = movi_ranges[0][0] if movi_ranges else 0
+                _parse_idx1(data, body, size, movi_start, streams)
+        if any(st.index for st in streams):
+            for st in streams:
+                st.chunks = [data[o:o + ln] for (o, ln, _) in st.index]
+            return streams
+
     for lo, hi in movi_ranges:
-        p = lo
+        p = lo + 4
         while p + 8 <= hi:
             tag = data[p:p + 4]
             size = struct.unpack_from("<I", data, p + 4)[0]
@@ -124,6 +204,7 @@ def demux(data: bytes):
                 idx = int(tag[:2])
                 if idx < len(streams) and size:
                     streams[idx].chunks.append(data[body:body + size])
+                    streams[idx].index.append((body, size, True))
             elif tag == b"LIST":
                 p = body + 4
                 continue
@@ -131,19 +212,66 @@ def demux(data: bytes):
     return streams
 
 
+def seek_frame(st: AviStream, frame: int) -> int:
+    """Index-based seek: clamp `frame` into range and back up to the
+    nearest keyframe at or before it (avi_read_seek, avidec.c:933-1012 —
+    av_index_search_timestamp with AVSEEK_FLAG_BACKWARD semantics).
+    Returns the chunk index to start decoding from."""
+    if not st.index:
+        return max(0, min(frame, len(st.chunks) - 1))
+    frame = max(0, min(frame, len(st.index) - 1))
+    while frame > 0 and not st.index[frame][2]:
+        frame -= 1
+    return frame
+
+
 def read(path: str):
     with open(path, "rb") as f:
         return demux(f.read())
 
 
+def _downsample_chroma(c):
+    """Full-res chroma [F, H, W] -> 4:2:0 by 2x2 mean (libswscale's
+    default chroma reduction for packed 4:2:2/RGB inputs)."""
+    F, H, W = c.shape
+    c = c[:, :H & ~1, :W & ~1].astype(np.uint16)
+    return ((c[:, 0::2, 0::2] + c[:, 0::2, 1::2] +
+             c[:, 1::2, 0::2] + c[:, 1::2, 1::2] + 2) >> 2).astype(np.uint8)
+
+
 def extract_yuv420(st: AviStream):
-    """Decode a raw-video AVI stream's chunks to (Y, Cb, Cr) uint8 arrays."""
+    """Decode a raw-video AVI stream's chunks to (Y, Cb, Cr) uint8 planes.
+
+    Input-format breadth mirrors the libswscale formats the reference
+    CLI accepts from AVI material (swscale.c isSupportedIn): planar
+    I420/IYUV/YV12, packed YUY2/YUYV/UYVY 4:2:2, RGB DIBs at 16
+    (RGB565/555), 24 (BGR) and 32 (BGRX) bits, grayscale Y800/GREY,
+    and MJPG/JPEG streams (decoded by codecs.mjpeg).
+    """
     w, h = st.width, st.height
     frames = len(st.chunks)
     tag = bytes(st.codec).upper()
     if tag.startswith(b"MJPG") or tag.startswith(b"JPEG"):
         from ..codecs.mjpeg import decode_mjpeg_frames
-        return decode_mjpeg_frames(st.chunks)
+        y, cb, cr = decode_mjpeg_frames(st.chunks)
+        if cb is None:                       # grayscale MJPEG
+            gray = np.full((frames, h // 2, w // 2), 128, np.uint8)
+            return y, gray, gray.copy()
+        if cb.shape[1:] == (h, w):           # 4:4:4 -> 4:2:0
+            return y, _downsample_chroma(cb), _downsample_chroma(cr)
+        if cb.shape[1:] == (h, w // 2):      # 4:2:2 -> 4:2:0 (vertical mean)
+            cb2 = ((cb[:, 0::2].astype(np.uint16) +
+                    cb[:, 1::2] + 1) >> 1).astype(np.uint8)
+            cr2 = ((cr[:, 0::2].astype(np.uint16) +
+                    cr[:, 1::2] + 1) >> 1).astype(np.uint8)
+            return y, cb2, cr2
+        return y, cb, cr
+
+    def rgb_frames_to_yuv(rgb):
+        from ..kernels.color import rgb_to_yuv420_bt601
+        yy, cc, rr = rgb_to_yuv420_bt601(rgb)
+        return np.asarray(yy), np.asarray(cc), np.asarray(rr)
+
     y = np.zeros((frames, h, w), np.uint8)
     cb = np.zeros((frames, h // 2, w // 2), np.uint8)
     cr = np.zeros((frames, h // 2, w // 2), np.uint8)
@@ -157,13 +285,52 @@ def extract_yuv420(st: AviStream):
             y[i] = buf[:w * h].reshape(h, w)
             cr[i] = buf[w * h:w * h * 5 // 4].reshape(h // 2, w // 2)
             cb[i] = buf[w * h * 5 // 4:w * h * 3 // 2].reshape(h // 2, w // 2)
+        elif tag.startswith(b"YUY2") or tag.startswith(b"YUYV") or \
+                tag.startswith(b"V422") or tag.startswith(b"YUNV"):
+            pk = buf[:w * h * 2].reshape(h, w // 2, 4)
+            y[i] = pk[:, :, 0::2].reshape(h, w)
+            cb[i] = ((pk[0::2, :, 1].astype(np.uint16) +
+                      pk[1::2, :, 1] + 1) >> 1).astype(np.uint8)
+            cr[i] = ((pk[0::2, :, 3].astype(np.uint16) +
+                      pk[1::2, :, 3] + 1) >> 1).astype(np.uint8)
+        elif tag.startswith(b"UYVY") or tag.startswith(b"Y422") or \
+                tag.startswith(b"UYNV"):
+            pk = buf[:w * h * 2].reshape(h, w // 2, 4)
+            y[i] = pk[:, :, 1::2].reshape(h, w)
+            cb[i] = ((pk[0::2, :, 0].astype(np.uint16) +
+                      pk[1::2, :, 0] + 1) >> 1).astype(np.uint8)
+            cr[i] = ((pk[0::2, :, 2].astype(np.uint16) +
+                      pk[1::2, :, 2] + 1) >> 1).astype(np.uint8)
+        elif tag.startswith(b"Y800") or tag.startswith(b"GREY") or \
+                (st.bits == 8 and (tag.startswith(b"DIB") or not
+                                   tag.strip(b"\x00"))):
+            y[i] = buf[:w * h].reshape(h, w)
+            cb[i] = 128
+            cr[i] = 128
+        elif st.bits == 16 and (tag.startswith(b"DIB") or
+                                not tag.strip(b"\x00")):
+            # RGB555 bottom-up DIB (BI_RGB 16-bit default)
+            row = (w * 2 + 3) & ~3
+            px = buf[:row * h].reshape(h, row)[:, :w * 2]
+            v = px.view("<u2").reshape(h, w)[::-1]
+            r5 = ((v >> 10) & 31).astype(np.uint8)
+            g5 = ((v >> 5) & 31).astype(np.uint8)
+            b5 = (v & 31).astype(np.uint8)
+            rgb = np.stack([(r5 << 3) | (r5 >> 2), (g5 << 3) | (g5 >> 2),
+                            (b5 << 3) | (b5 >> 2)], axis=-1)
+            y[i], cb[i], cr[i] = (a[0] for a in rgb_frames_to_yuv(rgb[None]))
+        elif st.bits == 32 and (tag.startswith(b"DIB") or
+                                not tag.strip(b"\x00")):
+            img = buf[:w * h * 4].reshape(h, w, 4)
+            rgb = img[::-1, :, 2::-1]  # bottom-up BGRX -> RGB
+            y[i], cb[i], cr[i] = (a[0] for a in rgb_frames_to_yuv(
+                np.ascontiguousarray(rgb)[None]))
         elif tag.startswith(b"DIB") or st.bits == 24:
             row = (w * 3 + 3) & ~3
             img = buf[:row * h].reshape(h, row)[:, :w * 3].reshape(h, w, 3)
             rgb = img[::-1, :, ::-1]  # bottom-up BGR -> RGB
-            from ..kernels.color import rgb_to_yuv420_bt601
-            yy, cc, rr = rgb_to_yuv420_bt601(rgb[None])
-            y[i], cb[i], cr[i] = np.asarray(yy[0]), np.asarray(cc[0]), np.asarray(rr[0])
+            y[i], cb[i], cr[i] = (a[0] for a in rgb_frames_to_yuv(
+                np.ascontiguousarray(rgb)[None]))
         else:
             raise ValueError(f"unsupported AVI video codec {st.codec!r}")
     return y, cb, cr
@@ -215,17 +382,24 @@ def mux(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, pcm: np.ndarray,
         + b"hdrl" + chunk(b"avih", avih) + strls
 
     movi = bytearray(b"movi")
+    index = []  # (tag, flags, offset-from-movi-fourcc, size) for idx1
     for i in range(F):
         payload = y[i].tobytes() + cb[i].tobytes() + cr[i].tobytes()
+        index.append((b"00dc", 0x10, len(movi), len(payload)))
         movi += chunk(b"00dc", payload)
         if len(pcm):
             lo = i * samples_per_frame
             hi = min(len(pcm), (i + 1) * samples_per_frame)
             if i == F - 1:
                 hi = len(pcm)
-            movi += chunk(b"01wb", np.ascontiguousarray(
-                pcm[lo:hi], dtype="<i2").tobytes())
+            ab = np.ascontiguousarray(pcm[lo:hi], dtype="<i2").tobytes()
+            index.append((b"01wb", 0x10, len(movi), len(ab)))
+            movi += chunk(b"01wb", ab)
     movi_list = b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
 
-    riff_body = b"AVI " + hdrl + movi_list
+    # idx1 (avi_write_idx1 layout): offsets relative to the 'movi' fourcc,
+    # AVIIF_KEYFRAME on every chunk (raw video is all-intra)
+    idx1 = b"".join(struct.pack("<4sIII", tag, flags, ofs, sz)
+                    for (tag, flags, ofs, sz) in index)
+    riff_body = b"AVI " + hdrl + movi_list + chunk(b"idx1", idx1)
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

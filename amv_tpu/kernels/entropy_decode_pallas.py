@@ -105,82 +105,100 @@ _ACM_C = _bitslice_masks(_AC_VALS_C, _ACW)
 WIN = 256  # default windowed-fetch rows (1 KB of stream per round)
 
 
-def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN):
+def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
+                 hbm: bool = False, unroll: int = 1, acc_regs: int = 32):
     WIN = win
 
-    def fetch_word(words_ref, wc, need, soft):
-        """Per-lane word at row cursor wc for lanes in `need`, plus
-        opportunistic service of `soft` lanes whose row falls in a
-        visited window.
+    WIN = min(WIN, w_rows)
 
-        Masked reduction (exactly one row matches, so sum == select);
-        Mosaic has no dynamic vector gather and no unsigned reductions,
-        so the sum runs on the int32 bit view.  Instead of reducing over
-        all w_rows every time, reduce over a WIN-row window anchored at
-        the minimum unserved `need` cursor; a while-loop re-anchors for
-        stragglers.  Serving every in-window `soft` lane in the same
-        pass re-synchronizes the slab: lanes leave each pass topped up,
-        so the next pass is several symbols away instead of immediate.
+    def _insert(hi, lo, l2, nb, w, srv):
+        """OR a fetched word into the 96-bit (hi, lo, l2) buffer at bit
+        offset nb (0..63; callers guarantee room) for lanes in srv."""
+        w = jnp.where(srv, w, jnp.uint32(0))
+        s = (nb & 31).astype(jnp.uint32)
+        whi = w >> s
+        wlo = jnp.where((nb & 31) > 0,
+                        w << ((32 - nb) & 31).astype(jnp.uint32),
+                        jnp.uint32(0))
+        top = nb < 32
+        hi = hi | jnp.where(top, whi, jnp.uint32(0))
+        lo = lo | jnp.where(top, wlo, whi)
+        l2 = l2 | jnp.where(top, jnp.uint32(0), wlo)
+        return hi, lo, l2
 
-        Returns (word, got): got lanes received a word (their state
-        must advance); `soft` lanes past the stream end are reported
-        got with a zero word in BOTH branches (the stream is zero-
-        padded, so absorbing 32 zero bits is exact either way)."""
-        if w_rows <= WIN:
-            words = words_ref[0]
-            it = jax.lax.broadcasted_iota(jnp.int32, (w_rows, SB, 128), 0)
-            sel = jnp.where((it == wc[None]) & soft[None], words,
-                            jnp.int32(0))
-            return (jnp.sum(sel, axis=0).astype(jnp.uint32),
-                    soft)  # full view: every soft lane is served
+    def ensure(words_ref, hi, lo, l2, nb, wc, aux=None):
+        """Refill lanes holding < 27 bits; every lane with buffer room
+        (nb <= 63) in a visited window tops up opportunistically with up
+        to TWO 32-bit words per pass.
+
+        The per-lane word gather is a masked reduction over a WIN-row
+        window anchored at the minimum unserved cursor (Mosaic has no
+        dynamic vector gather); a while-loop re-anchors for stragglers.
+        The 96-bit buffer is what makes the window passes affordable:
+        with 1024 lanes consuming ~6 bits/token in lockstep, a 64-bit
+        buffer re-triggers a pass nearly every token, while topping
+        everyone up to ~96 bits spaces passes several tokens apart.
+
+        hbm=True keeps the stream in HBM (memory-space ANY) and DMAs
+        each window into a VMEM scratch buffer, caching the last anchor
+        in SMEM — arbitrarily long scans decode without a VMEM-resident
+        stream slab, and re-anchoring is deadlock-free at any lane
+        spread because reads are re-fetchable.
+
+        Lanes past the stream end absorb zero words (the stream is
+        zero-padded, so that is exact)."""
+        need = nb < 27
 
         def cond(st):
-            return jnp.sum(st[2]) > 0
+            return jnp.sum(st[5]) > 0
 
         def body(st):
-            w, got, unserved = st
+            hi, lo, l2, nb, wc, unserved = st
             wcn = jnp.where(unserved != 0, wc, jnp.int32(0x7FFFFFFF))
             lo0 = jnp.clip(jnp.min(wcn), 0, w_rows - WIN)
-            win = words_ref[0, pl.ds(lo0, WIN)]            # [WIN, SB, 128]
+            if hbm:
+                fbuf, flo_ref, sem, ci = aux
+
+                @pl.when(flo_ref[0] != lo0)
+                def _load():
+                    cp = pltpu.make_async_copy(
+                        words_ref.at[ci, pl.ds(lo0, WIN)], fbuf, sem)
+                    cp.start()
+                    cp.wait()
+                    flo_ref[0] = lo0
+
+                winv = fbuf[...]
+            else:
+                winv = words_ref[0, pl.ds(lo0, WIN)]       # [WIN, SB, 128]
             it = lo0 + jax.lax.broadcasted_iota(jnp.int32, (WIN, SB, 128), 0)
-            hit = (it == wc[None]) & (soft & (got == 0))[None]
-            w = w | jnp.sum(jnp.where(hit, win, jnp.int32(0)), axis=0)
-            inwin = (wc >= lo0) & (wc < lo0 + WIN)
-            got = got | (soft & inwin).astype(jnp.int32)
-            unserved = jnp.where(inwin, 0, unserved)
-            return w, got, unserved
+            for _ in range(2):                             # two words/pass
+                room = nb <= 63
+                inwin = (wc >= lo0) & (wc < lo0 + WIN)
+                srv = room & (inwin | (wc >= w_rows))
+                w = jnp.sum(jnp.where((it == wc[None]) & srv[None], winv,
+                                      jnp.int32(0)), axis=0) \
+                    .astype(jnp.uint32)
+                hi, lo, l2 = _insert(hi, lo, l2, nb, w, srv)
+                nb = nb + jnp.where(srv, 32, 0)
+                wc = wc + jnp.where(srv, 1, 0)
+            unserved = jnp.where(nb >= 27, 0, unserved)
+            return hi, lo, l2, nb, wc, unserved
 
-        w0 = jnp.zeros((SB, 128), jnp.int32)
-        g0 = jnp.zeros((SB, 128), jnp.int32)
-        u0 = (need & (wc < w_rows)).astype(jnp.int32)
-        w, got, _ = jax.lax.while_loop(cond, body, (w0, g0, u0))
-        return w.astype(jnp.uint32), (got != 0) | (soft & (wc >= w_rows))
+        u0 = need.astype(jnp.int32)
+        hi, lo, l2, nb, wc, _ = jax.lax.while_loop(
+            cond, body, (hi, lo, l2, nb, wc, u0))
+        return hi, lo, l2, nb, wc
 
-    def ensure(words_ref, hi, lo, nb, wc):
-        """Refill one 32-bit word into lanes holding < 27 bits; lanes
-        with buffer room (nb <= 31) top up for free when a fetch pass
-        covers their cursor."""
-        need = nb < 27
-        soft = nb <= 31
-        w, got = fetch_word(words_ref, wc, need, soft)
-        w = jnp.where(got, w, jnp.uint32(0))
-        sh = jnp.clip(nb, 0, 31).astype(jnp.uint32)
-        hi = hi | (w >> sh)
-        lo = lo | jnp.where(nb > 0,
-                            w << ((32 - nb) & 31).astype(jnp.uint32),
-                            jnp.uint32(0))
-        nb = nb + jnp.where(got, 32, 0)
-        wc = wc + jnp.where(got, 1, 0)
-        return hi, lo, nb, wc
-
-    def consume(hi, lo, nb, c):
+    def consume(hi, lo, l2, nb, c):
         cu = c.astype(jnp.uint32)
-        spill = jnp.where(c > 0,
-                          lo >> ((32 - c) & 31).astype(jnp.uint32),
-                          jnp.uint32(0))
-        hi = (hi << cu) | spill
-        lo = lo << cu
-        return hi, lo, nb - c
+        nz = c > 0
+        sh = ((32 - c) & 31).astype(jnp.uint32)
+        sp1 = jnp.where(nz, lo >> sh, jnp.uint32(0))
+        sp2 = jnp.where(nz, l2 >> sh, jnp.uint32(0))
+        hi = (hi << cu) | sp1
+        lo = (lo << cu) | sp2
+        l2 = l2 << cu
+        return hi, lo, l2, nb - c
 
     def dec_len(p16, bound):
         """bound: list of 16 traced scalars -> code length [8,128].
@@ -207,15 +225,23 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN):
         m = mant.astype(jnp.int32)
         return jnp.where(size == 0, 0, jnp.where(neg, m - full, m))
 
-    def kernel(words_ref, out_ref, hi_ref, lo_ref, nb_ref, wc_ref):
+    def kernel(words_ref, out_ref, hi_ref, lo_ref, l2_ref, nb_ref, wc_ref,
+               *hbm_scratch):
         b = pl.program_id(1)
+        aux = None
+        if hbm:
+            fbuf, flo_ref, sem = hbm_scratch
+            aux = (fbuf, flo_ref, sem, pl.program_id(0))
 
         @pl.when(b == 0)
         def _init():
             hi_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             lo_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
+            l2_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             nb_ref[:, :] = jnp.zeros((SB, 128), jnp.int32)
             wc_ref[:, :] = jnp.zeros((SB, 128), jnp.int32)
+            if hbm:
+                flo_ref[0] = -1  # fetch cache anchor: invalid
 
         luma = (b % 6) < 4  # scalar: block type is synchronized
         sw = lambda a, c: jnp.where(luma, a, c)  # scalar table select
@@ -231,21 +257,21 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN):
         ac_mask = [[sw(_ACM_L[b][w], _ACM_C[b][w]) for w in range(_ACW)]
                    for b in range(8)]
 
-        hi, lo = hi_ref[:, :], lo_ref[:, :]
+        hi, lo, l2 = hi_ref[:, :], lo_ref[:, :], l2_ref[:, :]
         nb, wc = nb_ref[:, :], wc_ref[:, :]
 
         # ---------------- DC ----------------
-        hi, lo, nb, wc = ensure(words_ref, hi, lo, nb, wc)
+        hi, lo, l2, nb, wc = ensure(words_ref, hi, lo, l2, nb, wc, aux)
         p16 = (hi >> 16).astype(jnp.int32)
         ln = dec_len(p16, dc_bound)
         code = p16 >> (16 - ln)
         size = jnp.clip(code + sel_by_len(ln, dc_delta), 0, 11)
-        hi, lo, nb = consume(hi, lo, nb, ln)
+        hi, lo, l2, nb = consume(hi, lo, l2, nb, ln)
         mant = jnp.where(size > 0,
                          hi >> ((32 - size) & 31).astype(jnp.uint32),
                          jnp.uint32(0))
         diff = extend(mant, size)
-        hi, lo, nb = consume(hi, lo, nb, size)
+        hi, lo, l2, nb = consume(hi, lo, l2, nb, size)
 
         out_ref[0, 0, 0] = diff.astype(jnp.int16)
 
@@ -253,16 +279,18 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN):
         # Levels accumulate into 32 pair-packed int32 carries (two
         # 16-bit halves; each position is written at most once, so OR
         # is exact) — ~3x cheaper per token than a 63-row VMEM RMW.
-        def cond(st):
-            it, posd = st[0], st[1]
-            # done is encoded as pos > 63; all-done <=> min(pos) > 63
-            return (it < 64) & (jnp.min(posd) <= 63)
-
-        def body(st):
-            (it, posd, hi, lo, nb, wc), acc = st[:6], list(st[6])
-            pos = posd
+        # The body decodes `unroll` tokens per iteration: per-block
+        # lockstep iterations are the per-chunk MAX token count (mean
+        # ~11, p50 of max ~22 on the corpus), so unrolling divides the
+        # divergence tax's iteration count while fixed per-iteration
+        # costs (cond reduce, carry traffic) amortize.
+        def tok(posd, hi, lo, l2, nb, wc, acc):
             done = posd > 63  # local bool mask (i1 carries don't lower)
-            hi, lo, nb, wc = ensure(words_ref, hi, lo, nb, wc)
+            # NOTE: a scalar skip-counter around ensure() (lax.cond fast
+            # path for provably-unneeded refills) was MEASURED 12% slower
+            # on TPU — Mosaic scalar branches around large vector bodies
+            # cost more than the empty ensure's compare+reduce.
+            hi, lo, l2, nb, wc = ensure(words_ref, hi, lo, l2, nb, wc, aux)
             p16 = (hi >> 16).astype(jnp.int32)
             ln = dec_len(p16, ac_bound)
             idx = jnp.clip((p16 >> (16 - ln)) +
@@ -282,67 +310,110 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN):
             size = sym & 0xF
             eob = sym == 0
             zrl = sym == 0xF0
-            wpos = pos + run
+            wpos = posd + run
             write = (~done) & (~eob) & (~zrl) & (wpos <= 63)
             c1 = jnp.where(done, 0, ln)
-            hi, lo, nb = consume(hi, lo, nb, c1)
+            hi, lo, l2, nb = consume(hi, lo, l2, nb, c1)
             mant = jnp.where(size > 0,
                              hi >> ((32 - size) & 31).astype(jnp.uint32),
                              jnp.uint32(0))
             level = extend(mant, size)
             c2 = jnp.where(done, 0, size)
-            hi, lo, nb = consume(hi, lo, nb, c2)
+            hi, lo, l2, nb = consume(hi, lo, l2, nb, c2)
             lv16 = jnp.where(write, level & 0xFFFF, 0)
             contrib = jnp.where((wpos & 1) != 0, lv16 << 16, lv16)
             half = wpos >> 1
-            for j in range(32):
+            for j in range(acc_regs):   # < 32 only for perf experiments
                 acc[j] = acc[j] | jnp.where(write & (half == j), contrib, 0)
-            pos = jnp.where(done, pos,
-                            jnp.where(eob, 64,
-                                      jnp.where(zrl, pos + 16, wpos + 1)))
-            return (it + 1, pos, hi, lo, nb, wc, tuple(acc))
+            posd = jnp.where(done, posd,
+                             jnp.where(eob, 64,
+                                       jnp.where(zrl, posd + 16, wpos + 1)))
+            return posd, hi, lo, l2, nb, wc, acc
 
-        zpair = tuple(jnp.zeros((SB, 128), jnp.int32) for _ in range(32))
+        max_it = (64 + unroll - 1) // unroll + 1
+
+        def cond(st):
+            it, posd = st[0], st[1]
+            # done is encoded as pos > 63; all-done <=> min(pos) > 63
+            return (it < max_it) & (jnp.min(posd) <= 63)
+
+        def body(st):
+            (it, posd, hi, lo, l2, nb, wc), acc = st[:7], list(st[7])
+            for _ in range(unroll):
+                posd, hi, lo, l2, nb, wc, acc = tok(posd, hi, lo, l2, nb,
+                                                    wc, acc)
+            return (it + 1, posd, hi, lo, l2, nb, wc, tuple(acc))
+
+        zpair = tuple(jnp.zeros((SB, 128), jnp.int32)
+                      for _ in range(acc_regs))
         st0 = (jnp.int32(0), jnp.ones((SB, 128), jnp.int32),
-               hi, lo, nb, wc, zpair)
+               hi, lo, l2, nb, wc, zpair)
         out_st = jax.lax.while_loop(cond, body, st0)
-        hi, lo, nb, wc, acc = out_st[2], out_st[3], out_st[4], out_st[5], \
-            out_st[6]
+        hi, lo, l2, nb, wc, acc = (out_st[2], out_st[3], out_st[4],
+                                   out_st[5], out_st[6], out_st[7])
         out_ref[0, 0, 1] = (acc[0] >> 16).astype(jnp.int16)
-        for j in range(1, 32):
+        for j in range(1, acc_regs):
             out_ref[0, 0, 2 * j] = (acc[j] & 0xFFFF).astype(jnp.int16)
             out_ref[0, 0, 2 * j + 1] = (acc[j] >> 16).astype(jnp.int16)
 
         hi_ref[:, :] = hi
         lo_ref[:, :] = lo
+        l2_ref[:, :] = l2
         nb_ref[:, :] = nb
         wc_ref[:, :] = wc
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n_blocks", "interpret", "win"))
+# above this many word rows (4KB each) the stream slab stays in HBM and
+# fetch windows are DMAed on demand (see fetch_word hbm path)
+HBM_STREAM_ROWS = 1536
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "interpret", "win", "hbm",
+                                   "unroll", "acc_regs"))
 def _decode_layout(words, n_blocks: int, interpret: bool = False,
-                   win: int = WIN):
+                   win: int = WIN, hbm: bool | None = None,
+                   unroll: int = 1, acc_regs: int = 32):
     """words uint32 [CB, W, 8, 128] -> levels int16 [CB, n_blocks, 64, 8, 128].
 
     `win` sizes the fetch window: lanes whose stream cursors cluster
-    (e.g. length-sorted batches) can use a much smaller window."""
+    (e.g. length-sorted batches) can use a much smaller window.  `hbm`
+    keeps the stream in HBM with DMAed fetch windows (auto-enabled for
+    streams too long for a VMEM-resident slab)."""
     cbn, w_rows = words.shape[0], words.shape[1]
-    kernel = _make_kernel(w_rows, n_blocks, win=win)
+    if hbm is None:
+        hbm = w_rows > HBM_STREAM_ROWS
+    kernel = _make_kernel(w_rows, n_blocks, win=win, hbm=hbm,
+                          unroll=unroll, acc_regs=acc_regs)
+    if hbm:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch = [pltpu.VMEM((SB, 128), jnp.uint32),
+                   pltpu.VMEM((SB, 128), jnp.uint32),
+                   pltpu.VMEM((SB, 128), jnp.uint32),
+                   pltpu.VMEM((SB, 128), jnp.int32),
+                   pltpu.VMEM((SB, 128), jnp.int32),
+                   pltpu.VMEM((min(win, words.shape[1]), SB, 128),
+                              jnp.int32),
+                   pltpu.SMEM((1,), jnp.int32),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        in_specs = [pl.BlockSpec((1, w_rows, SB, 128),
+                                 lambda i, j: (i, 0, 0, 0))]
+        scratch = [pltpu.VMEM((SB, 128), jnp.uint32),
+                   pltpu.VMEM((SB, 128), jnp.uint32),
+                   pltpu.VMEM((SB, 128), jnp.uint32),
+                   pltpu.VMEM((SB, 128), jnp.int32),
+                   pltpu.VMEM((SB, 128), jnp.int32)]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((cbn, n_blocks, 64, SB, 128),
                                        jnp.int16),
         grid=(cbn, n_blocks),
-        in_specs=[pl.BlockSpec((1, w_rows, SB, 128),
-                               lambda i, j: (i, 0, 0, 0))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 64, SB, 128),
                                lambda i, j: (i, j, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((SB, 128), jnp.uint32),
-                        pltpu.VMEM((SB, 128), jnp.uint32),
-                        pltpu.VMEM((SB, 128), jnp.int32),
-                        pltpu.VMEM((SB, 128), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(words)
 

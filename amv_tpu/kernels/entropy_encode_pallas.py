@@ -53,11 +53,11 @@ def _enc_tables():
 
 _ET = _enc_tables()
 
-# The bit-writer appends with the 64-bit (hi, lo) buffer holding up to 36
-# bits (the lazy flush in emit_if_full only forces a drain at nb >= 37),
-# so every appended token must fit 36 + ln <= 63 (the shift arithmetic in
-# `append` additionally needs (-sh_hi) & 31 not to wrap, i.e. ln <= 27 at
-# nb <= 36).  K.3 tokens are code(<=16) + mantissa(<=11 DC / <=10 AC).
+# The bit-writer appends with the 96-bit (hi, lo, l2) buffer holding up
+# to 68 bits (the lazy flush in emit_if_full only forces a drain at
+# nb >= 69), so every appended token must fit 68 + ln <= 95, and the
+# two-word spill arithmetic in `append` needs ln < 32.  K.3 tokens are
+# code(<=16) + mantissa(<=11 DC / <=10 AC).
 _MAX_TOKEN_BITS = max(
     max(int(s) for s in _ET["dc_l"][0][:12]) + 11,
     max(int(s) for s in _ET["dc_c"][0][:12]) + 11,
@@ -66,8 +66,8 @@ _MAX_TOKEN_BITS = max(
 )
 assert _MAX_TOKEN_BITS <= 27, (
     "append/emit_if_full invariant broken: a code+mantissa token of "
-    f"{_MAX_TOKEN_BITS} bits can overflow the 64-bit buffer at nb == 36 "
-    "(lazy-flush threshold 37); shrink the threshold or split the append")
+    f"{_MAX_TOKEN_BITS} bits can overflow the 96-bit buffer at nb == 68 "
+    "(lazy-flush threshold 69); shrink the threshold or split the append")
 
 
 def _packed(table, sym):
@@ -128,7 +128,8 @@ _ACE_L = _ac_canonical(list(T.BITS_AC_LUMA), list(T.VALS_AC_LUMA))
 _ACE_C = _ac_canonical(list(T.BITS_AC_CHROMA), list(T.VALS_AC_CHROMA))
 
 
-def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
+def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
+                 unroll: int = 1):
     win = min(win_rows, w_out)
     assert w_out % win == 0, (w_out, win)
 
@@ -142,73 +143,80 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
             x = jnp.where(m, x >> s, x)
         return r + (v > 0).astype(jnp.int32)
 
-    def emit_if_full(out_ref, hi, lo, nb, wcur, tbits, force=False):
-        """Flush one ready 32-bit word per lane, lazily: only lanes
-        that MUST flush (nb >= 37: the next append could overflow the
-        64-bit buffer) anchor a window pass, but every lane with a
-        ready word (nb >= 32) whose cursor falls in a visited window
-        flushes in the same pass.  Lanes leave each pass drained, so
-        passes amortize over several tokens instead of firing on every
-        one.  `force` flushes every ready lane (final drain)."""
-        hard = nb >= (32 if force else 37)
-        soft = nb >= 32
+    def emit_if_full(out_ref, hi, lo, l2, nb, wcur, tbits, force=False):
+        """Flush ready 32-bit words per lane, lazily: only lanes that
+        MUST flush (nb >= 69: the next append could overflow the 96-bit
+        buffer) anchor a window pass, but every lane with a ready word
+        (nb >= 32) whose cursor falls in a visited window flushes up to
+        TWO words in the same pass.  The 96-bit (hi, lo, l2) writer is
+        what amortizes the window RMW: with 1024 lanes emitting ~6
+        bits/token in lockstep, a 64-bit buffer re-triggers a pass
+        nearly every token, while draining everyone to < 32 bits spaces
+        passes several tokens apart.  `force` flushes every ready lane
+        (final drain)."""
+        hard = nb >= (32 if force else 69)
 
         def cond(st):
-            return jnp.sum(st[1]) > 0
+            return jnp.sum(st[5]) > 0
 
         def body(st):
-            got, unserved = st
+            hi, lo, l2, nb, wcur, unserved = st
             wn = jnp.where(unserved != 0, wcur, jnp.int32(0x7FFFFFFF))
             lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
             wview = out_ref[0, pl.ds(lo0, win)]
             it = lo0 + jax.lax.broadcasted_iota(jnp.int32,
                                                 (win, SB, 128), 0)
-            hit = (it == wcur[None]) & (soft & (got == 0))[None]
-            out_ref[0, pl.ds(lo0, win)] = jnp.where(
-                hit, hi.astype(jnp.int32)[None], wview)
-            inwin = (wcur >= lo0) & (wcur < lo0 + win)
-            got = got | (soft & inwin).astype(jnp.int32)
-            return got, jnp.where(inwin, 0, unserved)
+            for _ in range(2):                     # two words per pass
+                ready = nb >= 32
+                inwin = (wcur >= lo0) & (wcur < lo0 + win)
+                # lanes past the output cap drop the word once flushing
+                # becomes mandatory (hard), preserving no-overflow
+                srv = ready & (inwin | (hard & (wcur >= w_out)))
+                hit = (it == wcur[None]) & (srv & inwin)[None]
+                wview = jnp.where(hit, hi.astype(jnp.int32)[None], wview)
+                hi = jnp.where(srv, lo, hi)
+                lo = jnp.where(srv, l2, lo)
+                l2 = jnp.where(srv, jnp.uint32(0), l2)
+                nb = nb - jnp.where(srv, 32, 0)
+                wcur = wcur + jnp.where(srv, 1, 0)
+            out_ref[0, pl.ds(lo0, win)] = wview
+            unserved = jnp.where(nb < (32 if force else 69), 0, unserved)
+            return hi, lo, l2, nb, wcur, unserved
 
-        g0 = jnp.zeros((SB, 128), jnp.int32)
-        u0 = (hard & (wcur < w_out)).astype(jnp.int32)
-        got, _ = jax.lax.while_loop(cond, body, (g0, u0))
-        # lanes past the output cap drop the word once flushing becomes
-        # mandatory (hard), preserving the no-overflow invariant
-        emitted = (got != 0) | (hard & (wcur >= w_out))
-        hi2 = jnp.where(emitted, lo, hi)
-        lo2 = jnp.where(emitted, jnp.uint32(0), lo)
-        nb2 = jnp.where(emitted, nb - 32, nb)
-        wc2 = wcur + jnp.where(emitted, 1, 0)
-        return hi2, lo2, nb2, wc2, tbits
+        u0 = hard.astype(jnp.int32)
+        hi, lo, l2, nb, wcur, _ = jax.lax.while_loop(
+            cond, body, (hi, lo, l2, nb, wcur, u0))
+        return hi, lo, l2, nb, wcur, tbits
 
-    def append(hi, lo, nb, tbits, code, ln, active):
-        """Append ln bits of code MSB-first at position nb <= 36.
+    def append(hi, lo, l2, nb, tbits, code, ln, active):
+        """Append ln bits of code MSB-first at position nb <= 68.
 
-        The lazy flush (emit_if_full, hard threshold nb >= 37) lets
-        appends run at nb up to 36, so correctness relies on
-        ln <= _MAX_TOKEN_BITS <= 27: nb + ln <= 63 fits the 64-bit
-        (hi, lo) buffer, and at the edge (nb=36, ln=27) the spill
-        shift (-sh_hi) & 31 = 31 does not wrap.  The module-level
-        static assert enforces this against the built tables."""
-        cu = code.astype(jnp.uint32)
-        lnu = ln
-        sh_hi = (32 - nb - lnu)
-        hi = hi | jnp.where(active & (sh_hi >= 0),
-                            cu << (sh_hi & 31).astype(jnp.uint32),
-                            jnp.uint32(0))
-        hi = hi | jnp.where(active & (sh_hi < 0),
-                            cu >> ((-sh_hi) & 31).astype(jnp.uint32),
-                            jnp.uint32(0))
-        lo = lo | jnp.where(active & (sh_hi < 0),
-                            cu << ((32 + sh_hi) & 31).astype(jnp.uint32),
-                            jnp.uint32(0))
-        nb = nb + jnp.where(active, lnu, 0)
-        tbits = tbits + jnp.where(active, lnu, 0)
-        return hi, lo, nb, tbits
+        The lazy flush (emit_if_full, hard threshold nb >= 69) lets
+        appends run at nb up to 68, so correctness relies on
+        ln <= _MAX_TOKEN_BITS <= 27: nb + ln <= 95 fits the 96-bit
+        (hi, lo, l2) buffer, and the code (< 32 bits) spans at most two
+        adjacent words.  The module-level static assert enforces the
+        bound against the built tables."""
+        cu = jnp.where(active, code.astype(jnp.uint32), jnp.uint32(0))
+        s = nb & 31
+        sh_hi = 32 - s - ln
+        c_a = jnp.where(sh_hi >= 0,
+                        cu << (sh_hi & 31).astype(jnp.uint32),
+                        cu >> ((-sh_hi) & 31).astype(jnp.uint32))
+        c_b = jnp.where(sh_hi < 0,
+                        cu << ((32 + sh_hi) & 31).astype(jnp.uint32),
+                        jnp.uint32(0))
+        w0 = nb < 32
+        w1 = (nb >= 32) & (nb < 64)
+        hi = hi | jnp.where(w0, c_a, jnp.uint32(0))
+        lo = lo | jnp.where(w0, c_b, jnp.where(w1, c_a, jnp.uint32(0)))
+        l2 = l2 | jnp.where(w1, c_b, jnp.where(w0, jnp.uint32(0), c_a))
+        nb = nb + jnp.where(active, ln, 0)
+        tbits = tbits + jnp.where(active, ln, 0)
+        return hi, lo, l2, nb, tbits
 
-    def kernel(lv_ref, out_ref, bits_ref, ldc0_ref, ldc1_ref, ldc2_ref,
-               hi_ref, lo_ref, nb_ref, wc_ref, tb_ref):
+    def kernel(dc0_ref, lv_ref, out_ref, bits_ref, ldc0_ref, ldc1_ref,
+               ldc2_ref, hi_ref, lo_ref, l2_ref, nb_ref, wc_ref, tb_ref):
         b = pl.program_id(1)
 
         @pl.when(b == 0)
@@ -217,11 +225,16 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
                 out_ref[0, pl.ds(r, win)] = jnp.zeros(
                     (win, SB, 128), jnp.int32)
             z = jnp.zeros((SB, 128), jnp.int32)
-            ldc0_ref[:, :] = z + 128
-            ldc1_ref[:, :] = z + 128
-            ldc2_ref[:, :] = z + 128
+            # per-lane initial DC predictors: 128 for whole frames
+            # (mpegvideo_enc.c:2036), or the preceding segment's last DC
+            # when a big frame is split across lanes (pipeline/transcode
+            # encode segmentation)
+            ldc0_ref[:, :] = dc0_ref[0, 0]
+            ldc1_ref[:, :] = dc0_ref[0, 1]
+            ldc2_ref[:, :] = dc0_ref[0, 2]
             hi_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             lo_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
+            l2_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             nb_ref[:, :] = z
             wc_ref[:, :] = z
             tb_ref[:, :] = z
@@ -242,7 +255,7 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
 
         lv = [lv_ref[0, 0, k].astype(jnp.int32) for k in range(64)]
         # (lv_ref block is [1, 1, 64, SB, 128])
-        hi, lo = hi_ref[:, :], lo_ref[:, :]
+        hi, lo, l2 = hi_ref[:, :], lo_ref[:, :], l2_ref[:, :]
         nb, wcur, tbits = nb_ref[:, :], wc_ref[:, :], tb_ref[:, :]
 
         # ---------------- DC ----------------
@@ -262,9 +275,9 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
         code = ((pk >> 5) << nbits) | mant
         ln = (pk & 31) + nbits
         act = jnp.ones((SB, 128), jnp.bool_)
-        hi, lo, nb, tbits = append(hi, lo, nb, tbits, code, ln, act)
-        hi, lo, nb, wcur, tbits = emit_if_full(out_ref, hi, lo, nb, wcur,
-                                               tbits)
+        hi, lo, l2, nb, tbits = append(hi, lo, l2, nb, tbits, code, ln, act)
+        hi, lo, l2, nb, wcur, tbits = emit_if_full(out_ref, hi, lo, l2, nb,
+                                                   wcur, tbits)
 
         # ---------------- AC token loop ----------------
         # Nonzero positions live in a 2-word bitmask; each iteration
@@ -290,13 +303,14 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
             xu = (xu + (xu >> 4)) & jnp.uint32(0x0F0F0F0F)
             return ((xu * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
 
+        max_it = (70 + unroll - 1) // unroll + 1
+
         def cond(st):
             it, mlo, mhi, prev, z, eobd = st[:6]
             done = (mlo == 0) & (mhi == 0) & ((eobd != 0) | (prev == 63))
-            return (it < 70) & (jnp.sum(1 - done.astype(jnp.int32)) > 0)
+            return (it < max_it) & (jnp.sum(1 - done.astype(jnp.int32)) > 0)
 
-        def body(st):
-            it, mlo, mhi, prev, z, eobd, hi, lo, nb, wcur, tbits = st
+        def tok(mlo, mhi, prev, z, eobd, hi, lo, l2, nb, wcur, tbits):
             in_ac = (mlo != 0) | (mhi != 0)
             sel_lo = mlo != 0
             wmask = jnp.where(sel_lo, mlo, mhi)
@@ -349,26 +363,41 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
             ln = jnp.where(is_sym, ln_s,
                            jnp.where(is_zrl, zrl_pack & 31, eob_pack & 31))
             act = is_sym | is_zrl | is_eob
-            hi, lo, nb, tbits = append(hi, lo, nb, tbits, code, ln, act)
-            hi, lo, nb, wcur, tbits = emit_if_full(out_ref, hi, lo, nb,
-                                                   wcur, tbits)
+            hi, lo, l2, nb, tbits = append(hi, lo, l2, nb, tbits, code, ln,
+                                           act)
+            # (a scalar skip-counter around this emit was measured ~12%
+            # slower on TPU — see the decoder's matching note)
+            hi, lo, l2, nb, wcur, tbits = emit_if_full(out_ref, hi, lo, l2,
+                                                       nb, wcur, tbits)
 
             prev = jnp.where(is_sym, pos, prev)
             z = jnp.where(is_sym, 0, z + is_zrl.astype(jnp.int32))
             eobd = eobd | is_eob.astype(jnp.int32)
-            return it + 1, mlo, mhi, prev, z, eobd, hi, lo, nb, wcur, tbits
+            return mlo, mhi, prev, z, eobd, hi, lo, l2, nb, wcur, tbits
+
+        def body(st):
+            it, rest = st[0], st[1:]
+            # `unroll` tokens per iteration: per-block lockstep
+            # iterations are the per-chunk MAX token count, so unrolling
+            # divides the divergence tax's iteration count (append/emit
+            # stay per-token: the 64-bit writer needs a flush window
+            # between appends)
+            for _ in range(unroll):
+                rest = tok(*rest)
+            return (it + 1,) + rest
 
         zi = jnp.zeros((SB, 128), jnp.int32)
-        st = (jnp.int32(0), mlo, mhi, zi, zi, zi, hi, lo, nb, wcur, tbits)
-        _, _, _, _, _, _, hi, lo, nb, wcur, tbits = jax.lax.while_loop(
-            cond, body, st)
+        st = (jnp.int32(0), mlo, mhi, zi, zi, zi, hi, lo, l2, nb, wcur,
+              tbits)
+        (_, _, _, _, _, _, hi, lo, l2, nb, wcur,
+         tbits) = jax.lax.while_loop(cond, body, st)
 
         @pl.when(b == n_blocks - 1)
         def _flush():
-            # drain any full deferred word, then the partial word (bits
+            # drain any full deferred words, then the partial word (bits
             # beyond nb are zero; the C pass 1-pads the last byte)
-            hi_f, lo_f, nb_f, wcur_f, _ = emit_if_full(
-                out_ref, hi, lo, nb, wcur, tbits, force=True)
+            hi_f, lo_f, l2_f, nb_f, wcur_f, _ = emit_if_full(
+                out_ref, hi, lo, l2, nb, wcur, tbits, force=True)
 
             def cond_f(st):
                 _, unserved = st
@@ -393,6 +422,7 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O):
 
         hi_ref[:, :] = hi
         lo_ref[:, :] = lo
+        l2_ref[:, :] = l2
         nb_ref[:, :] = nb
         wc_ref[:, :] = wcur
         tb_ref[:, :] = tbits
@@ -404,32 +434,38 @@ def _pad(n, m):
     return (n + m - 1) // m * m
 
 
-@partial(jax.jit, static_argnames=("w_out", "interpret", "win_rows"))
+@partial(jax.jit, static_argnames=("w_out", "interpret", "win_rows",
+                                   "unroll"))
 def _encode_layout(lv, w_out: int, interpret: bool = False,
-                   win_rows: int = WIN_O):
+                   win_rows: int = WIN_O, dc0=None, unroll: int = 1):
     """lv int16 [CB, n_blocks, 64, SB, 128] zigzag (slot0 = absolute
     quantized DC) -> (words int32 [CB, w_out, SB, 128] big-endian
     unescaped scan, bits int32 [CB, 1, SB, 128]).
 
     `win_rows` sizes the emit window (must divide w_out); smaller is
-    faster when per-lane output cursors cluster (length-sorted batches)."""
+    faster when per-lane output cursors cluster (length-sorted batches).
+    `dc0` int32 [CB, 3, SB, 128] overrides the per-lane initial DC
+    predictors (Y, Cb, Cr); default 128 = whole-frame encode."""
     cbn, nblk = lv.shape[0], lv.shape[1]
-    kernel = _make_kernel(nblk, w_out, win_rows=win_rows)
+    if dc0 is None:
+        dc0 = jnp.full((cbn, 3, SB, 128), 128, jnp.int32)
+    kernel = _make_kernel(nblk, w_out, win_rows=win_rows, unroll=unroll)
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((cbn, w_out, SB, 128), jnp.int32),
                    jax.ShapeDtypeStruct((cbn, 1, SB, 128), jnp.int32)),
         grid=(cbn, nblk),
-        in_specs=[pl.BlockSpec((1, 1, 64, SB, 128),
+        in_specs=[pl.BlockSpec((1, 3, SB, 128), lambda i, j: (i, 0, 0, 0)),
+                  pl.BlockSpec((1, 1, 64, SB, 128),
                                lambda i, j: (i, j, 0, 0, 0))],
         out_specs=(pl.BlockSpec((1, w_out, SB, 128),
                                 lambda i, j: (i, 0, 0, 0)),
                    pl.BlockSpec((1, 1, SB, 128), lambda i, j: (i, 0, 0, 0))),
         scratch_shapes=[pltpu.VMEM((SB, 128), jnp.int32)] * 3 +
-                       [pltpu.VMEM((SB, 128), jnp.uint32)] * 2 +
+                       [pltpu.VMEM((SB, 128), jnp.uint32)] * 3 +
                        [pltpu.VMEM((SB, 128), jnp.int32)] * 3,
         interpret=interpret,
-    )(lv)
+    )(dc0, lv)
 
 
 @partial(jax.jit, static_argnames=("w_out", "interpret", "win_rows"))

@@ -303,6 +303,65 @@ API int64_t amv_escape_frames(const int32_t *words, int64_t w_out,
     return 0;
 }
 
+/* Segment-merge variant of amv_escape_frames: each output frame is the
+ * bit-concatenation of `segs` consecutive (words, bits) rows — the
+ * device encoder splits frames > ~80 MCUs across lanes (with per-lane
+ * initial DC predictors) to keep its output block VMEM-resident, and
+ * this pass splices the per-segment bitstreams back together at the
+ * exact bit boundaries before stuffing/escaping/framing
+ * (ff_mjpeg_encode_stuffing + escape_FF + SOI/EOI, mjpegenc.c:282-355).
+ * Returns 0 or -(frame+1) on row overflow. */
+API int64_t amv_concat_escape_frames(const int32_t *words, int64_t w_out,
+                                     const int64_t *bits, int n_frames,
+                                     int segs, uint8_t *dst,
+                                     int64_t dst_stride, int64_t *out_lens) {
+    for (int f = 0; f < n_frames; f++) {
+        uint8_t *d = dst + (size_t)f * dst_stride;
+        int64_t j = 0;
+        d[j++] = 0xFF; d[j++] = 0xD8;                    /* SOI */
+        uint64_t acc = 0; int nacc = 0;
+        int64_t total = 0;
+        for (int s = 0; s <= segs; s++) {
+            const int32_t *w = NULL;
+            int64_t nbits = 0;
+            if (s < segs) {
+                int64_t r = (int64_t)f * segs + s;
+                w = words + (size_t)r * w_out;
+                nbits = bits[r];
+                total += nbits;
+                if ((total + 7) / 8 + 16 > dst_stride) return -(f + 1);
+            } else {
+                /* 1-bit stuffing pad to the byte boundary */
+                int pad = (int)((8 - (total & 7)) & 7);
+                if (pad) { acc = (acc << pad) | ((1u << pad) - 1); nacc += pad; }
+            }
+            for (int64_t i = 0; i < nbits; i += 32) {
+                int n = (int)((nbits - i < 32) ? nbits - i : 32);
+                uint32_t v = (uint32_t)w[i >> 5] >> (32 - n);
+                acc = (acc << n) | v;
+                nacc += n;
+                while (nacc >= 8) {
+                    nacc -= 8;
+                    uint8_t b = (uint8_t)(acc >> nacc);
+                    if (j + 4 > dst_stride) return -(f + 1);
+                    d[j++] = b;
+                    if (b == 0xFF) d[j++] = 0x00;        /* escape_FF */
+                }
+            }
+        }
+        while (nacc >= 8) {                              /* drain the pad */
+            nacc -= 8;
+            uint8_t b = (uint8_t)(acc >> nacc);
+            if (j + 4 > dst_stride) return -(f + 1);
+            d[j++] = b;
+            if (b == 0xFF) d[j++] = 0x00;
+        }
+        d[j++] = 0xFF; d[j++] = 0xD9;                    /* EOI */
+        out_lens[f] = j;
+    }
+    return 0;
+}
+
 API int amv_decode_frames(const uint8_t *payload_blob, const int64_t *offsets,
                           const int64_t *sizes, int n_frames, int n_mcu,
                           int16_t *out_levels) {

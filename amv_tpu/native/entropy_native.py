@@ -111,6 +111,46 @@ def escape_frames(words: np.ndarray, bits: np.ndarray) -> list[bytes]:
     return [dst[f, :lens[f]].tobytes() for f in range(F)]
 
 
+_lib.amv_concat_escape_frames.restype = ctypes.c_int64
+_lib.amv_concat_escape_frames.argtypes = [
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_int64)]
+
+
+def concat_escape_frames(words: np.ndarray, bits: np.ndarray,
+                         segs: int) -> list[bytes]:
+    """Segmented-encode merge: rows f*segs..f*segs+segs-1 of (words,
+    bits) are bit-concatenated into frame f's scan, then stuffed/escaped/
+    framed like escape_frames.  The device encoder splits big frames
+    across lanes (pipeline/transcode.py encode segmentation); this is
+    the host splice that makes the result byte-identical to a
+    whole-frame encode."""
+    words = np.ascontiguousarray(words, np.int32)
+    bits64 = np.ascontiguousarray(bits, np.int64)
+    rows, w_out = words.shape
+    assert rows % segs == 0, (rows, segs)
+    if (bits64 > w_out * 32).any():
+        # the kernel drops words past w_out while still counting their
+        # bits; surface the overflow like escape_frames does so callers
+        # can fall back to the host packer
+        raise ValueError("segment bit count exceeds the word budget "
+                         f"(w_out={w_out})")
+    F = rows // segs
+    stride = segs * w_out * 4 * 2 + 16
+    dst = np.zeros((F, stride), np.uint8)
+    lens = np.zeros(F, np.int64)
+    rc = _lib.amv_concat_escape_frames(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), w_out,
+        bits64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), F, segs,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), stride,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise ValueError(f"native concat escape failed (rc={rc})")
+    return [dst[f, :lens[f]].tobytes() for f in range(F)]
+
+
 def unescape_frames(payloads: list[bytes]):
     """Batch SOI/EOI strip + 0xFF00 unescape into a zero-padded row
     matrix (the device entropy decoder's input format).

@@ -70,10 +70,13 @@ def transcode_levels_fused(levels_zz, qscale=2):
 
 
 @partial(jax.jit, static_argnames=("n_mcu", "qmat_key", "w_out", "interpret",
-                                   "win_fetch", "win_emit"))
+                                   "win_fetch", "win_emit", "segs",
+                                   "unroll_dec", "unroll_enc"))
 def transcode_complete_layout(scans, n_mcu: int, qmat_key,
                               w_out: int = 1024, interpret: bool = False,
-                              win_fetch: int = 256, win_emit: int = 128):
+                              win_fetch: int = 256, win_emit: int = 128,
+                              segs: int = 1, unroll_dec: int = 4,
+                              unroll_enc: int = 2):
     """Zero-relayout COMPLETE device transcode: unescaped scan bytes in,
     re-encoded scan words out, with all three Pallas stages chained in
     the entropy kernels' native [CB, blocks, 64, 8, 128] slab layout.
@@ -87,14 +90,20 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     prep on the way in and the per-frame word untranspose on the way
     out touch layout, both ~100x smaller than the level planes.
 
+    Big frames stay on device end-to-end: scans beyond ~6KB stream
+    through the decoder's HBM fetch path automatically, and segs > 1
+    splits each frame's re-encode into lane-parallel segments (see
+    _segment_encode_layout) so the output block stays VMEM-sized.
+
     scans uint8 [F, max_bytes] (unescaped, zero-padded) ->
-    (words int32 [F, w_out] big-endian unescaped scan words,
-     bits int32 [F]) for native.escape_frames.
+    (words int32 [F*segs, w_out] big-endian unescaped scan words,
+     bits int32 [F*segs]) for native.escape_frames (segs == 1) or
+    native.concat_escape_frames (segs > 1).
     """
     from ..bitstream import jpeg_tables as T
     from ..kernels.entropy_decode_pallas import (scan_words_layout,
                                                  _decode_layout)
-    from ..kernels.entropy_encode_pallas import _encode_layout, WIN_O
+    from ..kernels.entropy_encode_pallas import WIN_O
     from ..kernels.transcode_layout_pallas import transcode_mcu_layout
 
     w_out = max(WIN_O, (w_out + WIN_O - 1) // WIN_O * WIN_O)
@@ -102,7 +111,8 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     fp = (F + 1023) // 1024 * 1024
     cb, nb = fp // 1024, n_mcu * 6
     wl = scan_words_layout(scans)
-    lv = _decode_layout(wl, nb, interpret=interpret, win=win_fetch)
+    lv = _decode_layout(wl, nb, interpret=interpret, win=win_fetch,
+                        unroll=unroll_dec)
     lvl = lv.reshape(cb, n_mcu, 6, 64, 8, 128)
     # resolved dequantized DC (+1024 bias), cumsum per component in-layout
     qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
@@ -114,16 +124,21 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
     dc = jnp.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
     lv2 = transcode_mcu_layout(lvl, dc, qmat_key, interpret=interpret)
-    words, bits = _encode_layout(lv2.reshape(cb, nb, 64, 8, 128), w_out,
-                                 interpret=interpret, win_rows=win_emit)
-    wout = words.transpose(0, 2, 3, 1).reshape(fp, w_out)[:F]
-    bout = bits[:, 0].reshape(fp)[:F]
+    words, bits = _segment_encode_layout(lv2, n_mcu, segs, w_out,
+                                         interpret, win_emit,
+                                         unroll=unroll_enc)
+    wout = (words.reshape(cb, segs, w_out, 8, 128)
+            .transpose(0, 3, 4, 1, 2).reshape(fp, segs, w_out)[:F]
+            .reshape(F * segs, w_out))
+    bout = (bits.reshape(cb, segs, 8, 128).transpose(0, 2, 3, 1)
+            .reshape(fp, segs)[:F].reshape(F * segs))
     return wout, bout
 
 
-@partial(jax.jit, static_argnames=("n_mcu", "interpret", "win_fetch"))
+@partial(jax.jit, static_argnames=("n_mcu", "interpret", "win_fetch",
+                                   "unroll_dec"))
 def decode_scans_layout(scans, n_mcu: int, interpret: bool = False,
-                        win_fetch: int = 256):
+                        win_fetch: int = 256, unroll_dec: int = 4):
     """Zero-relayout device decode: unescaped scan bytes -> decoded
     pixel blocks uint8 [F, n_mcu, 6, 8, 8].
 
@@ -142,7 +157,8 @@ def decode_scans_layout(scans, n_mcu: int, interpret: bool = False,
     fp = (F + 1023) // 1024 * 1024
     cb, nb = fp // 1024, n_mcu * 6
     wl = scan_words_layout(scans)
-    lv = _decode_layout(wl, nb, interpret=interpret, win=win_fetch)
+    lv = _decode_layout(wl, nb, interpret=interpret, win=win_fetch,
+                        unroll=unroll_dec)
     lvl = lv.reshape(cb, n_mcu, 6, 64, 8, 128)
     qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
     qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
@@ -157,38 +173,95 @@ def decode_scans_layout(scans, n_mcu: int, interpret: bool = False,
     return pix[:F].reshape(F, n_mcu, 6, 8, 8)
 
 
+def _segment_encode_layout(lv2, n_mcu: int, segs: int, w_out: int,
+                           interpret: bool, win_emit: int,
+                           unroll: int = 1):
+    """Huffman-pack a level slab [CB, M, 6, 64, 8, 128], splitting each
+    frame into `segs` lane-parallel segments of M/segs MCUs.
+
+    A segment's initial DC predictors are the previous segment's last
+    per-component DC levels (known from the slab, so segments encode
+    concurrently); native.concat_escape_frames splices the bitstreams
+    back at exact bit boundaries.  This is what lifts the encoder's
+    VMEM w_out cap: per-segment output budgets stay ~80-MCU sized for
+    any frame size (mjpegenc.c:379-450 parity at any geometry), and big
+    frames gain lane parallelism instead of losing the device path.
+
+    Returns (words [CB*segs, w_out, 8, 128], bits [CB*segs, 1, 8, 128]).
+    """
+    from ..kernels.entropy_encode_pallas import _encode_layout
+
+    cb_n = lv2.shape[0]
+    if segs == 1:
+        return _encode_layout(lv2.reshape(cb_n, n_mcu * 6, 64, 8, 128),
+                              w_out, interpret=interpret,
+                              win_rows=win_emit, unroll=unroll)
+    ms = n_mcu // segs
+    # previous segment's last DC per component: blocks 3 (last Y), 4, 5
+    # of MCU s*ms-1
+    prev = lv2[:, ms - 1::ms, 3:6, 0].astype(jnp.int32)  # [cb, S, 3, 8, 128]
+    dc0 = jnp.concatenate(
+        [jnp.full((cb_n, 1, 3, 8, 128), 128, jnp.int32), prev[:, :-1]],
+        axis=1).reshape(cb_n * segs, 3, 8, 128)
+    lvs = lv2.reshape(cb_n * segs, ms * 6, 64, 8, 128)
+    return _encode_layout(lvs, w_out, interpret=interpret,
+                          win_rows=win_emit, dc0=dc0, unroll=unroll)
+
+
+def pick_segments(n_mcu: int, max_mcus: int = 80) -> int:
+    """Smallest divisor S of n_mcu with n_mcu/S <= max_mcus (0 if none:
+    the caller falls back to the host packer for such geometries)."""
+    if n_mcu <= max_mcus:
+        return 1
+    for s in range(2, n_mcu + 1):
+        if n_mcu % s == 0 and n_mcu // s <= max_mcus:
+            return s
+    return 0
+
+
 @partial(jax.jit, static_argnames=("mb_w", "mb_h", "qmat_key", "w_out",
-                                   "interpret", "win_emit"))
+                                   "interpret", "win_emit", "segs",
+                                   "unroll_enc"))
 def encode_planes_layout(y, cb_p, cr_p, mb_w: int, mb_h: int, qmat_key,
                          w_out: int = 1024, interpret: bool = False,
-                         win_emit: int = 128):
+                         win_emit: int = 128, segs: int = 1,
+                         unroll_enc: int = 2):
     """Zero-relayout device encode: YUV420 planes -> scan words.
 
     Block extraction (flip + edge replication, XLA) feeds the slab
     layout once as uint8 pixels — half the bytes of the int16 level
     relayout that encode_transform + encode_scans_pallas pays — then
     FDCT/quant (encode_mcu_layout) and the Pallas Huffman packer run
-    in-layout.  Returns (words int32 [F, w_out], bits int32 [F]) for
-    native.escape_frames.
+    in-layout.
+
+    segs=1: returns (words int32 [F, w_out], bits int32 [F]) for
+    native.escape_frames.  segs>1 (frames larger than the VMEM output
+    budget, n_mcu % segs == 0): each frame is packed as `segs`
+    lane-parallel segments; returns (words [F*segs, w_out],
+    bits [F*segs]) for native.concat_escape_frames(…, segs).
     """
     from ..codecs.amv_video import extract_blocks
-    from ..kernels.entropy_encode_pallas import _encode_layout, WIN_O
+    from ..kernels.entropy_encode_pallas import WIN_O
     from ..kernels.transcode_layout_pallas import encode_mcu_layout
 
     w_out = max(WIN_O, (w_out + WIN_O - 1) // WIN_O * WIN_O)
     F = y.shape[0]
     n_mcu = mb_w * mb_h
     fp = (F + 1023) // 1024 * 1024
-    cb_n, nb = fp // 1024, n_mcu * 6
+    cb_n = fp // 1024
     blocks = extract_blocks(y, cb_p, cr_p, mb_w, mb_h)  # [F, M, 6, 8, 8]
     bl = jnp.pad(blocks.reshape(F, n_mcu, 6, 64),
                  ((0, fp - F), (0, 0), (0, 0), (0, 0)))
     pix = bl.reshape(cb_n, 8, 128, n_mcu, 6, 64).transpose(0, 3, 4, 5, 1, 2)
     lv2 = encode_mcu_layout(pix, qmat_key, interpret=interpret)
-    words, bits = _encode_layout(lv2.reshape(cb_n, nb, 64, 8, 128), w_out,
-                                 interpret=interpret, win_rows=win_emit)
-    wout = words.transpose(0, 2, 3, 1).reshape(fp, w_out)[:F]
-    bout = bits[:, 0].reshape(fp)[:F]
+    words, bits = _segment_encode_layout(lv2, n_mcu, segs, w_out,
+                                         interpret, win_emit,
+                                         unroll=unroll_enc)
+    wout = (words.reshape(cb_n, segs, w_out, 8, 128)
+            .transpose(0, 3, 4, 1, 2).reshape(fp, segs, w_out)[:F]
+            .reshape(F * segs, w_out))
+    bout = (bits.reshape(cb_n, segs, 8, 128).transpose(0, 2, 3, 1)
+            .reshape(fp, segs)[:F].reshape(F * segs))
     return wout, bout
 
 
@@ -206,10 +279,12 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     mb_aligned = w % 16 == 0 and h % 16 == 0
     on_tpu = jax.default_backend() != "cpu"
-    # the encoder's output block lives in VMEM: 1664 words (6.7KB of
-    # scan per frame) is the largest budget that fits the 16MB scoped
-    # limit; frames beyond ~80 MCUs fall back to host entropy decode
-    if mb_aligned and on_tpu and s.video_chunks and mb_w * mb_h <= 80:
+    # frames bigger than the VMEM budgets stay on device too: the
+    # decoder streams long scans from HBM, and the re-encode splits
+    # each frame into lane-parallel segments (pick_segments); only
+    # geometries with no usable segmentation fall back to host entropy
+    segs = pick_segments(mb_w * mb_h)
+    if mb_aligned and on_tpu and s.video_chunks and segs:
         from ..codecs.amv_video import _encoder_quant_qmat_np
         from ..native import entropy_native as native
         rows, _ = native.unescape_frames(s.video_chunks)
@@ -217,19 +292,25 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
         order = np.argsort(lens, kind="stable")
         inv = np.argsort(order)
         qk = tuple(int(v) for v in _encoder_quant_qmat_np(qscale))
-        # output budget scales with frame area, VMEM-capped (32-bit words)
-        w_out = min(1664, 1024 * ((mb_w * mb_h + 47) // 48))
+        # per-segment output budget, VMEM-capped (32-bit words)
+        ms = mb_w * mb_h // segs
+        w_out = min(1664, 1024 * ((ms + 47) // 48))
         words, bits = transcode_complete_layout(
             jnp.asarray(rows[order]), mb_w * mb_h, qk, w_out=w_out,
-            win_fetch=64, win_emit=64)
+            win_fetch=64, win_emit=64, segs=segs)
         try:
-            vchunks = native.escape_frames(np.asarray(words)[inv],
-                                           np.asarray(bits)[inv])
+            wnp = np.asarray(words).reshape(len(order), segs, -1)[inv]
+            bnp = np.asarray(bits).reshape(len(order), segs)[inv]
+            if segs == 1:
+                vchunks = native.escape_frames(wnp[:, 0], bnp[:, 0])
+            else:
+                vchunks = native.concat_escape_frames(
+                    wnp.reshape(-1, wnp.shape[2]), bnp.reshape(-1), segs)
             return riff.mux(vchunks, s.audio_chunks, width=w, height=h,
                             fps=s.info.fps_num,
                             sample_rate=s.info.sample_rate)
         except ValueError:
-            pass  # a frame overflowed the VMEM word budget: host entropy
+            pass  # a segment overflowed the word budget: host entropy
     levels = huffman_decode_frames(s.video_chunks, mb_w * mb_h)
     if mb_aligned:
         lv2, _ = transcode_levels_fused(jnp.asarray(levels), qscale)

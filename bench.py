@@ -141,13 +141,22 @@ def main():
         """Fused transcode program over a kt-times tiled [64, n*M*6] SoA
         input; returns an int32 checksum of the re-encoded levels + the
         decoded planes of frames f % 97 == 0 (assembled in XLA —
-        selecting frames *before* assembly keeps the transpose small)."""
-        mm = mw * mh
+        selecting frames *before* assembly keeps the transpose small).
 
-        @jax.jit
-        def fused(cm0, salt):
-            cm = jnp.tile(cm0, (1, kt)) + salt.astype(jnp.int16) * 0
-            FT = n_frames * kt
+        Tiles larger than KT_INNER corpus copies run as a fori_loop over
+        KT_INNER-sized subtiles so peak HBM stays bounded — this is what
+        makes K=1024 (and beyond) run where the single jnp.tile used to
+        OOM on a ~19GB padded remat copy.  Checksum strides are
+        subtile-local, so the expectation is kt/kt_inner times the
+        per-subtile sum."""
+        mm = mw * mh
+        kt_inner = kt if kt <= 128 else 128
+        assert kt % kt_inner == 0, (kt, kt_inner)
+        kt_outer = kt // kt_inner
+
+        def subtile_checksum(cm0, salt):
+            cm = jnp.tile(cm0, (1, kt_inner)) + salt.astype(jnp.int16) * 0
+            FT = n_frames * kt_inner
             dcd = cm[0].astype(jnp.int32).reshape(FT, mm, 6)
             dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(FT, mm * 4) * qdc_l,
                                axis=1).reshape(FT, mm, 4) + 1024)
@@ -165,22 +174,39 @@ def main():
                 Fs, 16 * mh, 16 * mw)
             yv = ycoded[:, fh - 1::-1, :fw]
             return (jnp.sum(lv2[:, ::37].astype(jnp.int32)) +
-                    jnp.sum(yv[:, ::13, ::17].astype(jnp.int32)) + salt)
+                    jnp.sum(yv[:, ::13, ::17].astype(jnp.int32)))
 
-        return fused
+        @jax.jit
+        def fused(cm0, salt):
+            if kt_outer == 1:
+                return subtile_checksum(cm0, salt) + salt
 
-    fused_roundtrip = make_fused(F, K, mb_w, mb_h, w, h)
+            def body(i, a):
+                # tie the subtile input to the loop carry so XLA cannot
+                # hoist the (loop-invariant) kernel out of the loop and
+                # run it once — that would fake a kt_outer x speedup
+                cm0b, ab = jax.lax.optimization_barrier((cm0, a))
+                return ab + subtile_checksum(cm0b, salt)
+
+            acc = jax.lax.fori_loop(0, kt_outer, body, jnp.int32(0))
+            return acc + salt
+
+        return fused, kt_inner, kt_outer
+
+    fused_roundtrip, kt_inner, kt_outer = make_fused(F, K, mb_w, mb_h, w, h)
 
     # host-side expected checksum from the C-gated outputs above
+    # (per-subtile strides x kt_outer subtiles)
+    FK_in = F * kt_inner
     lv2_np = lv_enc.astype(np.int64)          # re-encode of the decode output
     block_sums = lv2_np.sum(axis=-1).reshape(F * M * 6)
-    n_total = FK * M * 6
-    sel = np.arange(0, n_total, 37) % (F * M * 6)
+    n_sub = FK_in * M * 6
+    sel = np.arange(0, n_sub, 37) % (F * M * 6)
     cs_levels = int(block_sums[sel].sum())
-    fsel_np = np.arange(0, FK, 97) % F
+    fsel_np = np.arange(0, FK_in, 97) % F
     cs_pixels = int(yh[fsel_np, ::13, ::17].astype(np.int64).sum())
-    expected = (((cs_levels + cs_pixels) & 0xFFFFFFFF) ^ 0x80000000) \
-        - 0x80000000  # two's-complement int32 wrap
+    expected = ((kt_outer * (cs_levels + cs_pixels) + 2**31) % 2**32) \
+        - 2**31  # two's-complement int32 wrap
 
     from amv_tpu.bitstream.entropy import huffman_decode_frames_soa
     cm_host = huffman_decode_frames_soa(payloads, M)
@@ -206,7 +232,7 @@ def main():
         cm160 = jax.device_put(jnp.asarray(
             np.ascontiguousarray(lv160.reshape(-1, 64).T)))
         jax.block_until_ready(cm160)
-        fused160 = make_fused(F2, K2, 10, 8, 160, 120)
+        fused160, _, _ = make_fused(F2, K2, 10, 8, 160, 120)
         _ = int(fused160(cm160, jnp.int32(0))[...])
         t160 = best_time(lambda: int(
             fused160(cm160, jnp.int32(np.random.randint(1000)))[...]))
@@ -370,7 +396,21 @@ def main():
         t_c = best_time(lambda: int(complete_k(
             rows_ct, jnp.int32(np.random.randint(1000)))[2][...]))
         dev_complete_fps = FC / t_c
+
+        # content-clustered ordering (same program, different input
+        # permutation): sort by (length, content id) so identical
+        # streams share lanes — measures the scheduling headroom a
+        # dedup-aware batcher gets on repetitive material
+        ord_cl = np.lexsort((np.tile(np.arange(F), KC),
+                             np.tile(lens_c1, KC)))
+        rows_cl = jax.device_put(jnp.asarray(
+            np.tile(rows_c1, (KC, 1))[ord_cl]))
+        jax.block_until_ready(rows_cl)
+        t_cl = best_time(lambda: int(complete_k(
+            rows_cl, jnp.int32(np.random.randint(1000)))[2][...]))
+        dev_complete_clustered_fps = FC / t_cl
     except Exception as e:
+        dev_complete_clustered_fps = None
         print(f"# complete device transcode section skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
@@ -424,6 +464,114 @@ def main():
     except Exception as e:
         print(f"# complete 160x120 transcode section skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    # ---------------- COMPLETE transcode at 320x240 (big-frame path) --------
+    # Frames > 80 MCUs used to fall off the device path entirely (host
+    # entropy at ~14K fps).  Now the decoder streams long scans from HBM
+    # (DMA-windowed fetch) and the re-encode splits each frame into
+    # lane-parallel segments spliced by native.concat_escape_frames.
+    # Gated: the spliced bytes for the 64 unique frames must equal the
+    # host re-encode.
+    dev_complete320_fps = None
+    try:
+        from amv_tpu.pipeline.transcode import (transcode_complete_layout,
+                                                transcode_levels_fused,
+                                                pick_segments)
+        M320, F320 = 300, 1024            # 320x240 = 20x15 MCUs
+        segs320 = pick_segments(M320)     # 4 x 75-MCU segments
+        rng320 = np.random.default_rng(11)
+        lv_pool = np.asarray(levels).reshape(F * M, 6, 64)
+        lv320c = lv_pool[rng320.integers(0, F * M, (64, M320))]
+        pay320 = [huffman_encode_frame(lv320c[f]) for f in range(64)]
+        rows320, _ = native.unescape_frames(pay320 * (F320 // 64))
+        lens320 = np.array([len(p) for p in pay320] * (F320 // 64))
+        ord320 = np.lexsort((np.tile(np.arange(64), F320 // 64), lens320))
+        inv320 = np.argsort(ord320)
+        ms320 = M320 // segs320
+        wout320 = min(1664, 1024 * ((ms320 + 47) // 48))
+
+        @jax.jit
+        def complete320(rw, salt):
+            words, bits = transcode_complete_layout(
+                rw, M320, qk, w_out=wout320, win_fetch=64, win_emit=64,
+                segs=segs320)
+            return words, bits, (jnp.sum(words[::31, ::17]) +
+                                 jnp.sum(bits) + salt)
+
+        rows320_d = jax.device_put(jnp.asarray(rows320[ord320]))
+        jax.block_until_ready(rows320_d)
+        w320, b320, _ = complete320(rows320_d, jnp.int32(0))
+        w320n = np.asarray(w320).reshape(F320, segs320, -1)[inv320][:64]
+        b320n = np.asarray(b320).reshape(F320, segs320)[inv320][:64]
+        got320 = native.concat_escape_frames(
+            w320n.reshape(-1, w320n.shape[2]), b320n.reshape(-1), segs320)
+        lvdec320 = np.asarray(huffman_decode_frames(pay320, M320))
+        lv2_320 = np.asarray(transcode_levels_fused(
+            jnp.asarray(lvdec320), 2)[0])
+        want320 = [huffman_encode_frame(lv2_320[f]) for f in range(64)]
+        assert got320 == want320, \
+            "320x240 segmented complete transcode != host re-encode"
+        t_c320 = best_time(lambda: int(complete320(
+            rows320_d, jnp.int32(np.random.randint(1000)))[2][...]))
+        dev_complete320_fps = F320 / t_c320
+    except Exception as e:
+        print(f"# complete 320x240 transcode section skipped: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    # ---------------- sustained end-to-end (bytes -> bytes, pipelined) ------
+    # Steady-state AMV->AMV rate with the host C stages in the loop:
+    # unescape (C) -> complete device chain -> escape (C).  JAX dispatch
+    # is async, so a single thread overlaps batch i's device compute
+    # with batch i+1's unescape and batch i-1's escape.  In this dev
+    # environment the ~30MB/s axon relay bounds the loop (~110MB of
+    # scan words round-trip per 16K-frame batch); sustained_host_fps
+    # shows the host C stages alone keep up far above that.
+    sustained = {}
+    try:
+        if dev_complete_fps:
+            B_SUS = int(os.environ.get("AMV_BENCH_SUSTAIN_BATCHES", "4"))
+            ord_s = ord_k
+            inv_s = np.argsort(ord_s)
+            rows_host = np.tile(rows_c1, (KC, 1))[ord_s]
+
+            def one_batch(dev_prev):
+                words, bits, _ = complete_k(jax.device_put(
+                    jnp.asarray(rows_host)), jnp.int32(0))
+                out_prev = None
+                if dev_prev is not None:
+                    wp, bp = dev_prev
+                    out_prev = native.escape_frames(
+                        np.asarray(wp)[inv_s], np.asarray(bp)[inv_s])
+                return (words, bits), out_prev
+
+            t0 = time.perf_counter()
+            prev = None
+            done = 0
+            for bi in range(B_SUS):
+                # host unescape for the NEXT batch overlaps device work
+                _ = native.unescape_frames(payloads * KC)
+                prev, got_prev = one_batch(prev)
+                if got_prev is not None:
+                    done += len(got_prev)
+            wp, bp = prev
+            last = native.escape_frames(np.asarray(wp)[inv_s],
+                                        np.asarray(bp)[inv_s])
+            done += len(last)
+            t_sus = time.perf_counter() - t0
+            sustained["sustained_e2e_fps"] = round(done / t_sus, 1)
+
+            # host C stages alone, pipelined rate (no device/link)
+            t0 = time.perf_counter()
+            _ = native.unescape_frames(payloads * KC)
+            t_un = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _ = native.escape_frames(np.asarray(wp), np.asarray(bp))
+            t_es = time.perf_counter() - t0
+            sustained["sustained_host_fps"] = round(
+                (F * KC) / max(t_un, t_es), 1)
+    except Exception as e:
+        print(f"# sustained e2e section skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     # ---------------- COMPLETE device encode (pixels -> scan words) ---------
     # BASELINE config 4's device-resident half: YUV planes in HBM -> FDCT +
@@ -643,8 +791,14 @@ def main():
                if dev_fulltrans_fps else {}),
             **({"device_complete_transcode_fps": round(dev_complete_fps, 1)}
                if dev_complete_fps else {}),
+            **({"device_complete_clustered_fps":
+                round(dev_complete_clustered_fps, 1)}
+               if dev_complete_clustered_fps else {}),
             **({"device_complete_160x120_fps": round(dev_complete160_fps, 1)}
                if dev_complete160_fps else {}),
+            **({"device_complete_320x240_fps": round(dev_complete320_fps, 1)}
+               if dev_complete320_fps else {}),
+            **sustained,
             **({"device_complete_encode_fps": round(dev_completeenc_fps, 1)}
                if dev_completeenc_fps else {}),
             **({"host_unescape_fps": round(unescape_fps, 1)}

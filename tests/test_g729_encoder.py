@@ -44,7 +44,8 @@ def test_roundtrip_quality():
     a = out[400:len(sig)].astype(float)
     b = sig[400:len(sig)].astype(float)
     c = np.corrcoef(a, b)[0, 1]
-    assert c > 0.7, f"roundtrip correlation too low: {c}"
+    # measured 0.902 on this fixture (round 2); gate with small headroom
+    assert c > 0.88, f"roundtrip correlation too low: {c}"
     # scale preserved within 3 dB
     assert 0.5 < a.std() / b.std() < 1.5
     segs = []
@@ -53,7 +54,11 @@ def test_roundtrip_quality():
         p = (b[s0:s0 + 160] ** 2).mean()
         if p > 1e4:
             segs.append(10 * np.log10(max(p, 1) / max(e, 1)))
-    assert np.mean(segs) > 2.0, f"segSNR too low: {np.mean(segs):.2f}"
+    # measured 6.8 dB segSNR (round 2; joint pitch/gain re-search
+    # variants measured WORSE through the decoder postfilter — see
+    # codecs/g729a_encoder.py notes); gate with headroom against
+    # regressions
+    assert np.mean(segs) > 6.0, f"segSNR too low: {np.mean(segs):.2f}"
 
 
 def test_encoder_decoder_state_tracking():
