@@ -111,33 +111,37 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
 
     WIN = min(WIN, w_rows)
 
-    def _insert(hi, lo, l2, nb, w, srv):
-        """OR a fetched word into the 96-bit (hi, lo, l2) buffer at bit
-        offset nb (0..63; callers guarantee room) for lanes in srv."""
+    def _insert(hi, lo, l2, l3, nb, w, srv):
+        """OR a fetched word into the 128-bit (hi, lo, l2, l3) buffer at
+        bit offset nb (0..95; callers guarantee room) for lanes in srv."""
         w = jnp.where(srv, w, jnp.uint32(0))
         s = (nb & 31).astype(jnp.uint32)
         whi = w >> s
         wlo = jnp.where((nb & 31) > 0,
                         w << ((32 - nb) & 31).astype(jnp.uint32),
                         jnp.uint32(0))
-        top = nb < 32
-        hi = hi | jnp.where(top, whi, jnp.uint32(0))
-        lo = lo | jnp.where(top, wlo, whi)
-        l2 = l2 | jnp.where(top, jnp.uint32(0), wlo)
-        return hi, lo, l2
+        w0 = nb < 32
+        w1 = (nb >= 32) & (nb < 64)
+        w2 = (nb >= 64) & (nb < 96)
+        z = jnp.uint32(0)
+        hi = hi | jnp.where(w0, whi, z)
+        lo = lo | jnp.where(w0, wlo, jnp.where(w1, whi, z))
+        l2 = l2 | jnp.where(w1, wlo, jnp.where(w2, whi, z))
+        l3 = l3 | jnp.where(w2, wlo, z)
+        return hi, lo, l2, l3
 
-    def ensure(words_ref, hi, lo, l2, nb, wc, aux=None):
+    def ensure(words_ref, hi, lo, l2, l3, nb, wc, aux=None):
         """Refill lanes holding < 27 bits; every lane with buffer room
-        (nb <= 63) in a visited window tops up opportunistically with up
-        to TWO 32-bit words per pass.
+        (nb <= 95) in a visited window tops up opportunistically with up
+        to THREE 32-bit words per pass.
 
         The per-lane word gather is a masked reduction over a WIN-row
         window anchored at the minimum unserved cursor (Mosaic has no
         dynamic vector gather); a while-loop re-anchors for stragglers.
-        The 96-bit buffer is what makes the window passes affordable:
+        The 128-bit buffer is what makes the window passes affordable:
         with 1024 lanes consuming ~6 bits/token in lockstep, a 64-bit
         buffer re-triggers a pass nearly every token, while topping
-        everyone up to ~96 bits spaces passes several tokens apart.
+        everyone up to ~128 bits spaces passes many tokens apart.
 
         hbm=True keeps the stream in HBM (memory-space ANY) and DMAs
         each window into a VMEM scratch buffer, caching the last anchor
@@ -150,10 +154,10 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
         need = nb < 27
 
         def cond(st):
-            return jnp.sum(st[5]) > 0
+            return jnp.sum(st[6]) > 0
 
         def body(st):
-            hi, lo, l2, nb, wc, unserved = st
+            hi, lo, l2, l3, nb, wc, unserved = st
             wcn = jnp.where(unserved != 0, wc, jnp.int32(0x7FFFFFFF))
             lo0 = jnp.clip(jnp.min(wcn), 0, w_rows - WIN)
             if hbm:
@@ -171,34 +175,36 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
             else:
                 winv = words_ref[0, pl.ds(lo0, WIN)]       # [WIN, SB, 128]
             it = lo0 + jax.lax.broadcasted_iota(jnp.int32, (WIN, SB, 128), 0)
-            for _ in range(2):                             # two words/pass
-                room = nb <= 63
+            for _ in range(3):                             # three words/pass
+                room = nb <= 95
                 inwin = (wc >= lo0) & (wc < lo0 + WIN)
                 srv = room & (inwin | (wc >= w_rows))
                 w = jnp.sum(jnp.where((it == wc[None]) & srv[None], winv,
                                       jnp.int32(0)), axis=0) \
                     .astype(jnp.uint32)
-                hi, lo, l2 = _insert(hi, lo, l2, nb, w, srv)
+                hi, lo, l2, l3 = _insert(hi, lo, l2, l3, nb, w, srv)
                 nb = nb + jnp.where(srv, 32, 0)
                 wc = wc + jnp.where(srv, 1, 0)
             unserved = jnp.where(nb >= 27, 0, unserved)
-            return hi, lo, l2, nb, wc, unserved
+            return hi, lo, l2, l3, nb, wc, unserved
 
         u0 = need.astype(jnp.int32)
-        hi, lo, l2, nb, wc, _ = jax.lax.while_loop(
-            cond, body, (hi, lo, l2, nb, wc, u0))
-        return hi, lo, l2, nb, wc
+        hi, lo, l2, l3, nb, wc, _ = jax.lax.while_loop(
+            cond, body, (hi, lo, l2, l3, nb, wc, u0))
+        return hi, lo, l2, l3, nb, wc
 
-    def consume(hi, lo, l2, nb, c):
+    def consume(hi, lo, l2, l3, nb, c):
         cu = c.astype(jnp.uint32)
         nz = c > 0
         sh = ((32 - c) & 31).astype(jnp.uint32)
         sp1 = jnp.where(nz, lo >> sh, jnp.uint32(0))
         sp2 = jnp.where(nz, l2 >> sh, jnp.uint32(0))
+        sp3 = jnp.where(nz, l3 >> sh, jnp.uint32(0))
         hi = (hi << cu) | sp1
         lo = (lo << cu) | sp2
-        l2 = l2 << cu
-        return hi, lo, l2, nb - c
+        l2 = (l2 << cu) | sp3
+        l3 = l3 << cu
+        return hi, lo, l2, l3, nb - c
 
     def dec_len(p16, bound):
         """bound: list of 16 traced scalars -> code length [8,128].
@@ -225,8 +231,8 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
         m = mant.astype(jnp.int32)
         return jnp.where(size == 0, 0, jnp.where(neg, m - full, m))
 
-    def kernel(words_ref, out_ref, hi_ref, lo_ref, l2_ref, nb_ref, wc_ref,
-               *hbm_scratch):
+    def kernel(words_ref, out_ref, hi_ref, lo_ref, l2_ref, l3_ref, nb_ref,
+               wc_ref, *hbm_scratch):
         b = pl.program_id(1)
         aux = None
         if hbm:
@@ -238,6 +244,7 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
             hi_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             lo_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             l2_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
+            l3_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             nb_ref[:, :] = jnp.zeros((SB, 128), jnp.int32)
             wc_ref[:, :] = jnp.zeros((SB, 128), jnp.int32)
             if hbm:
@@ -258,20 +265,22 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
                    for b in range(8)]
 
         hi, lo, l2 = hi_ref[:, :], lo_ref[:, :], l2_ref[:, :]
+        l3 = l3_ref[:, :]
         nb, wc = nb_ref[:, :], wc_ref[:, :]
 
         # ---------------- DC ----------------
-        hi, lo, l2, nb, wc = ensure(words_ref, hi, lo, l2, nb, wc, aux)
+        hi, lo, l2, l3, nb, wc = ensure(words_ref, hi, lo, l2, l3, nb, wc,
+                                        aux)
         p16 = (hi >> 16).astype(jnp.int32)
         ln = dec_len(p16, dc_bound)
         code = p16 >> (16 - ln)
         size = jnp.clip(code + sel_by_len(ln, dc_delta), 0, 11)
-        hi, lo, l2, nb = consume(hi, lo, l2, nb, ln)
+        hi, lo, l2, l3, nb = consume(hi, lo, l2, l3, nb, ln)
         mant = jnp.where(size > 0,
                          hi >> ((32 - size) & 31).astype(jnp.uint32),
                          jnp.uint32(0))
         diff = extend(mant, size)
-        hi, lo, l2, nb = consume(hi, lo, l2, nb, size)
+        hi, lo, l2, l3, nb = consume(hi, lo, l2, l3, nb, size)
 
         out_ref[0, 0, 0] = diff.astype(jnp.int16)
 
@@ -284,13 +293,14 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
         # ~11, p50 of max ~22 on the corpus), so unrolling divides the
         # divergence tax's iteration count while fixed per-iteration
         # costs (cond reduce, carry traffic) amortize.
-        def tok(posd, hi, lo, l2, nb, wc, acc):
+        def tok(posd, hi, lo, l2, l3, nb, wc, acc):
             done = posd > 63  # local bool mask (i1 carries don't lower)
             # NOTE: a scalar skip-counter around ensure() (lax.cond fast
             # path for provably-unneeded refills) was MEASURED 12% slower
             # on TPU — Mosaic scalar branches around large vector bodies
             # cost more than the empty ensure's compare+reduce.
-            hi, lo, l2, nb, wc = ensure(words_ref, hi, lo, l2, nb, wc, aux)
+            hi, lo, l2, l3, nb, wc = ensure(words_ref, hi, lo, l2, l3, nb,
+                                            wc, aux)
             p16 = (hi >> 16).astype(jnp.int32)
             ln = dec_len(p16, ac_bound)
             idx = jnp.clip((p16 >> (16 - ln)) +
@@ -313,13 +323,13 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
             wpos = posd + run
             write = (~done) & (~eob) & (~zrl) & (wpos <= 63)
             c1 = jnp.where(done, 0, ln)
-            hi, lo, l2, nb = consume(hi, lo, l2, nb, c1)
+            hi, lo, l2, l3, nb = consume(hi, lo, l2, l3, nb, c1)
             mant = jnp.where(size > 0,
                              hi >> ((32 - size) & 31).astype(jnp.uint32),
                              jnp.uint32(0))
             level = extend(mant, size)
             c2 = jnp.where(done, 0, size)
-            hi, lo, l2, nb = consume(hi, lo, l2, nb, c2)
+            hi, lo, l2, l3, nb = consume(hi, lo, l2, l3, nb, c2)
             lv16 = jnp.where(write, level & 0xFFFF, 0)
             contrib = jnp.where((wpos & 1) != 0, lv16 << 16, lv16)
             half = wpos >> 1
@@ -328,7 +338,7 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
             posd = jnp.where(done, posd,
                              jnp.where(eob, 64,
                                        jnp.where(zrl, posd + 16, wpos + 1)))
-            return posd, hi, lo, l2, nb, wc, acc
+            return posd, hi, lo, l2, l3, nb, wc, acc
 
         max_it = (64 + unroll - 1) // unroll + 1
 
@@ -338,19 +348,20 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
             return (it < max_it) & (jnp.min(posd) <= 63)
 
         def body(st):
-            (it, posd, hi, lo, l2, nb, wc), acc = st[:7], list(st[7])
+            (it, posd, hi, lo, l2, l3, nb, wc), acc = st[:8], list(st[8])
             for _ in range(unroll):
-                posd, hi, lo, l2, nb, wc, acc = tok(posd, hi, lo, l2, nb,
-                                                    wc, acc)
-            return (it + 1, posd, hi, lo, l2, nb, wc, tuple(acc))
+                posd, hi, lo, l2, l3, nb, wc, acc = tok(
+                    posd, hi, lo, l2, l3, nb, wc, acc)
+            return (it + 1, posd, hi, lo, l2, l3, nb, wc, tuple(acc))
 
         zpair = tuple(jnp.zeros((SB, 128), jnp.int32)
                       for _ in range(acc_regs))
         st0 = (jnp.int32(0), jnp.ones((SB, 128), jnp.int32),
-               hi, lo, l2, nb, wc, zpair)
+               hi, lo, l2, l3, nb, wc, zpair)
         out_st = jax.lax.while_loop(cond, body, st0)
-        hi, lo, l2, nb, wc, acc = (out_st[2], out_st[3], out_st[4],
-                                   out_st[5], out_st[6], out_st[7])
+        hi, lo, l2, l3, nb, wc, acc = (out_st[2], out_st[3], out_st[4],
+                                       out_st[5], out_st[6], out_st[7],
+                                       out_st[8])
         out_ref[0, 0, 1] = (acc[0] >> 16).astype(jnp.int16)
         for j in range(1, acc_regs):
             out_ref[0, 0, 2 * j] = (acc[j] & 0xFFFF).astype(jnp.int16)
@@ -359,6 +370,7 @@ def _make_kernel(w_rows: int, n_blocks: int, win: int = WIN,
         hi_ref[:, :] = hi
         lo_ref[:, :] = lo
         l2_ref[:, :] = l2
+        l3_ref[:, :] = l3
         nb_ref[:, :] = nb
         wc_ref[:, :] = wc
 
@@ -391,6 +403,7 @@ def _decode_layout(words, n_blocks: int, interpret: bool = False,
         scratch = [pltpu.VMEM((SB, 128), jnp.uint32),
                    pltpu.VMEM((SB, 128), jnp.uint32),
                    pltpu.VMEM((SB, 128), jnp.uint32),
+                   pltpu.VMEM((SB, 128), jnp.uint32),
                    pltpu.VMEM((SB, 128), jnp.int32),
                    pltpu.VMEM((SB, 128), jnp.int32),
                    pltpu.VMEM((min(win, words.shape[1]), SB, 128),
@@ -401,6 +414,7 @@ def _decode_layout(words, n_blocks: int, interpret: bool = False,
         in_specs = [pl.BlockSpec((1, w_rows, SB, 128),
                                  lambda i, j: (i, 0, 0, 0))]
         scratch = [pltpu.VMEM((SB, 128), jnp.uint32),
+                   pltpu.VMEM((SB, 128), jnp.uint32),
                    pltpu.VMEM((SB, 128), jnp.uint32),
                    pltpu.VMEM((SB, 128), jnp.uint32),
                    pltpu.VMEM((SB, 128), jnp.int32),

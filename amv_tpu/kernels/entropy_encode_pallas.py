@@ -53,11 +53,11 @@ def _enc_tables():
 
 _ET = _enc_tables()
 
-# The bit-writer appends with the 96-bit (hi, lo, l2) buffer holding up
-# to 68 bits (the lazy flush in emit_if_full only forces a drain at
-# nb >= 69), so every appended token must fit 68 + ln <= 95, and the
-# two-word spill arithmetic in `append` needs ln < 32.  K.3 tokens are
-# code(<=16) + mantissa(<=11 DC / <=10 AC).
+# The bit-writer appends with the 128-bit (hi, lo, l2, l3) buffer
+# holding up to 100 bits (the lazy flush in emit_if_full only forces a
+# drain at nb >= 101), so every appended token must fit 100 + ln <= 127,
+# and the two-word spill arithmetic in `append` needs ln < 32.  K.3
+# tokens are code(<=16) + mantissa(<=11 DC / <=10 AC).
 _MAX_TOKEN_BITS = max(
     max(int(s) for s in _ET["dc_l"][0][:12]) + 11,
     max(int(s) for s in _ET["dc_c"][0][:12]) + 11,
@@ -66,8 +66,8 @@ _MAX_TOKEN_BITS = max(
 )
 assert _MAX_TOKEN_BITS <= 27, (
     "append/emit_if_full invariant broken: a code+mantissa token of "
-    f"{_MAX_TOKEN_BITS} bits can overflow the 96-bit buffer at nb == 68 "
-    "(lazy-flush threshold 69); shrink the threshold or split the append")
+    f"{_MAX_TOKEN_BITS} bits can overflow the 128-bit buffer at nb == 100 "
+    "(lazy-flush threshold 101); shrink the threshold or split the append")
 
 
 def _packed(table, sym):
@@ -143,30 +143,31 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
             x = jnp.where(m, x >> s, x)
         return r + (v > 0).astype(jnp.int32)
 
-    def emit_if_full(out_ref, hi, lo, l2, nb, wcur, tbits, force=False):
+    def emit_if_full(out_ref, hi, lo, l2, l3, nb, wcur, tbits,
+                     force=False):
         """Flush ready 32-bit words per lane, lazily: only lanes that
-        MUST flush (nb >= 69: the next append could overflow the 96-bit
-        buffer) anchor a window pass, but every lane with a ready word
-        (nb >= 32) whose cursor falls in a visited window flushes up to
-        TWO words in the same pass.  The 96-bit (hi, lo, l2) writer is
-        what amortizes the window RMW: with 1024 lanes emitting ~6
-        bits/token in lockstep, a 64-bit buffer re-triggers a pass
-        nearly every token, while draining everyone to < 32 bits spaces
-        passes several tokens apart.  `force` flushes every ready lane
-        (final drain)."""
-        hard = nb >= (32 if force else 69)
+        MUST flush (nb >= 101: the next append could overflow the
+        128-bit buffer) anchor a window pass, but every lane with a
+        ready word (nb >= 32) whose cursor falls in a visited window
+        flushes up to THREE words in the same pass.  The 128-bit
+        (hi, lo, l2, l3) writer is what amortizes the window RMW: with
+        1024 lanes emitting ~6 bits/token in lockstep, a 64-bit buffer
+        re-triggers a pass nearly every token, while draining everyone
+        to < 32 bits spaces passes many tokens apart.  `force` flushes
+        every ready lane (final drain)."""
+        hard = nb >= (32 if force else 101)
 
         def cond(st):
-            return jnp.sum(st[5]) > 0
+            return jnp.sum(st[6]) > 0
 
         def body(st):
-            hi, lo, l2, nb, wcur, unserved = st
+            hi, lo, l2, l3, nb, wcur, unserved = st
             wn = jnp.where(unserved != 0, wcur, jnp.int32(0x7FFFFFFF))
             lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
             wview = out_ref[0, pl.ds(lo0, win)]
             it = lo0 + jax.lax.broadcasted_iota(jnp.int32,
                                                 (win, SB, 128), 0)
-            for _ in range(2):                     # two words per pass
+            for _ in range(3):                     # three words per pass
                 ready = nb >= 32
                 inwin = (wcur >= lo0) & (wcur < lo0 + win)
                 # lanes past the output cap drop the word once flushing
@@ -176,26 +177,27 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
                 wview = jnp.where(hit, hi.astype(jnp.int32)[None], wview)
                 hi = jnp.where(srv, lo, hi)
                 lo = jnp.where(srv, l2, lo)
-                l2 = jnp.where(srv, jnp.uint32(0), l2)
+                l2 = jnp.where(srv, l3, l2)
+                l3 = jnp.where(srv, jnp.uint32(0), l3)
                 nb = nb - jnp.where(srv, 32, 0)
                 wcur = wcur + jnp.where(srv, 1, 0)
             out_ref[0, pl.ds(lo0, win)] = wview
-            unserved = jnp.where(nb < (32 if force else 69), 0, unserved)
-            return hi, lo, l2, nb, wcur, unserved
+            unserved = jnp.where(nb < (32 if force else 101), 0, unserved)
+            return hi, lo, l2, l3, nb, wcur, unserved
 
         u0 = hard.astype(jnp.int32)
-        hi, lo, l2, nb, wcur, _ = jax.lax.while_loop(
-            cond, body, (hi, lo, l2, nb, wcur, u0))
-        return hi, lo, l2, nb, wcur, tbits
+        hi, lo, l2, l3, nb, wcur, _ = jax.lax.while_loop(
+            cond, body, (hi, lo, l2, l3, nb, wcur, u0))
+        return hi, lo, l2, l3, nb, wcur, tbits
 
-    def append(hi, lo, l2, nb, tbits, code, ln, active):
-        """Append ln bits of code MSB-first at position nb <= 68.
+    def append(hi, lo, l2, l3, nb, tbits, code, ln, active):
+        """Append ln bits of code MSB-first at position nb <= 100.
 
-        The lazy flush (emit_if_full, hard threshold nb >= 69) lets
-        appends run at nb up to 68, so correctness relies on
-        ln <= _MAX_TOKEN_BITS <= 27: nb + ln <= 95 fits the 96-bit
-        (hi, lo, l2) buffer, and the code (< 32 bits) spans at most two
-        adjacent words.  The module-level static assert enforces the
+        The lazy flush (emit_if_full, hard threshold nb >= 101) lets
+        appends run at nb up to 100, so correctness relies on
+        ln <= _MAX_TOKEN_BITS <= 27: nb + ln <= 127 fits the 128-bit
+        (hi, lo, l2, l3) buffer, and the code (< 32 bits) spans at most
+        two adjacent words.  The module-level static assert enforces the
         bound against the built tables."""
         cu = jnp.where(active, code.astype(jnp.uint32), jnp.uint32(0))
         s = nb & 31
@@ -208,15 +210,19 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
                         jnp.uint32(0))
         w0 = nb < 32
         w1 = (nb >= 32) & (nb < 64)
-        hi = hi | jnp.where(w0, c_a, jnp.uint32(0))
-        lo = lo | jnp.where(w0, c_b, jnp.where(w1, c_a, jnp.uint32(0)))
-        l2 = l2 | jnp.where(w1, c_b, jnp.where(w0, jnp.uint32(0), c_a))
+        w2 = (nb >= 64) & (nb < 96)
+        z = jnp.uint32(0)
+        hi = hi | jnp.where(w0, c_a, z)
+        lo = lo | jnp.where(w0, c_b, jnp.where(w1, c_a, z))
+        l2 = l2 | jnp.where(w1, c_b, jnp.where(w2, c_a, z))
+        l3 = l3 | jnp.where(w2, c_b, jnp.where(w0 | w1, z, c_a))
         nb = nb + jnp.where(active, ln, 0)
         tbits = tbits + jnp.where(active, ln, 0)
-        return hi, lo, l2, nb, tbits
+        return hi, lo, l2, l3, nb, tbits
 
     def kernel(dc0_ref, lv_ref, out_ref, bits_ref, ldc0_ref, ldc1_ref,
-               ldc2_ref, hi_ref, lo_ref, l2_ref, nb_ref, wc_ref, tb_ref):
+               ldc2_ref, hi_ref, lo_ref, l2_ref, l3_ref, nb_ref, wc_ref,
+               tb_ref):
         b = pl.program_id(1)
 
         @pl.when(b == 0)
@@ -235,6 +241,7 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
             hi_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             lo_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             l2_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
+            l3_ref[:, :] = jnp.zeros((SB, 128), jnp.uint32)
             nb_ref[:, :] = z
             wc_ref[:, :] = z
             tb_ref[:, :] = z
@@ -256,6 +263,7 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
         lv = [lv_ref[0, 0, k].astype(jnp.int32) for k in range(64)]
         # (lv_ref block is [1, 1, 64, SB, 128])
         hi, lo, l2 = hi_ref[:, :], lo_ref[:, :], l2_ref[:, :]
+        l3 = l3_ref[:, :]
         nb, wcur, tbits = nb_ref[:, :], wc_ref[:, :], tb_ref[:, :]
 
         # ---------------- DC ----------------
@@ -275,9 +283,10 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
         code = ((pk >> 5) << nbits) | mant
         ln = (pk & 31) + nbits
         act = jnp.ones((SB, 128), jnp.bool_)
-        hi, lo, l2, nb, tbits = append(hi, lo, l2, nb, tbits, code, ln, act)
-        hi, lo, l2, nb, wcur, tbits = emit_if_full(out_ref, hi, lo, l2, nb,
-                                                   wcur, tbits)
+        hi, lo, l2, l3, nb, tbits = append(hi, lo, l2, l3, nb, tbits, code,
+                                           ln, act)
+        hi, lo, l2, l3, nb, wcur, tbits = emit_if_full(
+            out_ref, hi, lo, l2, l3, nb, wcur, tbits)
 
         # ---------------- AC token loop ----------------
         # Nonzero positions live in a 2-word bitmask; each iteration
@@ -310,7 +319,7 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
             done = (mlo == 0) & (mhi == 0) & ((eobd != 0) | (prev == 63))
             return (it < max_it) & (jnp.sum(1 - done.astype(jnp.int32)) > 0)
 
-        def tok(mlo, mhi, prev, z, eobd, hi, lo, l2, nb, wcur, tbits):
+        def tok(mlo, mhi, prev, z, eobd, hi, lo, l2, l3, nb, wcur, tbits):
             in_ac = (mlo != 0) | (mhi != 0)
             sel_lo = mlo != 0
             wmask = jnp.where(sel_lo, mlo, mhi)
@@ -363,17 +372,17 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
             ln = jnp.where(is_sym, ln_s,
                            jnp.where(is_zrl, zrl_pack & 31, eob_pack & 31))
             act = is_sym | is_zrl | is_eob
-            hi, lo, l2, nb, tbits = append(hi, lo, l2, nb, tbits, code, ln,
-                                           act)
+            hi, lo, l2, l3, nb, tbits = append(hi, lo, l2, l3, nb, tbits,
+                                               code, ln, act)
             # (a scalar skip-counter around this emit was measured ~12%
             # slower on TPU — see the decoder's matching note)
-            hi, lo, l2, nb, wcur, tbits = emit_if_full(out_ref, hi, lo, l2,
-                                                       nb, wcur, tbits)
+            hi, lo, l2, l3, nb, wcur, tbits = emit_if_full(
+                out_ref, hi, lo, l2, l3, nb, wcur, tbits)
 
             prev = jnp.where(is_sym, pos, prev)
             z = jnp.where(is_sym, 0, z + is_zrl.astype(jnp.int32))
             eobd = eobd | is_eob.astype(jnp.int32)
-            return mlo, mhi, prev, z, eobd, hi, lo, l2, nb, wcur, tbits
+            return mlo, mhi, prev, z, eobd, hi, lo, l2, l3, nb, wcur, tbits
 
         def body(st):
             it, rest = st[0], st[1:]
@@ -387,17 +396,17 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
             return (it + 1,) + rest
 
         zi = jnp.zeros((SB, 128), jnp.int32)
-        st = (jnp.int32(0), mlo, mhi, zi, zi, zi, hi, lo, l2, nb, wcur,
+        st = (jnp.int32(0), mlo, mhi, zi, zi, zi, hi, lo, l2, l3, nb, wcur,
               tbits)
-        (_, _, _, _, _, _, hi, lo, l2, nb, wcur,
+        (_, _, _, _, _, _, hi, lo, l2, l3, nb, wcur,
          tbits) = jax.lax.while_loop(cond, body, st)
 
         @pl.when(b == n_blocks - 1)
         def _flush():
             # drain any full deferred words, then the partial word (bits
             # beyond nb are zero; the C pass 1-pads the last byte)
-            hi_f, lo_f, l2_f, nb_f, wcur_f, _ = emit_if_full(
-                out_ref, hi, lo, l2, nb, wcur, tbits, force=True)
+            hi_f, lo_f, l2_f, l3_f, nb_f, wcur_f, _ = emit_if_full(
+                out_ref, hi, lo, l2, l3, nb, wcur, tbits, force=True)
 
             def cond_f(st):
                 _, unserved = st
@@ -423,6 +432,7 @@ def _make_kernel(n_blocks: int, w_out: int, win_rows: int = WIN_O,
         hi_ref[:, :] = hi
         lo_ref[:, :] = lo
         l2_ref[:, :] = l2
+        l3_ref[:, :] = l3
         nb_ref[:, :] = nb
         wc_ref[:, :] = wcur
         tb_ref[:, :] = tbits
@@ -462,7 +472,7 @@ def _encode_layout(lv, w_out: int, interpret: bool = False,
                                 lambda i, j: (i, 0, 0, 0)),
                    pl.BlockSpec((1, 1, SB, 128), lambda i, j: (i, 0, 0, 0))),
         scratch_shapes=[pltpu.VMEM((SB, 128), jnp.int32)] * 3 +
-                       [pltpu.VMEM((SB, 128), jnp.uint32)] * 3 +
+                       [pltpu.VMEM((SB, 128), jnp.uint32)] * 4 +
                        [pltpu.VMEM((SB, 128), jnp.int32)] * 3,
         interpret=interpret,
     )(dc0, lv)
