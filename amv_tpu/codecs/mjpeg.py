@@ -8,7 +8,9 @@ reset expressed as a restart-segmented cumsum on device.  Covers the
 reference's mjpegdec.c baseline usage for MJPEG-in-AVI material (which
 commonly carries DRI/RST); the same bit-exact integer IDCT path is reused
 on device.  Progressive JPEG (decode_block_progressive, mjpegdec.c:432)
-is not implemented — the reference never exercises it for MJPEG-in-AVI.
+routes through bitstream/jpeg_progressive.py: its multi-scan coefficient
+recovery feeds the same device dequant/IDCT, with absolute (rather than
+differential) DC.
 """
 
 from __future__ import annotations
@@ -161,47 +163,90 @@ def _assemble(pix, layout, mb_w, mb_h, width, height):
 
 
 @partial(jax.jit, static_argnames=("layout", "mb_w", "mb_h", "width",
-                                   "height", "restart"))
+                                   "height", "restart", "dc_absolute"))
 def _transform(levels_zz, qm_zz, layout, mb_w, mb_h, width, height,
-               restart=0):
+               restart=0, dc_absolute=False):
     """Like amv_video.decode_transform but parameterized tables, general
     sampling, no flip, optional restart-segmented DC prediction.
 
-    levels_zz: int16 [F, M, nb, 64] zigzag (slot 0 = DC difference);
+    levels_zz: int16 [F, M, nb, 64] zigzag (slot 0 = DC difference, or
+    the absolute quantized DC when dc_absolute — the progressive path
+    resolves prediction during scan assembly, jpeg_progressive.py);
     qm_zz: int32 [nb, 64] per-block quant tables, zigzag order.
     """
     F, M, nb = levels_zz.shape[0], levels_zz.shape[1], levels_zz.shape[2]
     comp_of = _COMP_OF_BLOCK[layout]
     lv = levels_zz.astype(jnp.int32)
-    # blocks of each component are contiguous in MCU order for every
-    # supported layout, so the per-component DC chains concatenate back
-    # without a scatter
-    parts = []
-    for c in sorted(set(comp_of)):
-        blks = [b for b in range(nb) if comp_of[b] == c]
-        k = len(blks)
-        x = lv[:, :, blks[0]:blks[0] + k, 0].reshape(F, M * k) * \
-            qm_zz[blks[0], 0]
-        s = _seg_cumsum(x, restart * k) + 1024
-        parts.append(s.reshape(F, M, k))
-    dc = jnp.concatenate(parts, axis=2)
+    if dc_absolute:
+        dc = lv[:, :, :, 0] * qm_zz[None, None, :, 0] + 1024
+    else:
+        # blocks of each component are contiguous in MCU order for every
+        # supported layout, so the per-component DC chains concatenate
+        # back without a scatter
+        parts = []
+        for c in sorted(set(comp_of)):
+            blks = [b for b in range(nb) if comp_of[b] == c]
+            k = len(blks)
+            x = lv[:, :, blks[0]:blks[0] + k, 0].reshape(F, M * k) * \
+                qm_zz[blks[0], 0]
+            s = _seg_cumsum(x, restart * k) + 1024
+            parts.append(s.reshape(F, M, k))
+        dc = jnp.concatenate(parts, axis=2)
     raster = jnp.take(lv, jnp.asarray(T.UNZIGZAG), axis=-1)
     qm = jnp.take(qm_zz, jnp.asarray(T.UNZIGZAG), axis=-1)[None, None]
     pix = KI.dequantize_idct(raster, dc, qm)
     return _assemble(pix, layout, mb_w, mb_h, width, height)
 
 
+def _sof_marker(data: bytes) -> int:
+    """First SOFn marker byte before the scan (0 if none found) —
+    segment walk, so table payloads can't false-positive."""
+    import struct as _s
+    pos, n = 2, len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        if marker in (0xD9, 0xDA):
+            return 0
+        pos += 2 + _s.unpack_from(">H", data, pos + 2)[0]
+    return 0
+
+
 def decode_mjpeg_frames(payloads: list[bytes]):
-    """Decode standard baseline MJPEG frames.
+    """Decode standard MJPEG frames (baseline SOF0 or progressive SOF2).
 
     Supports 4:2:0, 4:2:2, 4:4:4 and grayscale sampling, per-frame
     quant/Huffman tables, and restart markers (DRI/RSTn,
-    mjpegdec.c:533-548).  All frames must share geometry; tables/DRI may
-    vary per frame (batched per table-group).  Returns (y, cb, cr)
-    uint8 arrays, top-down; chroma is None for grayscale, half-width
-    for 4:2:2, half-size for 4:2:0, full-size for 4:4:4.
+    mjpegdec.c:533-548).  Progressive frames (mjpegdec.c:432
+    decode_block_progressive) recover coefficients scan-by-scan on the
+    host then share the device dequant/IDCT.  All frames must share
+    geometry; tables/DRI may vary per frame (batched per table-group).
+    Returns (y, cb, cr) uint8 arrays, top-down; chroma is None for
+    grayscale, half-width for 4:2:2, half-size for 4:2:0, full-size
+    for 4:4:4.
     """
-    frames = [parse_jpeg(p) for p in payloads]
+    is_prog = [_sof_marker(p) == 0xC2 for p in payloads]
+    if any(is_prog):
+        from ..bitstream.jpeg_progressive import decode_progressive
+    frames = []
+    prog_levels = {}
+    for i, p in enumerate(payloads):
+        if is_prog[i]:
+            lv, f = decode_progressive(p)
+            # synthesize scan bookkeeping so mcu_blocks()/qkey work
+            f.scan_components = [(ci, 0, 0)
+                                 for ci in range(len(f.components))]
+            prog_levels[i] = lv
+            frames.append(f)
+        else:
+            frames.append(parse_jpeg(p))
     f0 = frames[0]
     layout, nb, mcu_w, mcu_h = _layout_of(f0)
     for f in frames[1:]:
@@ -214,13 +259,18 @@ def decode_mjpeg_frames(payloads: list[bytes]):
     n_mcu = mb_w * mb_h
 
     levels = np.zeros((len(frames), n_mcu, nb, 64), np.int16)
+    for i, lv in prog_levels.items():
+        levels[i] = lv
+    base_idx = [i for i in range(len(frames)) if not is_prog[i]]
     std_scan = (layout == "420" and all(
-        f.scan_components == [(0, 0, 0), (1, 1, 1), (2, 1, 1)] and
-        f.restart_interval == 0 for f in frames))
-    if std_scan and all(_tables_are_k3(f) for f in frames):
+        frames[i].scan_components == [(0, 0, 0), (1, 1, 1), (2, 1, 1)] and
+        frames[i].restart_interval == 0 for i in base_idx))
+    if std_scan and all(_tables_are_k3(frames[i]) for i in base_idx):
         # common case: stock tables -> reuse the fast C scan decoder
-        wrapped = [b"\xFF\xD8" + f.scan + b"\xFF\xD9" for f in frames]
-        levels = huffman_decode_frames(wrapped, n_mcu)
+        if base_idx:
+            wrapped = [b"\xFF\xD8" + frames[i].scan + b"\xFF\xD9"
+                       for i in base_idx]
+            levels[base_idx] = huffman_decode_frames(wrapped, n_mcu)
     else:
         from ..native import entropy_native as native
         # group frames with identical table sets for batched C decode
@@ -230,8 +280,8 @@ def decode_mjpeg_frames(payloads: list[bytes]):
                 for k, (bits, vals) in f.huff.items())) + \
                 tuple(map(tuple, f.scan_components)) + (f.restart_interval,)
         groups = {}
-        for i, f in enumerate(frames):
-            groups.setdefault(hkey(f), []).append(i)
+        for i in base_idx:
+            groups.setdefault(hkey(frames[i]), []).append(i)
         for idxs in groups.values():
             f = frames[idxs[0]]
             pairs = [(dc_id, ac_id)
@@ -247,23 +297,29 @@ def decode_mjpeg_frames(payloads: list[bytes]):
                     scan = R.unescape_scan(frames[i].scan)
                     levels[i] = _decode_scan_generic(scan, n_mcu, frames[i])
 
-    # quant tables / restart interval may vary per frame; group runs
-    def qkey(f):
+    # quant tables / restart interval / DC convention may vary per
+    # frame; group runs (progressive DC is absolute, restart resolved
+    # during scan assembly)
+    def qkey(i):
+        f = frames[i]
+        ri = 0 if is_prog[i] else f.restart_interval
         return b"".join(f.quant[tq].tobytes()
                         for (_, _, _, tq) in f.mcu_blocks()) + \
-            bytes([f.restart_interval & 0xFF, f.restart_interval >> 8])
+            bytes([ri & 0xFF, ri >> 8, is_prog[i]])
 
     y = cb = cr = None
     idxs_by_key = {}
-    for i, f in enumerate(frames):
-        idxs_by_key.setdefault(qkey(f), []).append(i)
-    for key, idxs in idxs_by_key.items():
+    for i in range(len(frames)):
+        idxs_by_key.setdefault(qkey(i), []).append(i)
+    for idxs in idxs_by_key.values():
         f = frames[idxs[0]]
         qm = np.stack([f.quant[tq].astype(np.int32)
                        for (_, _, _, tq) in f.mcu_blocks()])
-        yy, ccb, ccr = _transform(jnp.asarray(levels[idxs]),
-                                  jnp.asarray(qm), layout, mb_w, mb_h,
-                                  w, h, restart=f.restart_interval)
+        yy, ccb, ccr = _transform(
+            jnp.asarray(levels[idxs]), jnp.asarray(qm), layout, mb_w,
+            mb_h, w, h,
+            restart=0 if is_prog[idxs[0]] else f.restart_interval,
+            dc_absolute=is_prog[idxs[0]])
         if y is None:
             y = np.zeros((len(frames),) + yy.shape[1:], np.uint8)
             if ccb is not None:

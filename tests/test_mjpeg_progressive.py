@@ -1,0 +1,135 @@
+"""Progressive JPEG (SOF2) tests.
+
+The reference decodes progressive via mjpegdec.c:432
+decode_block_progressive / mjpeg_decode_scan_progressive_ac.  Our gate is
+a self round-trip (progressive is a lossless reorganization of the
+quantized coefficients, so decode(encode(levels)) == levels exactly) plus
+pixel equality against the baseline path for identical coefficients.
+"""
+
+import numpy as np
+import pytest
+
+from amv_tpu.bitstream import jpeg_tables as T
+from amv_tpu.bitstream.jpeg_progressive import (decode_progressive,
+                                                encode_progressive)
+from amv_tpu.codecs.mjpeg import (_COMP_OF_BLOCK, _jpeg_header_with_tables,
+                                  _pack_scan_generic, _sof_marker,
+                                  decode_mjpeg_frames)
+from amv_tpu.codecs.amv_video import _encoder_quant_matrix
+
+_MCU = {"420": (16, 16), "422": (16, 8), "444": (8, 8), "gray": (8, 8)}
+
+
+def _rand_levels(layout, W, H, seed=0, dc_range=40, ac_range=80):
+    mcu_w, mcu_h = _MCU[layout]
+    mb_w, mb_h = (W + mcu_w - 1) // mcu_w, (H + mcu_h - 1) // mcu_h
+    nb = len(_COMP_OF_BLOCK[layout])
+    M = mb_w * mb_h
+    rng = np.random.default_rng(seed)
+    lv = np.zeros((M, nb, 64), np.int16)
+    lv[:, :, 0] = rng.integers(-dc_range, dc_range + 1, (M, nb))
+    # sparse AC so EOB runs actually occur
+    mask = rng.random((M, nb, 63)) < 0.12
+    lv[:, :, 1:] = np.where(
+        mask, rng.integers(-ac_range, ac_range + 1, (M, nb, 63)), 0)
+    # some blocks entirely zero-AC (pure EOB blocks)
+    zero = rng.random((M, nb)) < 0.3
+    lv[:, :, 1:] *= ~zero[:, :, None]
+    # MCU padding blocks beyond the component grid are never coded by
+    # non-interleaved AC scans (T.81 A.2.3) — their AC cannot round-trip
+    lv[:, :, 1:] *= _coded_mask(layout, W, H)[:, :, None]
+    return lv
+
+
+def _coded_mask(layout, W, H):
+    """[M, nb] bool: block is inside its component's block grid."""
+    from amv_tpu.bitstream import jpeg_progressive as P
+
+    class _F:
+        pass
+    samp = {"420": (2, 2), "422": (2, 1), "444": (1, 1),
+            "gray": (1, 1)}[layout]
+    f = _F()
+    f.width, f.height = W, H
+    f.components = [(1, samp[0], samp[1], 0)] + \
+        ([(2, 1, 1, 0), (3, 1, 1, 0)] if layout != "gray" else [])
+    mb_w, mb_h, _, _ = P._mcu_grid(f)
+    nb = len(_COMP_OF_BLOCK[layout])
+    mask = np.zeros((mb_w * mb_h, nb), bool)
+    for m in P._block_index_maps(f):
+        for (mi, s) in m.reshape(-1, 2):
+            if mi >= 0:
+                mask[mi, s] = True
+    return mask
+
+
+@pytest.mark.parametrize("layout,wh", [
+    ("420", (48, 32)), ("420", (28, 20)), ("422", (44, 24)),
+    ("444", (24, 24)), ("444", (20, 12)), ("gray", (28, 20)),
+])
+def test_roundtrip_levels(layout, wh):
+    lv = _rand_levels(layout, *wh, seed=hash((layout, wh)) & 0xFFFF)
+    data = encode_progressive(lv, wh, layout=layout)
+    assert _sof_marker(data) == 0xC2
+    got, f = decode_progressive(data)
+    assert (f.width, f.height) == wh
+    np.testing.assert_array_equal(got, lv)
+
+
+@pytest.mark.parametrize("al_dc,al_ac", [(0, 0), (2, 2), (1, 3)])
+def test_roundtrip_successive_approximation(al_dc, al_ac):
+    lv = _rand_levels("420", 32, 32, seed=7, ac_range=300)
+    data = encode_progressive(lv, (32, 32), layout="420",
+                              al_dc=al_dc, al_ac=al_ac)
+    got, _ = decode_progressive(data)
+    np.testing.assert_array_equal(got, lv)
+
+
+@pytest.mark.parametrize("layout,wh", [
+    ("420", (48, 32)), ("422", (32, 24)), ("444", (16, 16)),
+    ("gray", (24, 16)),
+])
+def test_pixels_match_baseline(layout, wh):
+    """Progressive and baseline payloads carrying the same quantized
+    coefficients must decode to identical pixels (both feed the same
+    device dequant/IDCT)."""
+    W, H = wh
+    lv = _rand_levels(layout, W, H, seed=3)
+    prog = encode_progressive(lv, wh, layout=layout)
+    # baseline equivalent: absolute DC rides a difference chain with
+    # origin 128 (so +128 here), same quant matrix via the header
+    qm_zz = _encoder_quant_matrix(2)[T.ZIGZAG]
+    lv_base = lv.copy()
+    lv_base[:, :, 0] += 128
+    hdr = _jpeg_header_with_tables(W, H, qm_zz, layout=layout)
+    base = hdr + _pack_scan_generic(lv_base, _COMP_OF_BLOCK[layout], 0) + \
+        b"\xFF\xD9"
+    yp, cbp, crp = decode_mjpeg_frames([prog])
+    yb, cbb, crb = decode_mjpeg_frames([base])
+    np.testing.assert_array_equal(yp, yb)
+    if layout != "gray":
+        np.testing.assert_array_equal(cbp, cbb)
+        np.testing.assert_array_equal(crp, crb)
+
+
+def test_mixed_batch_matches_separate():
+    """A batch mixing baseline and progressive frames decodes each frame
+    identically to decoding it alone."""
+    W, H = 32, 32
+    lv0 = _rand_levels("420", W, H, seed=11)
+    lv1 = _rand_levels("420", W, H, seed=12)
+    prog = encode_progressive(lv0, (W, H), layout="420")
+    qm_zz = _encoder_quant_matrix(2)[T.ZIGZAG]
+    lv1b = lv1.copy()
+    lv1b[:, :, 0] += 128
+    base = _jpeg_header_with_tables(W, H, qm_zz) + \
+        _pack_scan_generic(lv1b, _COMP_OF_BLOCK["420"], 0) + b"\xFF\xD9"
+    y, cb, cr = decode_mjpeg_frames([base, prog, base])
+    y0, cb0, cr0 = decode_mjpeg_frames([prog])
+    y1, cb1, cr1 = decode_mjpeg_frames([base])
+    np.testing.assert_array_equal(y[1], y0[0])
+    np.testing.assert_array_equal(y[0], y1[0])
+    np.testing.assert_array_equal(y[2], y1[0])
+    np.testing.assert_array_equal(cb[1], cb0[0])
+    np.testing.assert_array_equal(cr[0], cr1[0])
