@@ -26,6 +26,15 @@ Design: hybrid float analysis / exact-integer synthesis.
 
 Not bit-compatible with the ITU encoder (no reference encoder is vendored
 to match); validated by decode(encode(x)) reconstruction quality tests.
+
+Quality (round-2 decomposition, fixtures speech): 12.27 dB segSNR
+full-chain measured against the proper reference (input through the
+decoder's fixed x0.5 pre-scale + 100 Hz output high-pass, spec 4.2.5 /
+g729a_native.c g729_high_pass_filter); 12.85 dB before the postfilter.
+Measured against the RAW input the same chain reads 6.9 dB — but that
+metric is capped at 8.3 dB by the output high-pass's phase distortion
+alone (a perfect encoder scores 8.3), so the raw-input number mostly
+measures the decoder's fixed filters, not coding error.
 """
 
 from __future__ import annotations

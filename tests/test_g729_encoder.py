@@ -36,11 +36,21 @@ def test_bitstream_validity():
         assert 20 <= pd3x // 3 <= 143
 
 
-def test_roundtrip_quality():
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _roundtrip_4800():
+    """Shared (slow) encode+decode of the 4800-sample fixture."""
     sig = _speechlike(4800)
     frames = encode_stream(sig)
     dec = G729Decoder()
     out = np.concatenate([dec.decode_frame(f) for f in frames])
+    return sig, out
+
+
+def test_roundtrip_quality():
+    sig, out = _roundtrip_4800()
     a = out[400:len(sig)].astype(float)
     b = sig[400:len(sig)].astype(float)
     c = np.corrcoef(a, b)[0, 1]
@@ -54,11 +64,43 @@ def test_roundtrip_quality():
         p = (b[s0:s0 + 160] ** 2).mean()
         if p > 1e4:
             segs.append(10 * np.log10(max(p, 1) / max(e, 1)))
-    # measured 6.8 dB segSNR (round 2; joint pitch/gain re-search
-    # variants measured WORSE through the decoder postfilter — see
-    # codecs/g729a_encoder.py notes); gate with headroom against
-    # regressions
+    # measured 6.9 dB segSNR vs the RAW input (round 2) — but the
+    # decoder's fixed 100 Hz output high-pass phase-distorts the
+    # waveform: even a PERFECT encoder caps at 8.3 dB on this fixture
+    # measured this way.  Gate with headroom against regressions.
     assert np.mean(segs) > 6.0, f"segSNR too low: {np.mean(segs):.2f}"
+
+
+def test_roundtrip_quality_hp_reference():
+    """segSNR against the proper reference: the input passed through the
+    decoder's fixed pre-scale + 100 Hz output high-pass (spec 4.2.5).
+
+    This removes the fixed-filter phase-distortion artifact from the
+    metric (it is not coding error — it caps the raw-input segSNR at
+    8.3 dB on this fixture no matter the encoder).  Measured (round 2):
+    12.27 dB full chain, 12.85 dB pre-postfilter, corr 0.905."""
+    sig = _speechlike(4800)
+    # reference chain: x0.5 then the decoder's output HP (gain 2)
+    d = G729Decoder()
+    buf = [int(v) >> 1 for v in sig.tolist()]
+    ref = []
+    for f0 in range(len(buf) // 80):
+        ch = buf[f0 * 80:(f0 + 1) * 80]
+        d.high_pass_filter(ch)
+        ref.extend(ch)
+    ref = np.array(ref, dtype=float)
+
+    _, out = _roundtrip_4800()
+    a = out[400:len(sig)].astype(float)
+    b = ref[400:len(sig)]
+    segs = []
+    for s0 in range(0, len(a) - 160, 160):
+        e = ((a[s0:s0 + 160] - b[s0:s0 + 160]) ** 2).mean()
+        p = (b[s0:s0 + 160] ** 2).mean()
+        if p > 1e4:
+            segs.append(10 * np.log10(max(p, 1) / max(e, 1)))
+    snr = float(np.mean(segs))
+    assert snr > 10.5, f"HP-referenced segSNR too low: {snr:.2f}"
 
 
 def test_encoder_decoder_state_tracking():
