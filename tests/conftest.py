@@ -3,7 +3,12 @@ import sys
 
 # Force tests onto a virtual 8-device CPU mesh: multi-chip sharding is
 # validated without TPU hardware, and CI machines need no accelerator.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# AMV_TPU_SMOKE=1 keeps the real accelerator visible instead so
+# tests/test_tpu_smoke.py can exercise compiled Mosaic kernels (every
+# other Pallas test runs in interpret mode on the CPU mesh).
+_TPU_SMOKE = os.environ.get("AMV_TPU_SMOKE") == "1"
+if not _TPU_SMOKE:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +21,8 @@ import jax  # noqa: E402
 # The axon site plugin force-registers the TPU backend via
 # jax.config.update("jax_platforms", "axon,cpu"); override it back so tests
 # really run on the virtual 8-device CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_SMOKE:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
