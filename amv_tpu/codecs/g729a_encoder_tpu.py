@@ -12,9 +12,13 @@ one jitted program per frame across the whole stream batch:
 * LP analysis / LSF extraction: f32 windowed autocorrelation + Levinson +
   a 512-point Chebyshev-grid root search, all [B]-vectorized;
 * LSF quantization: switched-MA two-stage VQ searched through the
-  decoder's exact integer reconstruction ([2*top8] candidates);
-* closed-loop pitch: full 1/3-fractional grid around the open-loop lag,
-  scored in the synthesis domain via one Toeplitz matmul (MXU);
+  decoder's exact integer reconstruction ([2*top8] candidates, codewords
+  materialized by one-hot matmuls);
+* closed-loop pitch: EXHAUSTIVE over the full static (lag, fraction)
+  grid — all 124 integer lags x 3 fractions scored in the synthesis
+  domain via one Toeplitz matmul (MXU), no open-loop pre-estimate
+  (stronger than the ITU two-stage search, and the static grid avoids
+  per-lane dynamic gathers, the slowest primitive on TPU);
 * fixed codebook: exhaustive joint 8x8x8x16 ACELP search with the
   pitch-sharpened impulse response (d/phi from two MXU matmuls);
 * gains: exhaustive exact GA x GB (decoder gain arithmetic replayed for
@@ -151,7 +155,13 @@ def _quantize_lsf_batch(st, lsf_rad):
         d1 = jnp.sum(jnp.abs(cb1[None].astype(jnp.float32) -
                              lq_t[:, None, :]), axis=2)          # [B,128]
         _, l1c = jax.lax.top_k(-d1, 8)                           # [B,8]
-        c1 = jnp.take(cb1, l1c, axis=0)                          # [B,8,10]
+        # candidate codewords via one-hot matmuls: per-lane dynamic
+        # gathers are the slowest primitive on this target (see
+        # _build_cand_grid), and the table values are < 2^24 so the f32
+        # one-hot contraction is exact
+        oh1 = (l1c[..., None] == jnp.arange(128)).astype(jnp.float32)
+        c1 = jnp.einsum("bkc,cd->bkd", oh1,
+                        cb1.astype(jnp.float32)).astype(jnp.int32)
         resid = lq_t[:, None, :] - c1.astype(jnp.float32)
         d2 = jnp.sum((cb23[None, None, :, :5].astype(jnp.float32)
                       - resid[:, :, None, :5]) ** 2, axis=3)     # [B,8,32]
@@ -160,8 +170,11 @@ def _quantize_lsf_batch(st, lsf_rad):
                       - resid[:, :, None, 5:]) ** 2, axis=3)
         l3c = jnp.argmin(d3, axis=2)
         # exact reconstruction of each candidate (decoder semantics)
-        c23l = jnp.take(cb23, l2c, axis=0)                       # [B,8,10]
-        c23h = jnp.take(cb23, l3c, axis=0)
+        cb23f = cb23.astype(jnp.float32)
+        oh2 = (l2c[..., None] == jnp.arange(32)).astype(jnp.float32)
+        oh3 = (l3c[..., None] == jnp.arange(32)).astype(jnp.float32)
+        c23l = jnp.einsum("bkc,cd->bkd", oh2, cb23f).astype(jnp.int32)
+        c23h = jnp.einsum("bkc,cd->bkd", oh3, cb23f).astype(jnp.int32)
         lq = jnp.concatenate([c1[..., :5] + c23l[..., :5],
                               c1[..., 5:] + c23h[..., 5:]], axis=2)
         cols = [lq[..., i] for i in range(10)]
@@ -241,36 +254,73 @@ _UWIN = np.clip(_UWIN, 0, _HIST_SPAN - 1)  # q >= -10 taps would poke past
 # uses a periodic-extension approximation in the same region)
 
 
-def _ac_candidates(exc, off, t_cand, f_cand):
-    """AC candidate grid via phase-upsampled history (decode_ac_vector's
-    interpolation precomputed at all 3 fractional phases over the last
-    PITCH_MAX excitation samples) + ITU-style period repetition for lags
-    shorter than the subframe.  One [B,C,40] gather replaces the exact
-    path's 40-step recursion; the chosen candidate is still materialized
-    exactly by the shadow decoder.
+def _build_cand_grid():
+    """Static exhaustive closed-loop candidate grid: every legal
+    (integer lag, fraction) pair, with a constant index table into the
+    flattened phase-upsampled history U [3 * _UPS_LEN].
 
-    exc [B,EXC_LEN] int32, t_cand/f_cand [B,C] -> acv [B,C,40] float.
+    The per-lane `take_along_axis` gather this replaces (dynamic indices
+    over a per-lane window of candidates) was MEASURED at ~58% of the
+    whole encoder frame step on TPU v5e (B=1024: 25 of 43 ms) — per-lane
+    dynamic gathers are the slowest primitive on this target, while a
+    constant-index gather plus a bigger MXU einsum is nearly free.  As a
+    bonus the search becomes exhaustive over all 124 lags instead of a
+    +-5 window around an open-loop estimate (the open-loop stage is gone
+    entirely), so the scored criterion can only improve.
+
+    Returns (t_flat [C], f_flat [C], idx [C, 40], valid_sf1 [C]) with
+    C = 124 * 3; validity for subframe 2 is a per-lane window mask
+    computed at trace time.
+    """
+    ts = np.arange(PITCH_MIN, PITCH_MAX + 1)
+    fs = np.array([-1, 0, 1])
+    C = len(ts) * len(fs)
+    t_flat = np.repeat(ts, 3)
+    f_flat = np.tile(fs, len(ts))
+    idx = np.zeros((C, SUBFRAME), np.int32)
+    valid1 = np.zeros(C, bool)
+    n = np.arange(SUBFRAME)
+    for k in range(C):
+        t, f = int(t_flat[k]), int(f_flat[k])
+        fp = -f
+        ti = t
+        if fp < 0:
+            fp += 3
+            ti += 1
+        # period repetition for lags shorter than the subframe: q >= 0
+        # reads the previous period (q - ti <= 39 - 2*PITCH_MIN < 0, one
+        # wrap is always enough)
+        q = n - ti
+        q = np.where(q >= 0, q - ti, q)
+        idx[k] = fp * _UPS_LEN + (q + _UPS_LEN)
+        # subframe 1 encoding: fractions exist only for t <= 84, and
+        # (PITCH_MIN, -1) is excluded (matches the legacy candidate set)
+        valid1[k] = (f == 0 or t <= 84) and not (t == PITCH_MIN and f == -1)
+    return t_flat, f_flat, idx, valid1
+
+
+_CAND_T, _CAND_F, _CAND_IDX, _CAND_VALID1 = _build_cand_grid()
+
+
+def _ac_candidates_all(exc, off):
+    """All-candidate AC grid via phase-upsampled history (decode_ac_vector's
+    interpolation precomputed at all 3 fractional phases over the last
+    PITCH_MAX excitation samples).  One constant-index gather builds the
+    [B, C, 40] grid for the static (lag, fraction) set; the chosen
+    candidate is still materialized exactly by the shadow decoder.
+
+    exc [B, EXC_LEN] int32 -> acv [B, C, 40] float32.
     """
     base = G.EXC_OFF + off
     histf = jax.lax.dynamic_slice_in_dim(
         exc, base - _HIST_SPAN, _HIST_SPAN, axis=1).astype(jnp.float32)
-    taps = histf[:, jnp.asarray(_UWIN)]                    # [B,143,20]
+    taps = histf[:, jnp.asarray(_UWIN)]                    # [B,144,20]
     coef = jnp.concatenate([jnp.asarray(_C1_NP), jnp.asarray(_C2_NP)],
                            axis=1)                         # [3,20]
-    U = jnp.einsum("bjk,fk->bfj", taps, coef) / 16384.0    # [B,3,143]
-    B = t_cand.shape[0]
-    U = U.reshape(B, 3 * _UPS_LEN)
-
-    f = -f_cand
-    neg = f < 0
-    f = jnp.where(neg, f + 3, f)
-    ti = jnp.where(neg, t_cand + 1, t_cand)
-    n = jnp.arange(SUBFRAME)
-    q = n[None, None, :] - ti[..., None]                   # [B,C,40]
-    q = jnp.where(q >= 0, q % jnp.maximum(ti, 1)[..., None] - ti[..., None],
-                  q)
-    idx = f[..., None] * _UPS_LEN + (q + _UPS_LEN)
-    return jnp.take_along_axis(U[:, None, :], idx, axis=2)
+    U = jnp.einsum("bjk,fk->bfj", taps, coef) / 16384.0    # [B,3,144]
+    B = exc.shape[0]
+    Uf = U.reshape(B, 3 * _UPS_LEN)
+    return Uf[:, jnp.asarray(_CAND_IDX)]                   # [B,C,40]
 
 
 _TRK0 = np.arange(0, SUBFRAME, 5)
@@ -380,13 +430,17 @@ def _parity_batch(P1):
 
 
 @jax.jit
-def encode_frame_batch(st, hist, res_hist, samples):
+def encode_frame_batch(st, hist, samples):
     """One 80-sample frame for B streams.
 
     st: decoder-shadow state (g729a.init_state); hist [B,160] float scaled
-    past input; res_hist [B,143] float residual history; samples [B,80]
-    int-valued float.  Returns (st, hist, res_hist, parm [B,16] int32)
-    where parm uses the decode_frame_batch column layout (col 15 = 0).
+    past input; samples [B,80] int-valued float.  Returns
+    (st, hist, parm [B,16] int32) where parm uses the
+    decode_frame_batch column layout (col 15 = 0).
+
+    The closed-loop pitch search is exhaustive over the full static
+    (lag, fraction) grid (_build_cand_grid), so no open-loop estimate —
+    and no residual history state — is needed.
     """
     B = samples.shape[0]
     x = samples.astype(jnp.float32) * 0.5    # decoder upscales 2x on output
@@ -406,20 +460,8 @@ def encode_frame_batch(st, hist, res_hist, samples):
     lsp = G.lsf2lsp(lsf_q)
     lp1, lp2 = G.lp_decode(st, lsp)
 
-    # ---- open-loop pitch on the LP residual --------------------------------
-    aq = lp2.astype(jnp.float32) / 4096.0
-    ext = jnp.concatenate([hist[:, -10:], x], axis=1)     # [B,90]
-    widx = np.arange(FRAME)[:, None] + np.arange(10)[None, :]  # n .. n+9
-    win = ext[:, jnp.asarray(widx)]                        # [B,80,10]
-    resid = ext[:, 10:] + jnp.einsum("bi,bni->bn", aq, win[..., ::-1])
-    histf = jnp.concatenate([res_hist, resid], axis=1)     # [B,223]
-    L = histf.shape[1]
-    tidx = np.stack([np.arange(L - FRAME - t, L - t)
-                     for t in range(PITCH_MIN, PITCH_MAX + 1)])  # [124,80]
-    wins = histf[:, jnp.asarray(tidx)]                     # [B,124,80]
-    corr = jnp.einsum("bn,btn->bt", resid, wins)
-    t_op = jnp.argmax(corr, axis=1).astype(jnp.int32) + PITCH_MIN
-    res_hist = histf[:, -PITCH_MAX:]
+    cand_t = jnp.asarray(_CAND_T.astype(np.int32))
+    cand_f = jnp.asarray(_CAND_F.astype(np.int32))
 
     parm_cols = {}
     prev_int = None
@@ -430,37 +472,23 @@ def encode_frame_batch(st, hist, res_hist, samples):
         Hmat = _toeplitz(h)
         target = xs - _zir(lp_i, st["syn_filter_data"])
 
-        # ---- closed-loop pitch at 1/3 resolution ---------------------------
+        # ---- closed-loop pitch at 1/3 resolution, exhaustive grid ----------
         if i == 0:
-            d_off = jnp.asarray(list(range(-5, 6)), jnp.int32)
-            ints = jnp.clip(t_op[:, None] + d_off[None, :],
-                            PITCH_MIN, PITCH_MAX)          # [B,11]
-            octv = jnp.stack([jnp.clip(t_op // 2, PITCH_MIN, PITCH_MAX),
-                              jnp.clip(t_op * 2, PITCH_MIN, PITCH_MAX)],
-                             axis=1)
-            ints = jnp.concatenate([ints, octv], axis=1)   # [B,13]
-            fr = jnp.asarray([-1, 0, 1], jnp.int32)
-            t_c = jnp.repeat(ints, 3, axis=1)              # [B,39]
-            f_c = jnp.tile(fr, (B, ints.shape[1]))
-            valid = ((t_c <= 84) | (f_c == 0)) & \
-                    ~((t_c == PITCH_MIN) & (f_c == -1))
+            valid = jnp.asarray(_CAND_VALID1)[None, :]     # [1,C]
         else:
+            # 5-bit relative window around subframe 1's integer lag
+            # (all three fractions are encodable anywhere in the window)
             base = jnp.clip(prev_int - 5, PITCH_MIN, PITCH_MAX - 9)
-            ks = jnp.arange(10, dtype=jnp.int32)
-            ints = base[:, None] + ks[None, :]             # [B,10]
-            fr = jnp.asarray([-1, 0, 1], jnp.int32)
-            t_c = jnp.repeat(ints, 3, axis=1)              # [B,30]
-            f_c = jnp.tile(fr, (B, 10))
-            valid = jnp.ones_like(t_c, bool)
-        acv = _ac_candidates(st["exc"], i * SUBFRAME, t_c, f_c)
+            valid = (cand_t[None, :] >= base[:, None]) & \
+                    (cand_t[None, :] <= base[:, None] + 9)
+        acv = _ac_candidates_all(st["exc"], i * SUBFRAME)
         y = jnp.einsum("bnk,bck->bcn", Hmat, acv)
         e = jnp.einsum("bcn,bcn->bc", y, y)
         c = jnp.maximum(jnp.einsum("bcn,bn->bc", y, target), 0.0)
         score = jnp.where(valid & (e > 0), c * c / jnp.maximum(e, 1e-9), -1.0)
         kbest = jnp.argmax(score, axis=1)
-        rows = jnp.arange(B)
-        t_int = t_c[rows, kbest]
-        t_frac = f_c[rows, kbest]
+        t_int = jnp.take(cand_t, kbest)
+        t_frac = jnp.take(cand_f, kbest)
 
         if i == 0:
             P1 = jnp.where(t_int <= 84, 3 * t_int + t_frac - 58, t_int + 112)
@@ -484,12 +512,15 @@ def encode_frame_batch(st, hist, res_hist, samples):
 
         # ---- fixed codebook -------------------------------------------------
         rres = target - gp_f[:, None] * y_ac
-        h2 = h
+        # pitch sharpening h2[n] = h[n] + gp_sh * h2[n - t]: the source
+        # index n - t < PITCH_MIN <= t is never itself sharpened, so the
+        # recurrence collapses to a single shifted add — expressed as a
+        # compare-mask matmul instead of 40 per-lane dynamic gathers
         gp_sh = st["pitch_sharp"].astype(jnp.float32) / 16384.0
-        for n in range(1, SUBFRAME):
-            src = jnp.take_along_axis(
-                h2, jnp.clip(n - t_int, 0, SUBFRAME - 1)[:, None], axis=1)[:, 0]
-            h2 = h2.at[:, n].add(jnp.where(n >= t_int, gp_sh * src, 0.0))
+        nk = jnp.asarray(np.arange(SUBFRAME)[:, None]
+                         - np.arange(SUBFRAME)[None, :])   # [n,k] = n - k
+        smat = (nk[None] == t_int[:, None, None]).astype(jnp.float32)
+        h2 = h + gp_sh[:, None] * jnp.einsum("bnk,bk->bn", smat, h)
         fc_idx, signs = _fc_search(rres, h2)
         parm_cols[f"fc{i}"] = fc_idx
         parm_cols[f"ps{i}"] = signs
@@ -536,7 +567,7 @@ def encode_frame_batch(st, hist, res_hist, samples):
         parm_cols["ps0"], parm_cols["ps1"], parm_cols["ga0"],
         parm_cols["ga1"], parm_cols["gb0"], parm_cols["gb1"],
         jnp.zeros(B, jnp.int32)], axis=1)
-    return st, hist, res_hist, parm
+    return st, hist, parm
 
 
 def encode_streams_tpu(pcm: np.ndarray) -> np.ndarray:
@@ -548,11 +579,10 @@ def encode_streams_tpu(pcm: np.ndarray) -> np.ndarray:
     n_frames = pcm.shape[1] // FRAME
     st = G.init_state(B)
     hist = jnp.zeros((B, 160))
-    res_hist = jnp.zeros((B, PITCH_MAX))
     parms = []
     for f in range(n_frames):
         xs = jnp.asarray(pcm[:, f * FRAME:(f + 1) * FRAME])
-        st, hist, res_hist, parm = encode_frame_batch(st, hist, res_hist, xs)
+        st, hist, parm = encode_frame_batch(st, hist, xs)
         parms.append(parm)   # stays on device: dispatches pipeline async
     from .g729a_encoder import pack_parameters_batch
     pn = np.asarray(jnp.stack(parms))         # [n_frames, B, 16]

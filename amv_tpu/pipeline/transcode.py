@@ -75,8 +75,8 @@ def transcode_levels_fused(levels_zz, qscale=2):
 def transcode_complete_layout(scans, n_mcu: int, qmat_key,
                               w_out: int = 1024, interpret: bool = False,
                               win_fetch: int = 256, win_emit: int = 128,
-                              segs: int = 1, unroll_dec: int = 4,
-                              unroll_enc: int = 2):
+                              segs: int = 1, unroll_dec: int = 6,
+                              unroll_enc: int = 3):
     """Zero-relayout COMPLETE device transcode: unescaped scan bytes in,
     re-encoded scan words out, with all three Pallas stages chained in
     the entropy kernels' native [CB, blocks, 64, 8, 128] slab layout.
@@ -94,6 +94,12 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     through the decoder's HBM fetch path automatically, and segs > 1
     splits each frame's re-encode into lane-parallel segments (see
     _segment_encode_layout) so the output block stays VMEM-sized.
+
+    unroll defaults (6 decode / 3 encode tokens per lockstep iteration)
+    are the measured optimum for this chain on TPU v5e (K=64 sorted
+    corpus: 122.0K fps vs 119.2K at the kernels' old 4/2 defaults;
+    4/3 = 121.0K, 6/2 and 8/2 = 119.3-119.4K).  The standalone
+    decode/encode chains keep 4/2 (deeper measured neutral there).
 
     scans uint8 [F, max_bytes] (unescaped, zero-padded) ->
     (words int32 [F*segs, w_out] big-endian unescaped scan words,

@@ -44,12 +44,11 @@ def test_tpu_encoder_state_tracks_decoder():
     B = 1
     st = G.init_state(B)
     hist = jnp.zeros((B, 160))
-    res_hist = jnp.zeros((B, PITCH_MAX))
     dec = G729Decoder()
     from amv_tpu.codecs.g729a_encoder import pack_parameters
     for f in range(len(sig) // FRAME):
         xs = jnp.asarray(sig[None, f * FRAME:(f + 1) * FRAME])
-        st, hist, res_hist, parm = encode_frame_batch(st, hist, res_hist, xs)
+        st, hist, parm = encode_frame_batch(st, hist, xs)
         pn = np.asarray(parm)[0]
         frame = pack_parameters({
             "ma_predictor": int(pn[0]), "quantizer_1st": int(pn[1]),
