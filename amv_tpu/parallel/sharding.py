@@ -110,6 +110,20 @@ def sharded_g729_decode_chain(mesh: Mesh):
                    out_shardings=(st_s, parms_s))
 
 
+def sharded_g729_encode_step(mesh: Mesh):
+    """Jitted G.729A encoder frame step with streams sharded on dp.
+
+    The batched encoder (codecs.g729a_encoder_tpu.encode_frame_batch)
+    carries only per-stream state (decoder-shadow pytree + input
+    history), so like the decoder chain it shards on the stream axis
+    with zero collectives.  Takes (state pytree [B,...], hist [B,160],
+    samples [B,80]) and returns (state, hist, parm [B,16])."""
+    from ..codecs.g729a_encoder_tpu import encode_frame_batch
+    s = NamedSharding(mesh, P("dp"))
+    return jax.jit(encode_frame_batch.__wrapped__,
+                   in_shardings=(s, s, s), out_shardings=(s, s, s))
+
+
 def sharded_complete_transcode(mesh: Mesh, n_mcu: int, qmat_key,
                                w_out: int = 1024, interpret: bool = False,
                                win_fetch: int = 64, win_emit: int = 64):

@@ -147,3 +147,25 @@ def test_sharded_decode_scans_matches_single(mesh):
     want = np.asarray(decode_scans_layout(jnp.asarray(rows), M,
                                           interpret=True, win_fetch=64))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_g729_encoder_matches_single(mesh):
+    """The batched TPU G.729A encoder frame step sharded on dp must emit
+    the same parameters (and state) as the unsharded step."""
+    import jax.numpy as jnp
+    from amv_tpu.codecs import g729a
+    from amv_tpu.codecs.g729a_encoder_tpu import encode_frame_batch
+    from amv_tpu.parallel.sharding import sharded_g729_encode_step
+    rng = np.random.default_rng(11)
+    B = 8
+    sig = (3000 * rng.standard_normal((B, 80))).astype(np.float32)
+    st0 = g729a.init_state(B)
+    hist0 = jnp.zeros((B, 160))
+    st_w, hist_w, parm_w = encode_frame_batch(st0, hist0, jnp.asarray(sig))
+    fn = sharded_g729_encode_step(mesh)
+    st_g, hist_g, parm_g = fn(g729a.init_state(B), jnp.zeros((B, 160)),
+                              jnp.asarray(sig))
+    np.testing.assert_array_equal(np.asarray(parm_g), np.asarray(parm_w))
+    np.testing.assert_array_equal(np.asarray(st_g["exc"]),
+                                  np.asarray(st_w["exc"]))
+    np.testing.assert_array_equal(np.asarray(hist_g), np.asarray(hist_w))
