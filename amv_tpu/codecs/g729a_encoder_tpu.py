@@ -93,7 +93,11 @@ def _chebyshev_roots(c5, mid):
         c = jnp.cos(w[..., None] * kk)                   # [B,5,5]
         return mid[:, None] + 2.0 * jnp.einsum("bk,brk->br", c5, c)
 
-    for _ in range(30):
+    # 12 bisection steps refine the pi/511 grid interval to ~1.5e-6 rad —
+    # two orders below the Q13 LSF quantization step (2^-13 rad =
+    # 1.2e-4), so deeper iteration cannot change the quantizer's choice
+    # (30 iterations measured ~2.5 ms/frame-step at B=1024 vs ~1 ms)
+    for _ in range(12):
         mid_w = 0.5 * (lo + hi)
         fm = value(mid_w)
         take_hi = flo * fm <= 0
