@@ -17,6 +17,9 @@ Mirrors the reference's canonical invocations (AMVmuxer/Makefile:24-33):
   python -m amv_tpu -i in8k.wav -f act out.act
   python -m amv_tpu -i rec.act out.bit
 
+  # decode .amv -> MJPG-compressed AVI (the `-vcodec mjpeg` shape)
+  python -m amv_tpu -i clip.amv -vcodec mjpeg out.avi
+
   # tools: probe, structural diff (compare_amv), seek, timing
   python -m amv_tpu --info clip.amv
   python -m amv_tpu --compare good.amv bad.amv
@@ -68,6 +71,11 @@ def main(argv=None):
     p.add_argument("-ar", dest="sample_rate", type=int, default=22050)
     p.add_argument("-ac", dest="channels", type=int, default=1)
     p.add_argument("-qscale", dest="qscale", type=int, default=2)
+    p.add_argument("-vcodec", dest="vcodec", choices=["rawvideo", "mjpeg"],
+                   default="rawvideo",
+                   help="AVI output video codec: rawvideo (I420 planes) or "
+                        "mjpeg (full-header baseline JPEG frames, the "
+                        "reference's `-vcodec mjpeg` shape)")
     p.add_argument("-trellis", dest="trellis", action="store_true",
                    help="Viterbi ADPCM quantizer (lower audio distortion)")
     p.add_argument("--max-frames", type=int, default=None)
@@ -253,11 +261,20 @@ def _decode(args):
     dec = decode_file(src, max_frames=args.max_frames, start_frame=args.seek)
     if ext == ".avi":
         from .containers import avi
+        chunks = None
+        if args.vcodec == "mjpeg":
+            # mjpegenc.c generic (non-AMV) path: full DQT/DHT/SOF0/SOS
+            # headers + escaped scan per frame, muxed as MJPG
+            from .codecs.mjpeg import encode_mjpeg_frames
+            chunks = encode_mjpeg_frames(dec.y, dec.cb, dec.cr,
+                                         qscale=args.qscale or 2)
         data = avi.mux(dec.y, dec.cb, dec.cr, dec.pcm,
-                       fps=dec.info.fps_num, sample_rate=dec.info.sample_rate)
+                       fps=dec.info.fps_num, sample_rate=dec.info.sample_rate,
+                       video_chunks=chunks)
         with open(out, "wb") as f:
             f.write(data)
-        print(f"wrote {out}: {dec.y.shape[0]} frames I420 + PCM")
+        print(f"wrote {out}: {dec.y.shape[0]} frames "
+              f"{'MJPG' if chunks else 'I420'} + PCM")
         return 0
     if ext == ".yuv":
         with open(out, "wb") as f:

@@ -345,10 +345,18 @@ def extract_pcm(st: AviStream) -> np.ndarray:
 
 
 def mux(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, pcm: np.ndarray,
-        fps: int, sample_rate: int) -> bytes:
-    """Write an AVI with I420 video + PCM s16 mono audio."""
+        fps: int, sample_rate: int, video_chunks: list[bytes] = None) -> bytes:
+    """Write an AVI with I420 video + PCM s16 mono audio.
+
+    When `video_chunks` is given they are written as MJPG-compressed
+    frames (full-header baseline JPEGs, the `ffmpeg -vcodec mjpeg out.avi`
+    shape) instead of raw I420 planes; y is still consulted for geometry.
+    """
     F, H, W = y.shape
-    frame_bytes = W * H * 3 // 2
+    if video_chunks is not None:
+        fourcc, frame_bytes = b"MJPG", max(len(c) for c in video_chunks)
+    else:
+        fourcc, frame_bytes = b"I420", W * H * 3 // 2
     samples_per_frame = sample_rate // fps if fps else 0
 
     def chunk(tag, payload):
@@ -358,10 +366,11 @@ def mux(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, pcm: np.ndarray,
     # headers
     avih = struct.pack("<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10,
                        F, 0, 2 if len(pcm) else 1, frame_bytes, W, H, 0, 0, 0, 0)
-    strh_v = (b"vids" + b"I420" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+    strh_v = (b"vids" + fourcc + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
               1, fps, 0, F, frame_bytes, 0xFFFFFFFF, 0)
               + struct.pack("<4h", 0, 0, W, H))
-    strf_v = struct.pack("<IiiHH4sIiiII", 40, W, H, 1, 12, b"I420",
+    strf_v = struct.pack("<IiiHH4sIiiII", 40, W, H, 1,
+                         24 if video_chunks is not None else 12, fourcc,
                          frame_bytes, 0, 0, 0, 0)
     strl_v = b"LIST" + struct.pack(
         "<I", 4 + len(chunk(b"strh", strh_v)) + len(chunk(b"strf", strf_v))) \
@@ -384,7 +393,10 @@ def mux(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, pcm: np.ndarray,
     movi = bytearray(b"movi")
     index = []  # (tag, flags, offset-from-movi-fourcc, size) for idx1
     for i in range(F):
-        payload = y[i].tobytes() + cb[i].tobytes() + cr[i].tobytes()
+        if video_chunks is not None:
+            payload = video_chunks[i]
+        else:
+            payload = y[i].tobytes() + cb[i].tobytes() + cr[i].tobytes()
         index.append((b"00dc", 0x10, len(movi), len(payload)))
         movi += chunk(b"00dc", payload)
         if len(pcm):

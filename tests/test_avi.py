@@ -193,3 +193,40 @@ def test_avi_gray_and_rgb32_formats():
     y32, _, _ = avi.extract_yuv420(st32)
     # full-range BT.601 of gray (r=g=b=v): Y == v exactly
     np.testing.assert_array_equal(y32[0], val)
+
+
+def test_avi_mux_mjpg_roundtrip():
+    """MJPG-in-AVI write path (`-vcodec mjpeg`, mjpegenc.c generic headers):
+    mux full-header JPEGs, demux, decode via the generic MJPEG decoder."""
+    from amv_tpu.codecs.mjpeg import encode_mjpeg_frames
+    y, cb, cr, pcm = _clip()
+    chunks = encode_mjpeg_frames(y, cb, cr, qscale=2)
+    data = avi.mux(y, cb, cr, pcm, fps=16, sample_rate=22050,
+                   video_chunks=chunks)
+    streams = avi.demux(data)
+    vst, ast = streams
+    assert bytes(vst.codec[:4]).upper() == b"MJPG"
+    assert vst.chunks == chunks              # payload bytes survive the mux
+    y2, cb2, cr2 = avi.extract_yuv420(vst)   # decode_mjpeg_frames path
+    assert y2.shape == y.shape and cb2.shape == cb.shape
+    err = np.abs(y2.astype(np.int32) - y.astype(np.int32)).mean()
+    assert err < 4.0, f"MJPG roundtrip luma error {err}"
+    np.testing.assert_array_equal(avi.extract_pcm(ast), pcm)
+
+
+def test_cli_vcodec_mjpeg(tmp_path):
+    """`python -m amv_tpu -i clip.amv -vcodec mjpeg out.avi` writes an
+    MJPG AVI whose frames our own AVI reader decodes."""
+    from amv_tpu import cli
+    src = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
+    out = str(tmp_path / "out.avi")
+    assert cli.main(["-i", src, "--max-frames", "4",
+                     "-vcodec", "mjpeg", out]) == 0
+    with open(out, "rb") as f:
+        streams = avi.demux(f.read())
+    vst = streams[0]
+    assert bytes(vst.codec[:4]).upper() == b"MJPG"
+    assert len(vst.chunks) == 4
+    assert vst.chunks[0][:2] == b"\xFF\xD8"
+    y2, _, _ = avi.extract_yuv420(vst)
+    assert y2.shape == (4, vst.height, vst.width)
