@@ -71,11 +71,24 @@ def main(argv=None):
     p.add_argument("-ar", dest="sample_rate", type=int, default=22050)
     p.add_argument("-ac", dest="channels", type=int, default=1)
     p.add_argument("-qscale", dest="qscale", type=int, default=2)
-    p.add_argument("-vcodec", dest="vcodec", choices=["rawvideo", "mjpeg"],
+    p.add_argument("-vcodec", dest="vcodec",
+                   choices=["rawvideo", "mjpeg", "copy"],
                    default="rawvideo",
-                   help="AVI output video codec: rawvideo (I420 planes) or "
+                   help="AVI output video codec: rawvideo (I420 planes), "
                         "mjpeg (full-header baseline JPEG frames, the "
-                        "reference's `-vcodec mjpeg` shape)")
+                        "reference's `-vcodec mjpeg` shape), or copy "
+                        "(no re-encode: AMV scans wrapped with the canned "
+                        "JPEG header, sp5xdec.c:50-88; frames stay "
+                        "bottom-up as stored)")
+    p.add_argument("-acodec", dest="acodec", choices=["pcm", "copy"],
+                   default="pcm",
+                   help="WAV output codec: pcm (decode) or copy (raw "
+                        "IMA-ADPCM stream with fact header, amvlib's "
+                        "second WAV export mode, AMVDec.c:447-530)")
+    p.add_argument("-psnr", dest="psnr", action="store_true",
+                   help="after encoding, print mean Y/U/V/All PSNR of the "
+                        "output vs the input (CODEC_FLAG_PSNR, "
+                        "mpegvideo_enc.c PSNR accounting)")
     p.add_argument("-trellis", dest="trellis", action="store_true",
                    help="Viterbi ADPCM quantizer (lower audio distortion)")
     p.add_argument("--max-frames", type=int, default=None)
@@ -238,6 +251,18 @@ def _decode(args):
         return 0
 
     if ext == ".wav":
+        if args.acodec == "copy":
+            # amvlib's raw-ADPCM export: stream-copy the '01wb' payloads
+            # (8-byte chunk headers included) under wFormatTag=0x11
+            from .containers import riff
+            s = riff.read(src)
+            chunks = s.audio_chunks[args.seek:]
+            if args.max_frames:
+                chunks = chunks[:args.max_frames]
+            wav.write_adpcm_raw(out, chunks, s.info.sample_rate)
+            print(f"wrote {out}: {len(chunks)} raw ADPCM chunks @ "
+                  f"{s.info.sample_rate} Hz (stream copy)")
+            return 0
         dec = decode_file(src, video=False, max_frames=args.max_frames,
                           start_frame=args.seek)
         wav.write_pcm(out, dec.pcm, dec.info.sample_rate, dec.info.channels)
@@ -256,6 +281,29 @@ def _decode(args):
             if "%" not in out:
                 break
         print(f"wrote {n if '%' in out else 1} JPEG frame(s)")
+        return 0
+
+    if ext == ".avi" and args.vcodec == "copy":
+        # stream copy: wrap each stored AMV scan with the canned JPEG
+        # header (exactly what sp5x_decode_frame prepends, sp5xdec.c:50-88)
+        # and mux as MJPG.  No video re-encode; frames remain bottom-up
+        # as stored in the container (the flip lives in the decoders).
+        from .containers import avi, riff
+        from .bitstream.jpeg_tables import canned_jpeg_header
+        s = riff.read(src)
+        vchunks = s.video_chunks[args.seek:]
+        if args.max_frames:
+            vchunks = vchunks[:args.max_frames]
+        hdr = canned_jpeg_header(s.info.width, s.info.height)
+        chunks = [hdr + c[2:len(c) - 2] + b"\xFF\xD9" for c in vchunks]
+        dec = decode_file(src, video=False, max_frames=args.max_frames,
+                          start_frame=args.seek)
+        geom = np.zeros((len(chunks), s.info.height, s.info.width), np.uint8)
+        data = avi.mux(geom, geom, geom, dec.pcm, fps=s.info.fps_num,
+                       sample_rate=s.info.sample_rate, video_chunks=chunks)
+        with open(out, "wb") as f:
+            f.write(data)
+        print(f"wrote {out}: {len(chunks)} frames MJPG (stream copy) + PCM")
         return 0
 
     dec = decode_file(src, max_frames=args.max_frames, start_frame=args.seek)
@@ -382,6 +430,20 @@ def _encode(args):
                           sample_rate=args.sample_rate, qscale=args.qscale,
                           trellis=args.trellis)
     print(f"wrote {args.output}: {size} bytes, {n_frames} frames")
+    if args.psnr:
+        # CODEC_FLAG_PSNR summary (mpegvideo_enc.c accumulates per-plane
+        # SSE and prints mean PSNR at close); we decode the file back
+        from .pipeline.decode import decode_file
+        dec = decode_file(args.output, audio=False)
+        sse = [float(np.sum((p.astype(np.int64) - q.astype(np.int64)) ** 2))
+               for p, q in ((dec.y, y), (dec.cb, cb), (dec.cr, cr))]
+        cnt = [float(p.size) for p in (y, cb, cr)]
+        def db(s, n):
+            return 99.99 if s == 0 else min(
+                99.99, 10 * np.log10(255.0 * 255.0 * n / s))
+        print(f"PSNR Mean Y:{db(sse[0], cnt[0]):2.2f} "
+              f"U:{db(sse[1], cnt[1]):2.2f} V:{db(sse[2], cnt[2]):2.2f} "
+              f"All:{db(sum(sse), sum(cnt)):2.2f}")
     return 0
 
 

@@ -230,3 +230,29 @@ def test_cli_vcodec_mjpeg(tmp_path):
     assert vst.chunks[0][:2] == b"\xFF\xD8"
     y2, _, _ = avi.extract_yuv420(vst)
     assert y2.shape == (4, vst.height, vst.width)
+
+
+def test_cli_vcodec_copy(tmp_path, sample_amv_bytes):
+    """`-vcodec copy`: AMV scans remuxed as MJPG without re-encode —
+    decoding the copied JPEGs equals the (unflipped) AMV decode."""
+    from amv_tpu import cli
+    from amv_tpu.codecs import amv_video
+    from amv_tpu.containers import riff
+    src = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
+    out = str(tmp_path / "copy.avi")
+    assert cli.main(["-i", src, "--max-frames", "3",
+                     "-vcodec", "copy", out]) == 0
+    with open(out, "rb") as f:
+        streams = avi.demux(f.read())
+    vst = streams[0]
+    assert bytes(vst.codec[:4]).upper() == b"MJPG"
+    assert len(vst.chunks) == 3
+    s = riff.demux(sample_amv_bytes)
+    # payload after the canned header must be the stored scan, untouched
+    from amv_tpu.bitstream.jpeg_tables import canned_jpeg_header
+    hdr = canned_jpeg_header(s.info.width, s.info.height)
+    assert vst.chunks[0] == hdr + s.video_chunks[0][2:-2] + b"\xFF\xD9"
+    y, _, _ = avi.extract_yuv420(vst)
+    ya, _, _ = amv_video.decode_frames(s.video_chunks[:3],
+                                       s.info.width, s.info.height)
+    np.testing.assert_array_equal(y, ya[:, ::-1])

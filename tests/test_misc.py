@@ -75,3 +75,46 @@ def test_truncated_amv_rejected():
         riff.demux(b"RIFF\x00\x00\x00\x00AMV " + b"\x00" * 16)
     with pytest.raises(ValueError):
         riff.demux(b"not an amv file at all")
+
+
+def test_cli_acodec_copy(tmp_path):
+    """`-acodec copy`: raw-ADPCM WAV stream copy (amvlib's second WAV
+    export mode) — data chunk is the joined '01wb' payloads."""
+    import struct
+    from amv_tpu import cli
+    from amv_tpu.containers import riff
+    src = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
+    out = str(tmp_path / "raw.wav")
+    assert cli.main(["-i", src, "--max-frames", "5",
+                     "-acodec", "copy", out]) == 0
+    data = out and open(out, "rb").read()
+    s = riff.read(src)
+    want = b"".join(s.audio_chunks[:5])
+    fmt_off = data.find(b"fmt ")
+    assert struct.unpack_from("<H", data, fmt_off + 8)[0] == 0x11
+    d = data.find(b"data")
+    assert data[d + 8:] == want
+    fact = data.find(b"fact")
+    total = struct.unpack_from("<I", data, fact + 8)[0]
+    assert total == sum(struct.unpack_from("<I", c, 4)[0]
+                        for c in s.audio_chunks[:5])
+
+
+def test_cli_psnr_flag(tmp_path, capsys):
+    """`-psnr` prints the CODEC_FLAG_PSNR-style mean summary."""
+    from amv_tpu import cli
+    rng = np.random.default_rng(3)
+    h, w, F = 32, 48, 2
+    y = rng.integers(0, 256, (F, h, w), np.uint8).astype(np.uint8)
+    cb = rng.integers(0, 256, (F, h // 2, w // 2), np.uint8).astype(np.uint8)
+    cr = rng.integers(0, 256, (F, h // 2, w // 2), np.uint8).astype(np.uint8)
+    raw = tmp_path / "in.yuv"
+    buf = b""
+    for i in range(F):
+        buf += y[i].tobytes() + cb[i].tobytes() + cr[i].tobytes()
+    raw.write_bytes(buf)
+    out = str(tmp_path / "o.amv")
+    assert cli.main(["-i", str(raw), "-f", "amv", "-s", f"{w}x{h}",
+                     "-psnr", out]) == 0
+    text = capsys.readouterr().out
+    assert "PSNR Mean Y:" in text and "All:" in text
