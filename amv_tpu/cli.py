@@ -92,6 +92,12 @@ def main(argv=None):
     p.add_argument("-trellis", dest="trellis", action="store_true",
                    help="Viterbi ADPCM quantizer (lower audio distortion)")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("-t", dest="duration", type=float, default=None,
+                   help="limit output duration in seconds (frames = t * "
+                        "source fps, the ffmpeg -t shape)")
+    p.add_argument("-y", dest="overwrite", action="store_true",
+                   help="overwrite output (accepted for ffmpeg invocation "
+                        "parity; outputs are always overwritten)")
     p.add_argument("--compare", nargs=2, metavar=("GOOD", "BAD"),
                    help="structural diff of two AMV files")
     p.add_argument("--info", metavar="FILE",
@@ -126,6 +132,22 @@ def main(argv=None):
 
     if not args.inputs or not args.output:
         p.error("need -i input(s) and an output")
+
+    if args.duration is not None and args.max_frames is None:
+        # ffmpeg -t: cap output duration; expressed as a frame/chunk limit
+        # against the source rate (AMV header fps, ACT 10 ms frames,
+        # otherwise the -r target rate)
+        src0 = args.inputs[0]
+        e0 = os.path.splitext(src0)[1].lower()
+        if e0 == ".amv":
+            from .containers import riff
+            with open(src0, "rb") as f:
+                info = riff.parse_header(f.read(0x140))
+            args.max_frames = max(1, int(args.duration * info.fps_num))
+        elif e0 == ".act":
+            args.max_frames = max(1, int(args.duration * 100))
+        else:
+            args.max_frames = max(1, int(args.duration * args.fps))
 
     out = args.output
     ext = os.path.splitext(out)[1].lower()

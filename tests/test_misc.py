@@ -118,3 +118,21 @@ def test_cli_psnr_flag(tmp_path, capsys):
                      "-psnr", out]) == 0
     text = capsys.readouterr().out
     assert "PSNR Mean Y:" in text and "All:" in text
+
+
+def test_cli_duration_flag(tmp_path):
+    """`-t SECONDS` caps output like ffmpeg: 0.5 s of a 16 fps AMV = 8
+    frames; `-y` is accepted for invocation parity."""
+    from amv_tpu import cli
+    from amv_tpu.containers import riff
+    src = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
+    info = riff.read(src).info
+    out = str(tmp_path / "cut.wav")
+    assert cli.main(["-y", "-i", src, "-t", "0.5",
+                     "-acodec", "copy", out]) == 0
+    data = open(out, "rb").read()
+    s = riff.read(src)
+    want_n = max(1, int(0.5 * info.fps_num))
+    want = b"".join(s.audio_chunks[:want_n])
+    d = data.find(b"data")
+    assert data[d + 8:] == want
