@@ -18,6 +18,19 @@ import numpy as np
 class JpegFrame:
     width: int = 0
     height: int = 0
+    # SOF marker byte (0xC0 baseline, 0xC3 lossless) and sample precision
+    sof_marker: int = 0xC0
+    bits: int = 8
+    # lossless SOS fields: Ss = predictor, Al = point transform
+    # (mjpegdec.c ff_mjpeg_decode_sos:825-828); baseline scans carry the
+    # fixed 0/63/0/0 spectral header
+    ss: int = 0
+    se: int = 63
+    ah: int = 0
+    al: int = 0
+    # Pegasus LJIF APP0 colorspace (mjpegdec.c:962-973): 0 = none,
+    # 1 = RGB, 2 = RGB + pegasus reversible color transform
+    ljif_colorspace: int = 0
     # quant tables by id, zigzag order
     quant: dict = field(default_factory=dict)
     # huffman specs: (class, id) -> (bits[17], vals[])
@@ -58,7 +71,7 @@ class JpegFrame:
         return out
 
 
-def parse_jpeg(data: bytes) -> JpegFrame:
+def parse_jpeg(data: bytes, allow_lossless: bool = False) -> JpegFrame:
     f = JpegFrame()
     if data[0:2] != b"\xFF\xD8":
         raise ValueError("missing SOI")
@@ -99,7 +112,10 @@ def parse_jpeg(data: bytes) -> JpegFrame:
                                      np.uint8).astype(np.int32)
                 f.huff[(tc, th)] = (bits, vals)
                 b += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker == 0xC0 or (marker == 0xC3 and allow_lossless):
+            # SOF0 baseline / SOF3 lossless (mjpegdec.c:1240-1261)
+            f.sof_marker = marker
+            f.bits = body[0]
             f.height, f.width = struct.unpack_from(">HH", body, 1)
             nc = body[5]
             for c in range(nc):
@@ -108,6 +124,11 @@ def parse_jpeg(data: bytes) -> JpegFrame:
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError(f"unsupported SOF type 0x{marker:02x} "
                              "(baseline only)")
+        elif marker == 0xE0 and body[:4] == b"LJIF":
+            # Pegasus lossless header (mjpegdec.c mjpeg_decode_app
+            # :962-973): 4x16-bit unknowns then an 8-bit colorspace
+            if len(body) >= 13:
+                f.ljif_colorspace = body[12]
         elif marker == 0xDD:  # DRI (restart interval in MCUs)
             f.restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -117,6 +138,8 @@ def parse_jpeg(data: bytes) -> JpegFrame:
                 idx = next(i for i, comp in enumerate(f.components)
                            if comp[0] == cs)
                 f.scan_components.append((idx, tt >> 4, tt & 0xF))
+            f.ss, f.se = body[1 + 2 * ns], body[2 + 2 * ns]
+            f.ah, f.al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
             f.scan = data[pos + 2 + seglen:]
             # strip trailing EOI if present
             eoi = f.scan.rfind(b"\xFF\xD9")

@@ -198,6 +198,66 @@ def _transform(levels_zz, qm_zz, layout, mb_w, mb_h, width, height,
     return _assemble(pix, layout, mb_w, mb_h, width, height)
 
 
+def _image_spans(data: bytes) -> list:
+    """(start, end) byte spans of each complete SOI..EOI image in the
+    buffer — a marker/segment walk (scan data is skipped via its
+    escaped-0xFF structure, so table payloads can't false-positive).
+    Interlaced MJPEG material carries TWO field images per packet,
+    which the reference decodes in one call (mjpegdec.c eoi_parser
+    :1277-1285 withholds output until the second field's EOI)."""
+    import struct as _s
+    spans = []
+    pos, n = 0, len(data)
+    start = None
+    in_scan = False
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if in_scan:
+            # inside entropy data: only stuffing, RSTn or a real marker
+            if marker == 0x00 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            in_scan = False
+            continue  # re-examine the real marker
+        if marker == 0xD8:
+            if start is None:
+                start = pos
+            pos += 2
+            continue
+        if marker == 0xD9:
+            if start is not None:
+                spans.append((start, pos + 2))
+                start = None
+            pos += 2
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            pos += 2 if marker != 0xFF else 1
+            continue
+        if pos + 4 > n:
+            break
+        seglen = _s.unpack_from(">H", data, pos + 2)[0]
+        if marker == 0xDA:
+            in_scan = True
+        pos += 2 + seglen
+    if start is not None:  # EOI-less trailing image
+        spans.append((start, n))
+    return spans
+
+
+def _interleave_fields(top, bottom):
+    """Row-interleave two field plane stacks [F, fh, w] -> [F, 2fh, w]
+    (mjpegdec.c:339 doubles the line stride per field; :712-713 offsets
+    the bottom field by one picture row)."""
+    F, fh, w = top.shape
+    out = np.empty((F, 2 * fh, w), top.dtype)
+    out[:, 0::2] = top
+    out[:, 1::2] = bottom
+    return out
+
+
 def _sof_marker(data: bytes) -> int:
     """First SOFn marker byte before the scan (0 if none found) —
     segment walk, so table payloads can't false-positive."""
@@ -219,8 +279,88 @@ def _sof_marker(data: bytes) -> int:
     return 0
 
 
-def decode_mjpeg_frames(payloads: list[bytes]):
-    """Decode standard MJPEG frames (baseline SOF0 or progressive SOF2).
+def decode_lossless_frames(payloads: list[bytes]):
+    """Decode a batch of lossless (SOF3) JPEG frames.
+
+    Returns (mode, planes): mode "rgb" with three full-size [F, H, W]
+    uint8 arrays in the reference's RGB32 byte order (B, G, R —
+    mjpegdec.c ljpeg_decode_rgb_scan:544-561), or mode "yuv" with one
+    [F, ...] array per component at its sampled size (grayscale: one).
+    All frames must share geometry/mode (mjpegdec.c:1254-1261 SOF3
+    dispatch; predictors/point-transform/RCT handled per frame).
+    """
+    from ..bitstream.jpeg_lossless import decode_lossless
+    mode0 = None
+    stacks = None
+    for i, p in enumerate(payloads):
+        mode, planes, _ = decode_lossless(p)
+        if mode0 is None:
+            mode0 = mode
+            stacks = [np.zeros((len(payloads),) + pl.shape, np.uint8)
+                      for pl in planes]
+        if mode != mode0 or len(planes) != len(stacks) or any(
+                pl.shape != st.shape[1:] for pl, st in zip(planes, stacks)):
+            raise ValueError("lossless frames must share geometry/mode")
+        for pl, st in zip(planes, stacks):
+            st[i] = pl
+    return mode0, stacks
+
+
+def _sof_height(data: bytes) -> int:
+    """Height field of the first SOFn segment (0 if none)."""
+    import struct as _s
+    pos, n = 2, len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return _s.unpack_from(">H", data, pos + 5)[0]
+        if marker in (0xD9, 0xDA):
+            return 0
+        pos += 2 + _s.unpack_from(">H", data, pos + 2)[0]
+    return 0
+
+
+def decode_interlaced_frames(payloads: list[bytes],
+                             interlace_polarity: int = 0):
+    """Decode two-field interlaced MJPEG packets (each payload carries
+    both field images) and row-interleave them into full frames
+    (mjpegdec.c:263-283 two-field detection, :339 stride doubling,
+    :712-713 bottom-field row offset, :1277-1285 eoi_parser field
+    pairing).  polarity 0 = first field on even rows (top field first,
+    the default `interlace_polarity`).  Returns (y, cb, cr) with
+    height = 2 x field height."""
+    spans = [_image_spans(p) for p in payloads]
+    if not all(len(s) == 2 for s in spans):
+        raise ValueError("interlaced packets must carry two field images")
+    fields = []
+    for p, s in zip(payloads, spans):
+        fields.append(p[s[0][0]:s[0][1]])
+        fields.append(p[s[1][0]:s[1][1]])
+    y, cb, cr = decode_mjpeg_frames(fields)
+    f0, f1 = (0, 1) if interlace_polarity == 0 else (1, 0)
+    yo = _interleave_fields(y[f0::2], y[f1::2])
+    if cb is None:
+        return yo, None, None
+    return (yo, _interleave_fields(cb[f0::2], cb[f1::2]),
+            _interleave_fields(cr[f0::2], cr[f1::2]))
+
+
+def decode_mjpeg_frames(payloads: list[bytes], org_height: int = 0):
+    """Decode standard MJPEG frames (baseline SOF0 or progressive SOF2,
+    plus lossless SOF3 YUV/grayscale — RGB-mode lossless frames need
+    decode_lossless_frames for their extra plane semantics).
+
+    org_height is the container-declared frame height: when the coded
+    SOF height is less than 3/4 of it, the stream is two-field
+    interlaced (mjpegdec.c:266-274) and packets route through
+    decode_interlaced_frames.  Without the hint, packets carrying two
+    complete SOI..EOI images are detected as field pairs directly.
 
     Supports 4:2:0, 4:2:2, 4:4:4 and grayscale sampling, per-frame
     quant/Huffman tables, and restart markers (DRI/RSTn,
@@ -232,7 +372,25 @@ def decode_mjpeg_frames(payloads: list[bytes]):
     grayscale, half-width for 4:2:2, half-size for 4:2:0, full-size
     for 4:4:4.
     """
-    is_prog = [_sof_marker(p) == 0xC2 for p in payloads]
+    if payloads:
+        nimg = len(_image_spans(payloads[0]))
+        h0 = _sof_height(payloads[0])
+        if nimg == 2 and (not org_height or h0 < (org_height * 3) // 4):
+            return decode_interlaced_frames(payloads)
+    sofs = [_sof_marker(p) for p in payloads]
+    if any(m == 0xC3 for m in sofs):
+        if not all(m == 0xC3 for m in sofs):
+            raise ValueError("cannot mix lossless and DCT frames")
+        mode, planes = decode_lossless_frames(payloads)
+        if mode == "rgb":
+            raise ValueError("RGB-mode lossless stream: use "
+                             "decode_lossless_frames")
+        if len(planes) == 1:
+            return planes[0], None, None
+        if len(planes) != 3:
+            raise ValueError("unsupported lossless component count")
+        return planes[0], planes[1], planes[2]
+    is_prog = [m == 0xC2 for m in sofs]
     if any(is_prog):
         from ..bitstream.jpeg_progressive import decode_progressive
     frames = []

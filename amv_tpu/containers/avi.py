@@ -252,18 +252,42 @@ def extract_yuv420(st: AviStream):
     frames = len(st.chunks)
     tag = bytes(st.codec).upper()
     if tag.startswith(b"MJPG") or tag.startswith(b"JPEG"):
-        from ..codecs.mjpeg import decode_mjpeg_frames
-        y, cb, cr = decode_mjpeg_frames(st.chunks)
+        from ..codecs.mjpeg import (decode_mjpeg_frames, _sof_marker,
+                                    decode_lossless_frames)
+        if st.chunks and _sof_marker(st.chunks[0]) == 0xC3:
+            mode, planes = decode_lossless_frames(st.chunks)
+            if mode == "rgb":
+                # planes are the reference's RGB32 byte order (B, G, R)
+                from ..kernels.color import rgb_to_yuv420_bt601
+                rgb = np.stack([planes[2], planes[1], planes[0]], axis=-1)
+                yy, cc, rr = rgb_to_yuv420_bt601(rgb)
+                return np.asarray(yy), np.asarray(cc), np.asarray(rr)
+            y = planes[0]
+            cb, cr = (planes[1], planes[2]) if len(planes) == 3 \
+                else (None, None)
+        else:
+            y, cb, cr = decode_mjpeg_frames(st.chunks, org_height=h)
+            if y.shape[1] > h:
+                # interlaced: coded height is 2 x field height, which
+                # may pad past the container height — crop
+                ratio = 1 if cb is None else y.shape[1] // cb.shape[1]
+                y = y[:, :h]
+                if cb is not None:
+                    cb, cr = cb[:, :h // ratio], cr[:, :h // ratio]
         if cb is None:                       # grayscale MJPEG
             gray = np.full((frames, h // 2, w // 2), 128, np.uint8)
             return y, gray, gray.copy()
         if cb.shape[1:] == (h, w):           # 4:4:4 -> 4:2:0
             return y, _downsample_chroma(cb), _downsample_chroma(cr)
-        if cb.shape[1:] == (h, w // 2):      # 4:2:2 -> 4:2:0 (vertical mean)
-            cb2 = ((cb[:, 0::2].astype(np.uint16) +
-                    cb[:, 1::2] + 1) >> 1).astype(np.uint8)
-            cr2 = ((cr[:, 0::2].astype(np.uint16) +
-                    cr[:, 1::2] + 1) >> 1).astype(np.uint8)
+        if cb.shape[1:] == (h, (w + 1) // 2):  # 4:2:2 -> 4:2:0 (vert mean)
+            # odd-width 4:2:2 chroma is (w+1)//2 wide; crop to the w//2
+            # columns the 4:2:0 contract downstream expects
+            cb, cr = cb[:, :, :w // 2], cr[:, :, :w // 2]
+            h2 = h & ~1
+            cb2 = ((cb[:, 0:h2:2].astype(np.uint16) +
+                    cb[:, 1:h2:2] + 1) >> 1).astype(np.uint8)
+            cr2 = ((cr[:, 0:h2:2].astype(np.uint16) +
+                    cr[:, 1:h2:2] + 1) >> 1).astype(np.uint8)
             return y, cb2, cr2
         return y, cb, cr
 

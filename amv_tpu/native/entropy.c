@@ -186,7 +186,9 @@ static inline int32_t br_get_xbits(BitReader *br, int n) {
 
 /* mjpegdec.c:1176-1199 semantics: FF 00 -> FF (stuffing removal),
  * consecutive FFs collapse, FF D0-D7 (RSTn) passes through for the
- * restart resync in the block decoder, any other marker ends the scan. */
+ * restart resync in the block decoder, any other marker ends the scan
+ * BEFORE its 0xFF prefix (mjpegdec.c:1181 `t -= 2`), so the scan never
+ * carries a trailing marker prefix byte. */
 static size_t unescape(const uint8_t *src, size_t n, uint8_t *dst) {
     size_t i = 0, j = 0;
     while (i < n) {
@@ -197,7 +199,7 @@ static size_t unescape(const uint8_t *src, size_t n, uint8_t *dst) {
             if (i >= n) break;
             x = src[i++];
             if (x >= 0xD0 && x <= 0xD7) dst[j++] = x;
-            else if (x) break;
+            else if (x) { j--; break; }
         }
     }
     return j;

@@ -49,7 +49,11 @@ def unescape_scan(data: bytes) -> bytes:
     """Remove 0x00 stuffing after 0xFF, keep RSTn markers in the stream,
     stop at any other real marker (mjpegdec.c:1176-1199: consecutive
     0xFFs collapse; FF 00 -> FF; FF D0-D7 passes through for the
-    restart resync in the block decoder)."""
+    restart resync in the block decoder).  A real marker ends the scan
+    BEFORE its preceding 0xFF (mjpegdec.c:1181 `t -= 2` backs off over
+    the FF+marker pair), so the unescaped scan never carries a trailing
+    marker prefix; a bare trailing 0xFF at end-of-data stays (no marker
+    followed)."""
     out = bytearray()
     i = 0
     n = len(data)
@@ -67,7 +71,8 @@ def unescape_scan(data: bytes) -> bytes:
             if 0xD0 <= x <= 0xD7:
                 out.append(x)
             elif x != 0:
-                break  # real marker: end of scan
+                out.pop()  # real marker: its FF prefix isn't scan data
+                break
     return bytes(out)
 
 

@@ -109,9 +109,11 @@ def test_restart_markers_bit_exact(layout, ri):
 def test_unescape_keeps_rst_markers():
     data = bytes([0x12, 0xFF, 0x00, 0x34, 0xFF, 0xD3, 0x56, 0xFF, 0xD9])
     out = R.unescape_scan(data)
-    # stuffing removed, RST kept, stops at EOI (trailing FF emitted like
-    # mjpegdec.c's copy loop)
-    assert out == bytes([0x12, 0xFF, 0x34, 0xFF, 0xD3, 0x56, 0xFF])
+    # stuffing removed, RST kept, stops BEFORE the EOI's FF prefix
+    # (mjpegdec.c:1181 t -= 2)
+    assert out == bytes([0x12, 0xFF, 0x34, 0xFF, 0xD3, 0x56])
+    # a bare trailing FF with no marker byte after it stays
+    assert R.unescape_scan(bytes([0x12, 0xFF])) == bytes([0x12, 0xFF])
 
 
 def test_decode_rejects_unsupported_sampling():
