@@ -1,13 +1,15 @@
 """Progressive JPEG (SOF2) coefficient codec.
 
-Implements the progressive-DCT Huffman mode the reference decodes via
-`mjpegdec.c:432 decode_block_progressive` / `mjpeg_decode_scan_progressive_ac`:
-multi-scan spectral selection (Ss..Se) with successive approximation
-(Ah/Al), DC-interleaved and AC-non-interleaved scans, EOBn run codes,
-and refinement correction bits (ITU T.81 G.1.2 / G.2).  Pure host-side
-Python: progressive inputs are rare for MJPEG-in-AVI material, so this
-path favors clarity over speed; the recovered coefficient planes feed
-the same device dequant/IDCT as the baseline path.
+Implements the full progressive-DCT Huffman mode per ITU T.81 G.1.2 /
+G.2 and libjpeg's jdphuff.c semantics: multi-scan spectral selection
+(Ss..Se) with successive approximation (Ah/Al), DC-interleaved and
+AC-non-interleaved scans, EOBn run codes, and refinement correction
+bits.  The vendored reference's `mjpegdec.c:432 decode_block_progressive`
+covers only the first-scan (Ah == 0) subset with no refinement path;
+this module goes to the standard for the rest.  Pure host-side Python:
+progressive inputs are rare for MJPEG-in-AVI material, so this path
+favors clarity over speed; the recovered coefficient planes feed the
+same device dequant/IDCT as the baseline path.
 
 A matching minimal progressive *encoder* lives here too — the reference
 never encodes progressive, but round-tripping our own scans against the
@@ -73,7 +75,13 @@ def _block_index_maps(frame):
 
 class _Scans:
     """Parse all scans of a progressive JPEG (the baseline parser in
-    jpeg_parse.py stops at the first SOS)."""
+    jpeg_parse.py stops at the first SOS).
+
+    Each scan tuple carries a SNAPSHOT of the Huffman table set and
+    restart interval in effect at its SOS: libjpeg/mozjpeg optimized
+    output redefines table ids 0/1 before each scan, so applying the
+    final definitions to every scan (the obvious single-dict parse)
+    decodes earlier scans with the wrong tables."""
 
     def __init__(self, data: bytes):
         import struct
@@ -82,7 +90,9 @@ class _Scans:
         if data[0:2] != b"\xFF\xD8":
             raise ValueError("missing SOI")
         pos, n = 2, len(data)
-        self.scans = []  # (scan_components, Ss, Se, Ah, Al, scan_bytes)
+        # (scan_components, Ss, Se, Ah, Al, scan_bytes, huff_snapshot,
+        #  restart_interval)
+        self.scans = []
         while pos + 4 <= n:
             if data[pos] != 0xFF:
                 pos += 1
@@ -147,7 +157,8 @@ class _Scans:
                         break
                     ep += 1
                 self.scans.append((comps, ss, se, ahal >> 4, ahal & 0xF,
-                                   data[sp:ep]))
+                                   data[sp:ep], dict(f.huff),
+                                   f.restart_interval))
                 pos = ep
                 continue
             pos += 2 + seglen
@@ -168,19 +179,18 @@ def decode_progressive(data: bytes):
     coef = np.zeros((M, nb, 64), np.int32)
     maps = _block_index_maps(f)
     grids = _comp_grids(f)
-    ri = f.restart_interval
-    dc_tables = {}
-    ac_tables = {}
-
-    def lut(tc, tid):
-        cache = dc_tables if tc == 0 else ac_tables
-        if tid not in cache:
-            cache[tid] = T.build_decode_table(*f.huff[(tc, tid)])
-        return cache[tid]
+    table_cache = {}  # keyed by table CONTENT: redefinitions miss
 
     slot_base = np.cumsum([0] + [h * v for (_, h, v, _) in f.components])
 
-    for comps, ss, se, ah, al, scan in ps.scans:
+    for comps, ss, se, ah, al, scan, huff, ri in ps.scans:
+        def lut(tc, tid, _huff=huff):
+            bits, vals = _huff[(tc, tid)]
+            key = (bits.tobytes(), vals.tobytes())
+            if key not in table_cache:
+                table_cache[key] = T.build_decode_table(bits, vals)
+            return table_cache[key]
+
         br = R.BitReader(R.unescape_scan(scan))
         if ss == 0:
             # ---- DC scan (interleaved over `comps` or single) -------

@@ -1,0 +1,516 @@
+"""Lane-async JPEG entropy decode: token-record IR + block expander.
+
+The block-lockstep decoder (entropy_decode_pallas.py) synchronizes all
+1024 lanes at every block: its iteration count is the sum over blocks of
+the per-chunk MAX token count — measured 1.93x the mean on the corpus
+(CLAUDE.md round-2 findings).  This module removes the block barrier:
+
+* Phase 1 (`_decode_records`): lanes decode their whole scan with NO
+  synchronization points, emitting one 32-bit TOKEN RECORD per loop
+  iteration at a statically-indexed output row (row == iteration), so
+  the per-lane-dynamic write problem that forces block lockstep never
+  arises.  On a length-sorted batch the iteration count is the chunk
+  max of per-lane TOTALS — measured 1.064x the mean, i.e. the 1.9x
+  divergence tax collapses to ~6%.  Records: level<<16 | is_dc<<7 |
+  valid<<6 | pos (pos = zigzag slot within the block; DC value is the
+  DIFFERENCE, prediction stays downstream, matching the existing
+  contract).  ZRL/EOB iterations emit valid=0 markers.
+* Phase 2 (`_expand_records`): records are regrouped per block (XLA
+  gather; block boundaries recovered from the is_dc bits) and a
+  trivial expander kernel — one record per iteration, read at a scalar
+  row index, accumulated into the 32 pair-packed registers — produces
+  the dense [64]-coefficient blocks.  Lanes are BLOCKS here (sorted by
+  per-frame record-count rank), so its divergence is ~1.00x and its
+  per-iteration body is a fraction of a full Huffman step.
+
+Semantics match kernels/entropy_decode_pallas.decode_scans_pallas
+(mjpegdec.c:376-430 decode_block): levels in zigzag order, slot 0 = DC
+difference.  Invalid streams produce bounded garbage; the per-lane
+completed-block/record counts let callers detect short decodes and fall
+back to the validating host path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .entropy_decode_pallas import (_DCL, _DCC, _ACL, _ACC, _ACM_L, _ACM_C,
+                                    _ACW, scan_words_layout, _pad,
+                                    HBM_STREAM_ROWS)
+
+SB = 8
+TROW = 256          # record rows emitted per grid step
+WIN = 256           # default windowed-fetch rows
+
+
+def _make_rec_kernel(w_rows: int, n_blocks: int, t_rows: int,
+                     win: int = WIN, hbm: bool = False, unroll: int = 1):
+    win = min(win, w_rows)
+    assert t_rows % unroll == 0
+
+    def _insert(hi, lo, l2, l3, nb, w, srv):
+        w = jnp.where(srv, w, jnp.uint32(0))
+        s = (nb & 31).astype(jnp.uint32)
+        whi = w >> s
+        wlo = jnp.where((nb & 31) > 0,
+                        w << ((32 - nb) & 31).astype(jnp.uint32),
+                        jnp.uint32(0))
+        w0 = nb < 32
+        w1 = (nb >= 32) & (nb < 64)
+        w2 = (nb >= 64) & (nb < 96)
+        z = jnp.uint32(0)
+        hi = hi | jnp.where(w0, whi, z)
+        lo = lo | jnp.where(w0, wlo, jnp.where(w1, whi, z))
+        l2 = l2 | jnp.where(w1, wlo, jnp.where(w2, whi, z))
+        l3 = l3 | jnp.where(w2, wlo, z)
+        return hi, lo, l2, l3
+
+    def ensure(words_ref, hi, lo, l2, l3, nb, wc, alive, aux=None):
+        """Identical refill discipline to entropy_decode_pallas.ensure
+        (128-bit buffer, up to three words per window pass), gated by
+        `alive` so finished lanes stop touching the stream."""
+        need = (nb < 27) & alive
+
+        def cond(st):
+            return jnp.sum(st[6]) > 0
+
+        def body(st):
+            hi, lo, l2, l3, nb, wc, unserved = st
+            wcn = jnp.where(unserved != 0, wc, jnp.int32(0x7FFFFFFF))
+            lo0 = jnp.clip(jnp.min(wcn), 0, w_rows - win)
+            if hbm:
+                fbuf, flo_ref, sem, ci = aux
+
+                @pl.when(flo_ref[0] != lo0)
+                def _load():
+                    cp = pltpu.make_async_copy(
+                        words_ref.at[ci, pl.ds(lo0, win)], fbuf, sem)
+                    cp.start()
+                    cp.wait()
+                    flo_ref[0] = lo0
+
+                winv = fbuf[...]
+            else:
+                winv = words_ref[0, pl.ds(lo0, win)]
+            it = lo0 + jax.lax.broadcasted_iota(jnp.int32, (win, SB, 128), 0)
+            for _ in range(3):
+                room = (nb <= 95) & alive
+                inwin = (wc >= lo0) & (wc < lo0 + win)
+                srv = room & (inwin | (wc >= w_rows))
+                w = jnp.sum(jnp.where((it == wc[None]) & srv[None], winv,
+                                      jnp.int32(0)), axis=0) \
+                    .astype(jnp.uint32)
+                hi, lo, l2, l3 = _insert(hi, lo, l2, l3, nb, w, srv)
+                nb = nb + jnp.where(srv, 32, 0)
+                wc = wc + jnp.where(srv, 1, 0)
+            unserved = jnp.where(nb >= 27, 0, unserved)
+            return hi, lo, l2, l3, nb, wc, unserved
+
+        u0 = need.astype(jnp.int32)
+        hi, lo, l2, l3, nb, wc, _ = jax.lax.while_loop(
+            cond, body, (hi, lo, l2, l3, nb, wc, u0))
+        return hi, lo, l2, l3, nb, wc
+
+    def consume(hi, lo, l2, l3, nb, c):
+        cu = c.astype(jnp.uint32)
+        nz = c > 0
+        sh = ((32 - c) & 31).astype(jnp.uint32)
+        sp1 = jnp.where(nz, lo >> sh, jnp.uint32(0))
+        sp2 = jnp.where(nz, l2 >> sh, jnp.uint32(0))
+        sp3 = jnp.where(nz, l3 >> sh, jnp.uint32(0))
+        hi = (hi << cu) | sp1
+        lo = (lo << cu) | sp2
+        l2 = (l2 << cu) | sp3
+        l3 = l3 << cu
+        return hi, lo, l2, l3, nb - c
+
+    def extend(mant, size):
+        neg = mant < (jnp.uint32(1) << jnp.clip(size - 1, 0, 31)
+                      .astype(jnp.uint32))
+        full = jnp.left_shift(jnp.int32(1), size) - 1
+        m = mant.astype(jnp.int32)
+        return jnp.where(size == 0, 0, jnp.where(neg, m - full, m))
+
+    # 4-way table constants: (is_dc, luma) -> per-lane select
+    def sel4(isdc, luma, vdl, vdc, val, vac):
+        d = vdl if vdl == vdc else jnp.where(luma, vdl, vdc)
+        a = val if val == vac else jnp.where(luma, val, vac)
+        return jnp.where(isdc, d, a)
+
+    def kernel(words_ref, out_ref, st_ref, hi_ref, lo_ref, l2_ref, l3_ref,
+               nb_ref, wc_ref, pos_ref, blk_ref, c6_ref, nr_ref,
+               *hbm_scratch):
+        j = pl.program_id(1)
+        n_steps = pl.num_programs(1)
+        aux = None
+        if hbm:
+            fbuf, flo_ref, sem = hbm_scratch
+            aux = (fbuf, flo_ref, sem, pl.program_id(0))
+
+        @pl.when(j == 0)
+        def _init():
+            zu = jnp.zeros((SB, 128), jnp.uint32)
+            zi = jnp.zeros((SB, 128), jnp.int32)
+            hi_ref[:, :] = zu
+            lo_ref[:, :] = zu
+            l2_ref[:, :] = zu
+            l3_ref[:, :] = zu
+            nb_ref[:, :] = zi
+            wc_ref[:, :] = zi
+            pos_ref[:, :] = zi
+            blk_ref[:, :] = zi
+            c6_ref[:, :] = zi
+            nr_ref[:, :] = zi
+            if hbm:
+                flo_ref[0] = -1
+
+        blk0 = blk_ref[:, :]
+
+        @pl.when(jnp.min(blk0) < n_blocks)
+        def _run():
+            hi, lo, l2 = hi_ref[:, :], lo_ref[:, :], l2_ref[:, :]
+            l3 = l3_ref[:, :]
+            nb, wc = nb_ref[:, :], wc_ref[:, :]
+            pos, blk, c6 = pos_ref[:, :], blk_ref[:, :], c6_ref[:, :]
+            nrec = nr_ref[:, :]
+
+            def rec_step(tl, hi, lo, l2, l3, nb, wc, pos, blk, c6, nrec):
+                alive = blk < n_blocks
+                hi, lo, l2, l3, nb, wc = ensure(words_ref, hi, lo, l2, l3,
+                                                nb, wc, alive, aux)
+                is_dc = pos == 0
+                luma = c6 < 4
+                p16 = (hi >> 16).astype(jnp.int32)
+                # canonical length: count of passed boundaries
+                ln = jnp.zeros((SB, 128), jnp.int32)
+                for l in range(16):
+                    bnd = sel4(is_dc, luma, int(_DCL[0][l]), int(_DCC[0][l]),
+                               int(_ACL[0][l]), int(_ACC[0][l]))
+                    ln = ln + (p16 >= bnd).astype(jnp.int32)
+                ln = jnp.clip(ln + 1, 1, 16)
+                dsel = jnp.zeros((SB, 128), jnp.int32)
+                for l in range(1, 17):
+                    dv = sel4(is_dc, luma,
+                              int(_DCL[2][l] - _DCL[1][l]),
+                              int(_DCC[2][l] - _DCC[1][l]),
+                              int(_ACL[2][l] - _ACL[1][l]),
+                              int(_ACC[2][l] - _ACC[1][l]))
+                    dsel = dsel | jnp.where(ln == l, dv, 0)
+                idx = (p16 >> (16 - ln)) + dsel
+                # AC symbol: bit-sliced 162-entry lookup (per-lane luma)
+                idx_ac = jnp.clip(idx, 0, 161)
+                wsel = idx_ac >> 5
+                shv = (idx_ac & 31).astype(jnp.uint32)
+                sym = jnp.zeros((SB, 128), jnp.int32)
+                for b in range(8):
+                    word = jnp.zeros((SB, 128), jnp.int32)
+                    for w_ in range(_ACW):
+                        mw = (_ACM_L[b][w_] if _ACM_L[b][w_] == _ACM_C[b][w_]
+                              else jnp.where(luma, _ACM_L[b][w_],
+                                             _ACM_C[b][w_]))
+                        word = word | jnp.where(wsel == w_, mw, 0)
+                    bit = (word.astype(jnp.uint32) >> shv) & jnp.uint32(1)
+                    sym = sym | (bit.astype(jnp.int32) << b)
+                run = sym >> 4
+                size = jnp.where(is_dc, jnp.clip(idx, 0, 11), sym & 0xF)
+                eob = (~is_dc) & (sym == 0)
+                zrl = (~is_dc) & (sym == 0xF0)
+                c1 = jnp.where(alive, ln, 0)
+                hi, lo, l2, l3, nb = consume(hi, lo, l2, l3, nb, c1)
+                mant = jnp.where(size > 0,
+                                 hi >> ((32 - size) & 31).astype(jnp.uint32),
+                                 jnp.uint32(0))
+                level = extend(mant, size)
+                c2 = jnp.where(alive, size, 0)
+                hi, lo, l2, l3, nb = consume(hi, lo, l2, l3, nb, c2)
+
+                wpos = jnp.where(is_dc, 0, pos + run)
+                write = alive & (is_dc |
+                                 ((~eob) & (~zrl) & (wpos <= 63)))
+                newpos = jnp.where(is_dc, 1,
+                                   jnp.where(eob, 64,
+                                             jnp.where(zrl, pos + 16,
+                                                       wpos + 1)))
+                rec = ((level << 16) |
+                       (is_dc.astype(jnp.int32) << 7) |
+                       (write.astype(jnp.int32) << 6) |
+                       jnp.clip(wpos, 0, 63))
+                rec = jnp.where(alive, rec, 0)
+                out_ref[0, pl.ds(tl, 1)] = rec[None]
+                blk_end = alive & (~is_dc) & (newpos >= 64)
+                blk = blk + blk_end.astype(jnp.int32)
+                c6n = c6 + blk_end.astype(jnp.int32)
+                c6 = jnp.where(c6n >= 6, 0, c6n)
+                pos = jnp.where(blk_end, 0,
+                                jnp.where(alive, newpos, pos))
+                nrec = nrec + alive.astype(jnp.int32)
+                return hi, lo, l2, l3, nb, wc, pos, blk, c6, nrec
+
+            def cond(st):
+                return (st[0] < t_rows) & (jnp.min(st[8]) < n_blocks)
+
+            def body(st):
+                tl = st[0]
+                rest = st[1:]
+                for k in range(unroll):
+                    rest = rec_step(tl + k, *rest)
+                return (tl + unroll,) + rest
+
+            st = (jnp.int32(0), hi, lo, l2, l3, nb, wc, pos, blk, c6, nrec)
+            st = jax.lax.while_loop(cond, body, st)
+            (_, hi, lo, l2, l3, nb, wc, pos, blk, c6, nrec) = st
+            hi_ref[:, :] = hi
+            lo_ref[:, :] = lo
+            l2_ref[:, :] = l2
+            l3_ref[:, :] = l3
+            nb_ref[:, :] = nb
+            wc_ref[:, :] = wc
+            pos_ref[:, :] = pos
+            blk_ref[:, :] = blk
+            c6_ref[:, :] = c6
+            nr_ref[:, :] = nrec
+
+        @pl.when(j == n_steps - 1)
+        def _status():
+            st_ref[0, 0] = blk_ref[:, :]
+            st_ref[0, 1] = nr_ref[:, :]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "t_max", "interpret", "win",
+                                   "hbm", "unroll"))
+def _decode_records(words, n_blocks: int, t_max: int,
+                    interpret: bool = False, win: int = WIN,
+                    hbm: bool | None = None, unroll: int = 1):
+    """words int32 [CB, W, 8, 128] -> (records int32 [CB, T, 8, 128],
+    status int32 [CB, 2, 8, 128] = (blocks_done, n_records) per lane).
+
+    T = t_max rounded up to a TROW multiple.  A lane that exhausts t_max
+    rows before finishing reports blocks_done < n_blocks (caller falls
+    back to the host decoder for that chunk)."""
+    cbn, w_rows = words.shape[0], words.shape[1]
+    if hbm is None:
+        hbm = w_rows > HBM_STREAM_ROWS
+    t_rows = TROW
+    tc = _pad(t_max, t_rows) // t_rows
+    kernel = _make_rec_kernel(w_rows, n_blocks, t_rows, win=win, hbm=hbm,
+                              unroll=unroll)
+    scratch = ([pltpu.VMEM((SB, 128), jnp.uint32)] * 4 +
+               [pltpu.VMEM((SB, 128), jnp.int32)] * 6)
+    if hbm:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch += [pltpu.VMEM((min(win, w_rows), SB, 128), jnp.int32),
+                    pltpu.SMEM((1,), jnp.int32),
+                    pltpu.SemaphoreType.DMA]
+    else:
+        in_specs = [pl.BlockSpec((1, w_rows, SB, 128),
+                                 lambda i, j: (i, 0, 0, 0))]
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((cbn, tc * t_rows, SB, 128),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((cbn, 2, SB, 128), jnp.int32)),
+        grid=(cbn, tc),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((1, t_rows, SB, 128),
+                                lambda i, j: (i, j, 0, 0)),
+                   pl.BlockSpec((1, 2, SB, 128), lambda i, j: (i, 0, 0, 0))),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(words)
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: record expander (lanes = blocks)
+# ---------------------------------------------------------------------------
+
+def _make_expand_kernel(rmax: int, acc_regs: int = 32):
+    def kernel(recs_ref, cnt_ref, out_ref):
+        cnt = cnt_ref[0, 0]
+        cmax = jnp.max(cnt)
+
+        def cond(st):
+            return st[0] < cmax
+
+        def body(st):
+            t = st[0]
+            acc = list(st[1:])
+            rec = recs_ref[0, pl.ds(t, 1)][0]
+            w = (t < cnt) & (((rec >> 6) & 1) != 0)
+            level = rec >> 16                      # arithmetic: sign ok
+            wpos = rec & 63
+            lv16 = jnp.where(w, level & 0xFFFF, 0)
+            contrib = jnp.where((wpos & 1) != 0, lv16 << 16, lv16)
+            half = wpos >> 1
+            for k in range(acc_regs):
+                acc[k] = acc[k] | jnp.where(w & (half == k), contrib, 0)
+            return (t + 1,) + tuple(acc)
+
+        z = tuple(jnp.zeros((SB, 128), jnp.int32) for _ in range(acc_regs))
+        st = jax.lax.while_loop(cond, body, (jnp.int32(0),) + z)
+        acc = st[1:]
+        for k in range(acc_regs):
+            out_ref[0, 2 * k] = (acc[k] & 0xFFFF).astype(jnp.int16)
+            out_ref[0, 2 * k + 1] = (acc[k] >> 16).astype(jnp.int16)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("rmax", "interpret"))
+def _expand_records(recs, cnt, rmax: int, interpret: bool = False):
+    """recs int32 [NCH, rmax, 8, 128] (per-block record rows), cnt int32
+    [NCH, 1, 8, 128] -> levels int16 [NCH, 64, 8, 128] (zigzag, slot 0 =
+    DC difference)."""
+    nch = recs.shape[0]
+    return pl.pallas_call(
+        _make_expand_kernel(rmax),
+        out_shape=jax.ShapeDtypeStruct((nch, 64, SB, 128), jnp.int16),
+        grid=(nch,),
+        in_specs=[pl.BlockSpec((1, rmax, SB, 128), lambda i: (i, 0, 0, 0)),
+                  pl.BlockSpec((1, 1, SB, 128), lambda i: (i, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, 64, SB, 128), lambda i: (i, 0, 0, 0)),
+        interpret=interpret,
+    )(recs, cnt)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue
+# ---------------------------------------------------------------------------
+
+RMAX = 64  # records per block never exceed 64 (distinct zigzag slots +
+           # ZRL/EOB markers can't outnumber the 64 slots they advance)
+
+
+def _searchsorted_rows(a, v):
+    """Batched searchsorted-left: a [N, T] row-sorted, v [B] -> [N, B]."""
+    return jax.vmap(lambda row: jnp.searchsorted(row, v, side="left"))(a)
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "t_max", "interpret", "win",
+                                   "unroll", "rank_sort"))
+def decode_scans_async_layout(words, n_blocks: int, t_max: int,
+                              interpret: bool = False, win: int = WIN,
+                              unroll: int = 1, rank_sort: bool = True):
+    """words int32 [CB, W, 8, 128] -> (levels int16
+    [CB, n_blocks, 64, 8, 128], ok bool []) via the record IR.
+
+    `ok` is False when any lane ran out of record rows or finished short
+    (malformed stream); levels are then garbage and the caller must use
+    the host path.  rank_sort orders expander lanes by per-frame record-
+    count rank so each expander chunk sees near-uniform counts."""
+    cbn = words.shape[0]
+    fp = cbn * SB * 128
+    recs, status = _decode_records(words, n_blocks, t_max,
+                                   interpret=interpret, win=win,
+                                   unroll=unroll)
+    T = recs.shape[1]
+    ok = jnp.all(status[:, 0] == n_blocks)
+    # [CB, SB, 128] flattens to the same frame order scan_words_layout
+    # packs: frame f = (f // 1024, (f % 1024) // 128, f % 128)
+    nrec = status[:, 1].reshape(fp)
+    rec_fm = recs.transpose(0, 2, 3, 1).reshape(fp, T)
+    isdc = (rec_fm >> 7) & 1
+    bid = jnp.cumsum(isdc, axis=1) - 1
+    start = _searchsorted_rows(bid, jnp.arange(n_blocks, dtype=jnp.int32))
+    ends = jnp.concatenate([start[:, 1:], nrec[:, None]], axis=1)
+    counts = ends - start                                 # [fp, B]
+    if rank_sort:
+        perm = jnp.argsort(-counts, axis=1)               # rank 0 = busiest
+    else:
+        perm = jnp.broadcast_to(jnp.arange(n_blocks), (fp, n_blocks))
+    st_p = jnp.take_along_axis(start, perm, axis=1)
+    ct_p = jnp.take_along_axis(counts, perm, axis=1)
+    # gather records per (frame, rank): [fp, B, RMAX]
+    idx = jnp.clip(st_p[:, :, None] + jnp.arange(RMAX)[None, None, :],
+                   0, T - 1)
+    rec_g = jnp.take_along_axis(rec_fm, idx.reshape(fp, n_blocks * RMAX),
+                                axis=1).reshape(fp, n_blocks, RMAX)
+    # chunk rank-major: [B, fp, RMAX] -> [nch, 1024, RMAX] -> kernel slab
+    nch = n_blocks * fp // 1024
+    rk = rec_g.transpose(1, 0, 2).reshape(nch, 1024, RMAX) \
+        .transpose(0, 2, 1).reshape(nch, RMAX, SB, 128)
+    ck = ct_p.T.reshape(nch, 1024, 1).transpose(0, 2, 1) \
+        .reshape(nch, 1, SB, 128)
+    lv = _expand_records(rk, ck, RMAX, interpret=interpret)
+    # [nch, 64, SB, 128] -> [B(rank), fp, 64] -> unsort -> slab
+    lv_rank = lv.reshape(nch, 64, 1024).transpose(0, 2, 1) \
+        .reshape(n_blocks, fp, 64).transpose(1, 0, 2)     # [fp, rank, 64]
+    iperm = jnp.argsort(perm, axis=1)
+    lv_fm = jnp.take_along_axis(lv_rank, iperm[:, :, None], axis=1)
+    slab = lv_fm.reshape(cbn, SB, 128, n_blocks, 64) \
+        .transpose(0, 3, 4, 1, 2)
+    return slab, ok
+
+
+def default_t_max(n_blocks: int, max_bytes: int) -> int:
+    """Record-row budget: generous vs the corpus (~12 records/block mean,
+    <= 64 hard), capped by the information-theoretic bound of 2 bits per
+    record.  Overflow is detected (status) and falls back to host."""
+    return int(min(n_blocks * 64 + 8, 16 * n_blocks + 512,
+                   max(max_bytes * 4, 1024)))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def empty_scan_bytes(n_mcu: int) -> bytes:
+    """Unescaped scan of n_mcu empty MCUs (DC diff 0 + EOB per block):
+    the pad-lane filler.  Zero padding would decode as an endless run of
+    AC (0,1) symbols ('00' is NOT EOB in K.3 luma) and drag every lane
+    of the chunk to the full record budget."""
+    from ..bitstream import jpeg_tables as T
+    dc_l = T.build_huffman_codes(T.BITS_DC_LUMA, T.VALS_DC_LUMA)
+    dc_c = T.build_huffman_codes(T.BITS_DC_CHROMA, T.VALS_DC_CHROMA)
+    ac_l = T.build_huffman_codes(T.BITS_AC_LUMA, T.VALS_AC_LUMA)
+    ac_c = T.build_huffman_codes(T.BITS_AC_CHROMA, T.VALS_AC_CHROMA)
+    acc_bits, nb_acc, out = 0, 0, bytearray()
+    for b in range(n_mcu * 6):
+        luma = (b % 6) < 4
+        for tab, sym in (((dc_l if luma else dc_c), 0),
+                         ((ac_l if luma else ac_c), 0)):
+            sizes, codes = tab
+            acc_bits = (acc_bits << int(sizes[sym])) | int(codes[sym])
+            nb_acc += int(sizes[sym])
+            while nb_acc >= 8:
+                nb_acc -= 8
+                out.append((acc_bits >> nb_acc) & 0xFF)
+    if nb_acc:
+        out.append(((acc_bits << (8 - nb_acc)) | ((1 << (8 - nb_acc)) - 1))
+                   & 0xFF)
+    return bytes(out)
+
+
+@partial(jax.jit, static_argnames=("n_mcu", "interpret", "win", "t_max",
+                                   "unroll", "rank_sort"))
+def decode_scans_async(scans, n_mcu: int, t_max: int,
+                       interpret: bool = False, win: int = WIN,
+                       unroll: int = 1, rank_sort: bool = True):
+    """scans uint8 [F, max_bytes] (unescaped, zero-padded) -> (levels
+    int16 [F, n_mcu, 6, 64] zigzag with slot 0 = DC difference, ok).
+
+    Drop-in for decode_scans_pallas, built on the async record IR."""
+    F = scans.shape[0]
+    n_blocks = n_mcu * 6
+    fp = _pad(F, SB * 128)
+    if fp > F:
+        pad = np.frombuffer(empty_scan_bytes(n_mcu), np.uint8)
+        width = max(scans.shape[1], len(pad))
+        prow = np.zeros((1, width), np.uint8)
+        prow[0, :len(pad)] = pad
+        scans = jnp.concatenate(
+            [jnp.pad(scans, ((0, 0), (0, width - scans.shape[1]))),
+             jnp.broadcast_to(jnp.asarray(prow), (fp - F, width))], axis=0)
+    wl = scan_words_layout(scans)
+    slab, ok = decode_scans_async_layout(wl, n_blocks, t_max,
+                                         interpret=interpret, win=win,
+                                         unroll=unroll, rank_sort=rank_sort)
+    lv = slab.transpose(0, 3, 4, 1, 2).reshape(fp, n_blocks, 64)
+    return lv[:F].reshape(F, n_mcu, 6, 64), ok

@@ -133,3 +133,71 @@ def test_mixed_batch_matches_separate():
     np.testing.assert_array_equal(y[2], y1[0])
     np.testing.assert_array_equal(cb[1], cb0[0])
     np.testing.assert_array_equal(cr[0], cr1[0])
+
+
+def test_per_scan_table_redefinition():
+    """Scans must decode with the Huffman tables in effect at THEIR SOS:
+    libjpeg/mozjpeg optimized output redefines ids 0/1 before each scan.
+    Crafts an 8x8 gray progressive stream whose two AC scans use
+    different tables under the same id (1, 0)."""
+    from amv_tpu.bitstream.jpeg_progressive import decode_progressive
+    from amv_tpu.bitstream import jpeg_tables as T
+    from amv_tpu.verify import ref_jpeg as R
+
+    def dht(tc, tid, bits, vals):
+        body = bytes([(tc << 4) | tid]) + \
+            bytes(np.asarray(bits)[1:].astype(np.uint8)) + \
+            bytes(np.asarray(vals).astype(np.uint8))
+        return b"\xFF\xC4" + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos_hdr(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xFF\xDA" + (len(body) + 2).to_bytes(2, "big") + body
+
+    # DC table: syms 0..7 at 3 bits each
+    dc_bits = np.zeros(17, np.int32); dc_bits[3] = 8
+    dc_vals = np.arange(8, dtype=np.int32)
+    dc_tab = T.build_huffman_codes(dc_bits, dc_vals)
+    # AC table A: syms {0x02, 0x00} at 2 bits; table B: same syms but
+    # 0x00 gets a 1-bit code (structurally different decode)
+    a_bits = np.zeros(17, np.int32); a_bits[2] = 2
+    a_vals = np.array([0x02, 0x00], np.int32)
+    tab_a = T.build_huffman_codes(a_bits, a_vals)
+    b_bits = np.zeros(17, np.int32); b_bits[1] = 1; b_bits[2] = 1
+    b_vals = np.array([0x00, 0x02], np.int32)
+    tab_b = T.build_huffman_codes(b_bits, b_vals)
+
+    def scan_bytes(puts):
+        bw = R.BitWriter()
+        for n, v in puts:
+            bw.put_bits(n, v)
+        if bw.nbits % 8:
+            bw.put_bits(8 - bw.nbits % 8, 0xFF)
+        return R.escape_ff(bw.flush())
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    out += dht(0, 0, dc_bits, dc_vals)
+    out += dht(1, 0, a_bits, a_vals)
+    out += (b"\xFF\xC2" + (11).to_bytes(2, "big") + b"\x08" +
+            (8).to_bytes(2, "big") + (8).to_bytes(2, "big") +
+            bytes([1, 1, 0x11, 0]))
+    # scan 1: DC first (diff=5 -> size 3, mant 101)
+    out += sos_hdr(0, 0, 0, 0)
+    out += scan_bytes([(int(dc_tab[0][3]), int(dc_tab[1][3])), (3, 0b101)])
+    # scan 2: AC band 1..5 with table A: AC1=3 (rs 0x02, mant 11), EOB
+    out += sos_hdr(1, 5, 0, 0)
+    out += scan_bytes([(int(tab_a[0][0x02]), int(tab_a[1][0x02])), (2, 0b11),
+                       (int(tab_a[0][0x00]), int(tab_a[1][0x00]))])
+    # redefine id (1, 0) to table B, then AC band 6..63 with it:
+    # AC6=-2 (rs 0x02, mant = -3 & 3 = 01), EOB
+    out += dht(1, 0, b_bits, b_vals)
+    out += sos_hdr(6, 63, 0, 0)
+    out += scan_bytes([(int(tab_b[0][0x02]), int(tab_b[1][0x02])), (2, 0b01),
+                       (int(tab_b[0][0x00]), int(tab_b[1][0x00]))])
+    out += b"\xFF\xD9"
+
+    coef, f = decode_progressive(bytes(out))
+    expect = np.zeros(64, np.int16)
+    expect[0], expect[1], expect[6] = 5, 3, -2
+    np.testing.assert_array_equal(coef[0, 0], expect)
