@@ -389,8 +389,39 @@ RMAX = 64  # records per block never exceed 64 (distinct zigzag slots +
 
 
 def _searchsorted_rows(a, v):
-    """Batched searchsorted-left: a [N, T] row-sorted, v [B] -> [N, B]."""
-    return jax.vmap(lambda row: jnp.searchsorted(row, v, side="left"))(a)
+    """Batched searchsorted-left: a [N, T] row-sorted, v [B] -> [N, B].
+
+    Bit-descent probes with take_along_axis (contiguous small gathers);
+    vmapped jnp.searchsorted lowers to a pathologically slow gather
+    chain on TPU (measured ~30x the whole decode kernel)."""
+    N, T = a.shape
+    B = v.shape[0]
+    nbits = max(1, (T - 1).bit_length())
+    q = jnp.broadcast_to(v[None, :], (N, B))
+    lo = jnp.zeros((N, B), jnp.int32)
+    for s in reversed(range(nbits)):
+        cand = lo + (1 << s)
+        probe = jnp.take_along_axis(a, jnp.clip(cand - 1, 0, T - 1), axis=1)
+        ok = (cand <= T) & (probe < q)
+        lo = jnp.where(ok, cand, lo)
+    return lo
+
+
+def _gather_runs(a, starts, run: int):
+    """out[n, b, :] = a[n, starts[n, b] : starts[n, b] + run] — gather of
+    CONTIGUOUS runs (lowered as a slice gather, the only gather shape
+    the TPU executes at bandwidth; per-element take_along_axis is ~30x
+    slower)."""
+    def one(row, s):
+        return jax.lax.dynamic_slice_in_dim(row, s, run)
+
+    return jax.vmap(jax.vmap(one, in_axes=(None, 0)))(a, starts)
+
+
+def _take_rows(a, idx):
+    """out[n, b] = a[n, idx[n, b]] for a [N, B, K] (row gather: each
+    gathered unit is a contiguous K-vector)."""
+    return jax.vmap(lambda rows, i: jnp.take(rows, i, axis=0))(a, idx)
 
 
 @partial(jax.jit, static_argnames=("n_blocks", "t_max", "interpret", "win",
@@ -427,11 +458,9 @@ def decode_scans_async_layout(words, n_blocks: int, t_max: int,
         perm = jnp.broadcast_to(jnp.arange(n_blocks), (fp, n_blocks))
     st_p = jnp.take_along_axis(start, perm, axis=1)
     ct_p = jnp.take_along_axis(counts, perm, axis=1)
-    # gather records per (frame, rank): [fp, B, RMAX]
-    idx = jnp.clip(st_p[:, :, None] + jnp.arange(RMAX)[None, None, :],
-                   0, T - 1)
-    rec_g = jnp.take_along_axis(rec_fm, idx.reshape(fp, n_blocks * RMAX),
-                                axis=1).reshape(fp, n_blocks, RMAX)
+    # gather records per (frame, rank): [fp, B, RMAX] contiguous runs
+    rec_pad = jnp.pad(rec_fm, ((0, 0), (0, RMAX)))
+    rec_g = _gather_runs(rec_pad, jnp.clip(st_p, 0, T - 1), RMAX)
     # chunk rank-major: [B, fp, RMAX] -> [nch, 1024, RMAX] -> kernel slab
     nch = n_blocks * fp // 1024
     rk = rec_g.transpose(1, 0, 2).reshape(nch, 1024, RMAX) \
@@ -443,7 +472,7 @@ def decode_scans_async_layout(words, n_blocks: int, t_max: int,
     lv_rank = lv.reshape(nch, 64, 1024).transpose(0, 2, 1) \
         .reshape(n_blocks, fp, 64).transpose(1, 0, 2)     # [fp, rank, 64]
     iperm = jnp.argsort(perm, axis=1)
-    lv_fm = jnp.take_along_axis(lv_rank, iperm[:, :, None], axis=1)
+    lv_fm = _take_rows(lv_rank, iperm)
     slab = lv_fm.reshape(cbn, SB, 128, n_blocks, 64) \
         .transpose(0, 3, 4, 1, 2)
     return slab, ok

@@ -141,6 +141,82 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     return wout, bout
 
 
+@partial(jax.jit, static_argnames=("n_mcu", "qmat_key", "w_out",
+                                   "interpret", "win_fetch", "win_emit",
+                                   "segs", "t_max_dec", "t_max_enc",
+                                   "unroll_dec", "rank_sort"))
+def transcode_complete_async(scans, n_mcu: int, qmat_key,
+                             w_out: int = 1024, interpret: bool = False,
+                             win_fetch: int = 256, win_emit: int = 128,
+                             segs: int = 1, t_max_dec: int = 0,
+                             t_max_enc: int = 0, unroll_dec: int = 1,
+                             rank_sort: bool = True):
+    """Lane-async COMPLETE device transcode over the token-record IR.
+
+    Same contract as transcode_complete_layout (unescaped scan bytes in,
+    re-encoded scan words out), but both entropy stages run without the
+    per-block lockstep barrier: decode emits token records (iteration
+    count = chunk max of per-lane totals, ~1.06x mean on sorted batches,
+    vs 1.93x for per-block max) and encode packs records produced by a
+    fully-parallel XLA tokenizer (~1.09x vs 2.29x).  See
+    kernels/entropy_async_pallas.py / entropy_encode_async_pallas.py.
+
+    Returns (words [F*segs, w_out], bits [F*segs], ok).  ok False means
+    a record budget overflowed or a stream was malformed -> caller must
+    fall back (transcode_complete_layout or host entropy).
+    """
+    from ..bitstream import jpeg_tables as T
+    from ..kernels.entropy_async_pallas import (decode_scans_async_layout,
+                                                default_t_max,
+                                                empty_scan_bytes)
+    from ..kernels.entropy_decode_pallas import scan_words_layout
+    from ..kernels.entropy_encode_async_pallas import (encode_layout_async,
+                                                       default_t_max_enc)
+    from ..kernels.entropy_encode_pallas import WIN_O
+    from ..kernels.transcode_layout_pallas import transcode_mcu_layout
+
+    w_out = max(WIN_O, (w_out + WIN_O - 1) // WIN_O * WIN_O)
+    F = scans.shape[0]
+    fp = (F + 1023) // 1024 * 1024
+    cb, nb = fp // 1024, n_mcu * 6
+    if t_max_dec == 0:
+        t_max_dec = default_t_max(nb, scans.shape[1])
+    if t_max_enc == 0:
+        t_max_enc = default_t_max_enc(nb)
+    if fp > F:
+        pad = np.frombuffer(empty_scan_bytes(n_mcu), np.uint8)
+        width = max(scans.shape[1], len(pad))
+        prow = np.zeros((1, width), np.uint8)
+        prow[0, :len(pad)] = pad
+        scans = jnp.concatenate(
+            [jnp.pad(scans, ((0, 0), (0, width - scans.shape[1]))),
+             jnp.broadcast_to(jnp.asarray(prow), (fp - F, width))], axis=0)
+    wl = scan_words_layout(scans)
+    slab, ok_d = decode_scans_async_layout(wl, nb, t_max_dec,
+                                           interpret=interpret,
+                                           win=win_fetch, unroll=unroll_dec,
+                                           rank_sort=rank_sort)
+    lvl = slab.reshape(cb, n_mcu, 6, 64, 8, 128)
+    qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
+    qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
+    d = lvl[:, :, :, 0].astype(jnp.int32)
+    dy = (jnp.cumsum(d[:, :, :4].reshape(cb, n_mcu * 4, 8, 128) * qdc_l,
+                     axis=1).reshape(cb, n_mcu, 4, 8, 128) + 1024)
+    dcb = jnp.cumsum(d[:, :, 4] * qdc_c, axis=1) + 1024
+    dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
+    dc = jnp.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
+    lv2 = transcode_mcu_layout(lvl, dc, qmat_key, interpret=interpret)
+    words, bits, ok_e = encode_layout_async(
+        lv2.reshape(cb, nb, 64, 8, 128), w_out, t_max_enc,
+        interpret=interpret, win_rows=win_emit, segs=segs)
+    wout = (words.reshape(cb, segs, w_out, 8, 128)
+            .transpose(0, 3, 4, 1, 2).reshape(fp, segs, w_out)[:F]
+            .reshape(F * segs, w_out))
+    bout = (bits.reshape(cb, segs, 8, 128).transpose(0, 2, 3, 1)
+            .reshape(fp, segs)[:F].reshape(F * segs))
+    return wout, bout, ok_d & ok_e
+
+
 @partial(jax.jit, static_argnames=("n_mcu", "interpret", "win_fetch",
                                    "unroll_dec"))
 def decode_scans_layout(scans, n_mcu: int, interpret: bool = False,
