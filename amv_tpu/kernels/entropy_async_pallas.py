@@ -49,32 +49,105 @@ TROW = 256          # record rows emitted per grid step
 WIN = 256           # default windowed-fetch rows
 
 
-def _make_rec_kernel(w_rows: int, n_blocks: int, t_rows: int,
-                     win: int = WIN, hbm: bool = False, unroll: int = 1):
-    win = min(win, w_rows)
-    assert t_rows % unroll == 0
+def _b_insert(hi, lo, l2, l3, nb, w, srv):
+    """OR word w into the 128-bit (hi, lo, l2, l3) buffer at bit offset
+    nb for lanes in srv (callers guarantee nb <= 95)."""
+    w = jnp.where(srv, w, jnp.uint32(0))
+    s = (nb & 31).astype(jnp.uint32)
+    whi = w >> s
+    wlo = jnp.where((nb & 31) > 0,
+                    w << ((32 - nb) & 31).astype(jnp.uint32),
+                    jnp.uint32(0))
+    w0 = nb < 32
+    w1 = (nb >= 32) & (nb < 64)
+    w2 = (nb >= 64) & (nb < 96)
+    z = jnp.uint32(0)
+    hi = hi | jnp.where(w0, whi, z)
+    lo = lo | jnp.where(w0, wlo, jnp.where(w1, whi, z))
+    l2 = l2 | jnp.where(w1, wlo, jnp.where(w2, whi, z))
+    l3 = l3 | jnp.where(w2, wlo, z)
+    return hi, lo, l2, l3
 
-    def _insert(hi, lo, l2, l3, nb, w, srv):
-        w = jnp.where(srv, w, jnp.uint32(0))
-        s = (nb & 31).astype(jnp.uint32)
-        whi = w >> s
-        wlo = jnp.where((nb & 31) > 0,
-                        w << ((32 - nb) & 31).astype(jnp.uint32),
-                        jnp.uint32(0))
-        w0 = nb < 32
-        w1 = (nb >= 32) & (nb < 64)
-        w2 = (nb >= 64) & (nb < 96)
-        z = jnp.uint32(0)
-        hi = hi | jnp.where(w0, whi, z)
-        lo = lo | jnp.where(w0, wlo, jnp.where(w1, whi, z))
-        l2 = l2 | jnp.where(w1, wlo, jnp.where(w2, whi, z))
-        l3 = l3 | jnp.where(w2, wlo, z)
-        return hi, lo, l2, l3
+
+def _b_consume(hi, lo, l2, l3, nb, c):
+    """Advance the 128-bit buffer by c bits (c <= 31 per call)."""
+    cu = c.astype(jnp.uint32)
+    nz = c > 0
+    sh = ((32 - c) & 31).astype(jnp.uint32)
+    sp1 = jnp.where(nz, lo >> sh, jnp.uint32(0))
+    sp2 = jnp.where(nz, l2 >> sh, jnp.uint32(0))
+    sp3 = jnp.where(nz, l3 >> sh, jnp.uint32(0))
+    hi = (hi << cu) | sp1
+    lo = (lo << cu) | sp2
+    l2 = (l2 << cu) | sp3
+    l3 = l3 << cu
+    return hi, lo, l2, l3, nb - c
+
+
+def _b_extend(mant, size):
+    """JPEG EXTEND (T.81 F.12): mantissa + size -> signed level."""
+    neg = mant < (jnp.uint32(1) << jnp.clip(size - 1, 0, 31)
+                  .astype(jnp.uint32))
+    full = jnp.left_shift(jnp.int32(1), size) - 1
+    m = mant.astype(jnp.int32)
+    return jnp.where(size == 0, 0, jnp.where(neg, m - full, m))
+
+
+def _lsel4(isdc, luma, vdl, vdc, val, vac):
+    """(is_dc, luma) -> 4-way table-constant select."""
+    d = vdl if vdl == vdc else jnp.where(luma, vdl, vdc)
+    a = val if val == vac else jnp.where(luma, val, vac)
+    return jnp.where(isdc, d, a)
+
+
+def _token_tables(hi, is_dc, luma):
+    """One Huffman symbol from the buffer top: peek16 -> canonical code
+    length, then the (run, size) fields via the bit-sliced K.3 AC value
+    table (mjpegdec.c:376-430 decode_block table semantics).
+
+    Returns (ln, size, run, eob, zrl)."""
+    p16 = (hi >> 16).astype(jnp.int32)
+    ln = jnp.zeros(p16.shape, jnp.int32)
+    for l in range(16):
+        bnd = _lsel4(is_dc, luma, int(_DCL[0][l]), int(_DCC[0][l]),
+                     int(_ACL[0][l]), int(_ACC[0][l]))
+        ln = ln + (p16 >= bnd).astype(jnp.int32)
+    ln = jnp.clip(ln + 1, 1, 16)
+    dsel = jnp.zeros(p16.shape, jnp.int32)
+    for l in range(1, 17):
+        dv = _lsel4(is_dc, luma,
+                    int(_DCL[2][l] - _DCL[1][l]),
+                    int(_DCC[2][l] - _DCC[1][l]),
+                    int(_ACL[2][l] - _ACL[1][l]),
+                    int(_ACC[2][l] - _ACC[1][l]))
+        dsel = dsel | jnp.where(ln == l, dv, 0)
+    idx = (p16 >> (16 - ln)) + dsel
+    idx_ac = jnp.clip(idx, 0, 161)
+    wsel = idx_ac >> 5
+    shv = (idx_ac & 31).astype(jnp.uint32)
+    sym = jnp.zeros(p16.shape, jnp.int32)
+    for b in range(8):
+        word = jnp.zeros(p16.shape, jnp.int32)
+        for w_ in range(_ACW):
+            mw = (_ACM_L[b][w_] if _ACM_L[b][w_] == _ACM_C[b][w_]
+                  else jnp.where(luma, _ACM_L[b][w_], _ACM_C[b][w_]))
+            word = word | jnp.where(wsel == w_, mw, 0)
+        bit = (word.astype(jnp.uint32) >> shv) & jnp.uint32(1)
+        sym = sym | (bit.astype(jnp.int32) << b)
+    run = sym >> 4
+    size = jnp.where(is_dc, jnp.clip(idx, 0, 11), sym & 0xF)
+    eob = (~is_dc) & (sym == 0)
+    zrl = (~is_dc) & (sym == 0xF0)
+    return ln, size, run, eob, zrl
+
+
+def _make_ensure(w_rows: int, win: int, hbm: bool):
+    """Refill closure: identical discipline to
+    entropy_decode_pallas.ensure (128-bit buffer, up to three words
+    served per window pass), gated by `alive` so finished lanes stop
+    touching the stream."""
 
     def ensure(words_ref, hi, lo, l2, l3, nb, wc, alive, aux=None):
-        """Identical refill discipline to entropy_decode_pallas.ensure
-        (128-bit buffer, up to three words per window pass), gated by
-        `alive` so finished lanes stop touching the stream."""
         need = (nb < 27) & alive
 
         def cond(st):
@@ -106,7 +179,7 @@ def _make_rec_kernel(w_rows: int, n_blocks: int, t_rows: int,
                 w = jnp.sum(jnp.where((it == wc[None]) & srv[None], winv,
                                       jnp.int32(0)), axis=0) \
                     .astype(jnp.uint32)
-                hi, lo, l2, l3 = _insert(hi, lo, l2, l3, nb, w, srv)
+                hi, lo, l2, l3 = _b_insert(hi, lo, l2, l3, nb, w, srv)
                 nb = nb + jnp.where(srv, 32, 0)
                 wc = wc + jnp.where(srv, 1, 0)
             unserved = jnp.where(nb >= 27, 0, unserved)
@@ -117,31 +190,14 @@ def _make_rec_kernel(w_rows: int, n_blocks: int, t_rows: int,
             cond, body, (hi, lo, l2, l3, nb, wc, u0))
         return hi, lo, l2, l3, nb, wc
 
-    def consume(hi, lo, l2, l3, nb, c):
-        cu = c.astype(jnp.uint32)
-        nz = c > 0
-        sh = ((32 - c) & 31).astype(jnp.uint32)
-        sp1 = jnp.where(nz, lo >> sh, jnp.uint32(0))
-        sp2 = jnp.where(nz, l2 >> sh, jnp.uint32(0))
-        sp3 = jnp.where(nz, l3 >> sh, jnp.uint32(0))
-        hi = (hi << cu) | sp1
-        lo = (lo << cu) | sp2
-        l2 = (l2 << cu) | sp3
-        l3 = l3 << cu
-        return hi, lo, l2, l3, nb - c
+    return ensure
 
-    def extend(mant, size):
-        neg = mant < (jnp.uint32(1) << jnp.clip(size - 1, 0, 31)
-                      .astype(jnp.uint32))
-        full = jnp.left_shift(jnp.int32(1), size) - 1
-        m = mant.astype(jnp.int32)
-        return jnp.where(size == 0, 0, jnp.where(neg, m - full, m))
 
-    # 4-way table constants: (is_dc, luma) -> per-lane select
-    def sel4(isdc, luma, vdl, vdc, val, vac):
-        d = vdl if vdl == vdc else jnp.where(luma, vdl, vdc)
-        a = val if val == vac else jnp.where(luma, val, vac)
-        return jnp.where(isdc, d, a)
+def _make_rec_kernel(w_rows: int, n_blocks: int, t_rows: int,
+                     win: int = WIN, hbm: bool = False, unroll: int = 1):
+    win = min(win, w_rows)
+    assert t_rows % unroll == 0
+    ensure = _make_ensure(w_rows, win, hbm)
 
     def kernel(words_ref, out_ref, st_ref, hi_ref, lo_ref, l2_ref, l3_ref,
                nb_ref, wc_ref, pos_ref, blk_ref, c6_ref, nr_ref,
@@ -186,49 +242,15 @@ def _make_rec_kernel(w_rows: int, n_blocks: int, t_rows: int,
                                                 nb, wc, alive, aux)
                 is_dc = pos == 0
                 luma = c6 < 4
-                p16 = (hi >> 16).astype(jnp.int32)
-                # canonical length: count of passed boundaries
-                ln = jnp.zeros((SB, 128), jnp.int32)
-                for l in range(16):
-                    bnd = sel4(is_dc, luma, int(_DCL[0][l]), int(_DCC[0][l]),
-                               int(_ACL[0][l]), int(_ACC[0][l]))
-                    ln = ln + (p16 >= bnd).astype(jnp.int32)
-                ln = jnp.clip(ln + 1, 1, 16)
-                dsel = jnp.zeros((SB, 128), jnp.int32)
-                for l in range(1, 17):
-                    dv = sel4(is_dc, luma,
-                              int(_DCL[2][l] - _DCL[1][l]),
-                              int(_DCC[2][l] - _DCC[1][l]),
-                              int(_ACL[2][l] - _ACL[1][l]),
-                              int(_ACC[2][l] - _ACC[1][l]))
-                    dsel = dsel | jnp.where(ln == l, dv, 0)
-                idx = (p16 >> (16 - ln)) + dsel
-                # AC symbol: bit-sliced 162-entry lookup (per-lane luma)
-                idx_ac = jnp.clip(idx, 0, 161)
-                wsel = idx_ac >> 5
-                shv = (idx_ac & 31).astype(jnp.uint32)
-                sym = jnp.zeros((SB, 128), jnp.int32)
-                for b in range(8):
-                    word = jnp.zeros((SB, 128), jnp.int32)
-                    for w_ in range(_ACW):
-                        mw = (_ACM_L[b][w_] if _ACM_L[b][w_] == _ACM_C[b][w_]
-                              else jnp.where(luma, _ACM_L[b][w_],
-                                             _ACM_C[b][w_]))
-                        word = word | jnp.where(wsel == w_, mw, 0)
-                    bit = (word.astype(jnp.uint32) >> shv) & jnp.uint32(1)
-                    sym = sym | (bit.astype(jnp.int32) << b)
-                run = sym >> 4
-                size = jnp.where(is_dc, jnp.clip(idx, 0, 11), sym & 0xF)
-                eob = (~is_dc) & (sym == 0)
-                zrl = (~is_dc) & (sym == 0xF0)
+                ln, size, run, eob, zrl = _token_tables(hi, is_dc, luma)
                 c1 = jnp.where(alive, ln, 0)
-                hi, lo, l2, l3, nb = consume(hi, lo, l2, l3, nb, c1)
+                hi, lo, l2, l3, nb = _b_consume(hi, lo, l2, l3, nb, c1)
                 mant = jnp.where(size > 0,
                                  hi >> ((32 - size) & 31).astype(jnp.uint32),
                                  jnp.uint32(0))
-                level = extend(mant, size)
+                level = _b_extend(mant, size)
                 c2 = jnp.where(alive, size, 0)
-                hi, lo, l2, l3, nb = consume(hi, lo, l2, l3, nb, c2)
+                hi, lo, l2, l3, nb = _b_consume(hi, lo, l2, l3, nb, c2)
 
                 wpos = jnp.where(is_dc, 0, pos + run)
                 write = alive & (is_dc |
@@ -543,3 +565,255 @@ def decode_scans_async(scans, n_mcu: int, t_max: int,
                                          unroll=unroll, rank_sort=rank_sort)
     lv = slab.transpose(0, 3, 4, 1, 2).reshape(fp, n_blocks, 64)
     return lv[:F].reshape(F, n_mcu, 6, 64), ok
+
+
+# ---------------------------------------------------------------------------
+# Single-pass lane-async DENSE decoder: windowed block emit, no record IR
+# ---------------------------------------------------------------------------
+#
+# The record-IR pair above proves the async Huffman core (chunk-max-of-
+# totals iteration count, ~1.06x mean) but its XLA regroup/expand glue
+# is gather-bound on TPU (measured seconds vs the 35 ms lockstep chain).
+# This kernel keeps everything in one pass: lanes decode asynchronously
+# and densify in-register (32 pair-packed accumulators, exactly like the
+# lockstep kernel), and completed blocks leave through a pending slot +
+# ring-buffered output window:
+#
+# * on block end a lane moves its accumulators to a VMEM pending slot
+#   (pend[32] + pend_bid); if the slot is still occupied the lane
+#   DEFERS (re-decodes the same token next iteration -- no state
+#   committed), which only happens when service is overdue;
+# * every `pmax` iterations a service pass flushes every pending block
+#   whose bid lies in the current WB-block output window into the ring
+#   (per-ring-slot compare+select -- the same amortized one-hot trick
+#   as the encoder's windowed word emit), then advances the window in
+#   ADV-block quanta with a VMEM->HBM DMA once every lane has deposited
+#   the blocks leaving it (frontier = min over lanes of the earliest
+#   undeposited block);
+# * iteration count is therefore the chunk max of per-lane token totals
+#   (~1.06x mean on sorted batches) plus bounded stall/service overhead
+#   instead of the 1.93x per-block lockstep tax.
+#
+# Semantics match entropy_decode_pallas._decode_layout (mjpegdec.c:
+# 376-430 decode_block): dense zigzag levels, slot 0 = DC difference.
+
+WBD = 8     # output window, blocks (ring; power of two)
+ADV = 4     # DMA drain quantum, blocks (WBD/2)
+
+
+def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
+                       win: int = WIN, hbm: bool = False, unroll: int = 1,
+                       wb: int = WBD, adv: int = ADV, pmax: int = 16):
+    win = min(win, w_rows)
+    assert wb & (wb - 1) == 0 and adv <= wb and nbp % adv == 0
+    assert pmax & (pmax - 1) == 0
+    ensure = _make_ensure(w_rows, win, hbm)
+
+    def kernel(words_ref, out_ref, st_ref, owin, pend_ref, pv_ref,
+               pbid_ref, wb_ref, sem, *hbm_scratch):
+        ci = pl.program_id(0)
+        aux = None
+        if hbm:
+            fbuf, flo_ref, hsem = hbm_scratch
+            aux = (fbuf, flo_ref, hsem, ci)
+            flo_ref[0] = -1
+        owin[...] = jnp.zeros((wb * 64, SB, 128), jnp.int16)
+        pend_ref[...] = jnp.zeros((32, SB, 128), jnp.int32)
+        pv_ref[...] = jnp.zeros((SB, 128), jnp.int32)
+        pbid_ref[...] = jnp.zeros((SB, 128), jnp.int32)
+        wb_ref[0] = 0
+
+        def service(eff_done):
+            """Flush in-window pendings into the ring (per-slot scalar
+            gate: most ring slots are empty at any service), then
+            advance the window in `adv`-block DMA quanta while every
+            lane has deposited the blocks leaving it."""
+
+            def cond(go):
+                return go > 0
+
+            def body(go):
+                wbase = wb_ref[0]
+                pvv = pv_ref[...]
+                pbb = pbid_ref[...]
+                inwin = (pvv != 0) & (pbb >= wbase) & (pbb < wbase + wb)
+                # NOTE: a per-slot scalar gate (@pl.when on jnp.max(m))
+                # around this flush measured 84.4 ms vs 64.7 ms plain on
+                # TPU — Mosaic scalar branches around big vector bodies
+                # lose, exactly like the round-2 skip-counter negative.
+                for slot in range(wb):
+                    m = inwin & ((pbb & (wb - 1)) == slot)
+                    for r in range(32):
+                        v = pend_ref[r]
+                        owin[slot * 64 + 2 * r] = jnp.where(
+                            m, (v & 0xFFFF).astype(jnp.int16),
+                            owin[slot * 64 + 2 * r])
+                        owin[slot * 64 + 2 * r + 1] = jnp.where(
+                            m, (v >> 16).astype(jnp.int16),
+                            owin[slot * 64 + 2 * r + 1])
+                pvv = jnp.where(inwin, 0, pvv)
+                pv_ref[...] = pvv
+                eff = jnp.where(pvv != 0, pbb, eff_done)
+                frontier = jnp.minimum(jnp.min(eff), nbp)
+                adv_ok = (frontier - wbase >= adv) & (wbase < nbp)
+
+                @pl.when(adv_ok)
+                def _adv():
+                    slot0 = wbase & (wb - 1)
+                    cp = pltpu.make_async_copy(
+                        owin.at[pl.ds(slot0 * 64, adv * 64)],
+                        out_ref.at[ci, pl.ds(wbase * 64, adv * 64)], sem)
+                    cp.start()
+                    cp.wait()
+                    wb_ref[0] = wbase + adv
+
+                return jnp.where(adv_ok, jnp.int32(1), jnp.int32(0))
+
+            jax.lax.while_loop(cond, body, jnp.int32(1))
+
+        def token_step(st):
+            hi, lo, l2, l3, nbb, wc, pos, bid, c6 = st[:9]
+            acc = list(st[9:9 + 32])
+            alive = bid < n_blocks
+            hi, lo, l2, l3, nbb, wc = ensure(words_ref, hi, lo, l2, l3,
+                                             nbb, wc, alive, aux)
+            is_dc = pos == 0
+            luma = c6 < 4
+            ln, size, run, eob, zrl = _token_tables(hi, is_dc, luma)
+            wpos = jnp.where(is_dc, 0, pos + run)
+            write0 = is_dc | ((~eob) & (~zrl) & (wpos <= 63))
+            newpos = jnp.where(is_dc, 1,
+                               jnp.where(eob, 64,
+                                         jnp.where(zrl, pos + 16,
+                                                   wpos + 1)))
+            blk_end = (~is_dc) & (newpos >= 64)
+            pvv = pv_ref[...]
+            # a lane whose pending slot is still occupied commits
+            # nothing this iteration and re-decodes the token after the
+            # next service pass frees the slot
+            defer = alive & blk_end & (pvv != 0)
+            commit = alive & ~defer
+            c1 = jnp.where(commit, ln, 0)
+            hi, lo, l2, l3, nbb = _b_consume(hi, lo, l2, l3, nbb, c1)
+            mant = jnp.where(size > 0,
+                             hi >> ((32 - size) & 31).astype(jnp.uint32),
+                             jnp.uint32(0))
+            level = _b_extend(mant, size)
+            c2 = jnp.where(commit, size, 0)
+            hi, lo, l2, l3, nbb = _b_consume(hi, lo, l2, l3, nbb, c2)
+            write = commit & write0
+            lv16 = jnp.where(write, level & 0xFFFF, 0)
+            contrib = jnp.where((wpos & 1) != 0, lv16 << 16, lv16)
+            half = jnp.clip(wpos, 0, 63) >> 1
+            endc = blk_end & commit
+            for r in range(32):
+                a = acc[r] | jnp.where(write & (half == r), contrib, 0)
+                pend_ref[r] = jnp.where(endc, a, pend_ref[r])
+                acc[r] = jnp.where(endc, 0, a)
+            pbid_ref[...] = jnp.where(endc, bid, pbid_ref[...])
+            pv_ref[...] = jnp.where(endc, 1, pvv)
+            bid = bid + endc.astype(jnp.int32)
+            c6n = c6 + endc.astype(jnp.int32)
+            c6 = jnp.where(c6n >= 6, 0, c6n)
+            pos = jnp.where(endc, 0, jnp.where(commit, newpos, pos))
+            return (hi, lo, l2, l3, nbb, wc, pos, bid, c6,
+                    *acc), defer
+
+        def cond(st):
+            return (st[0] < t_max) & (jnp.min(st[8]) < n_blocks)
+
+        def body(st):
+            tl = st[0]
+            rest = st[1:]
+            dfr = jnp.zeros((SB, 128), jnp.bool_)
+            for _ in range(unroll):
+                rest, d = token_step(rest)
+                dfr = dfr | d
+            # periodic-only service: a defer-count pressure trigger
+            # (scalar reduce + branch per group) was measured slower;
+            # pmax must stay <= ~16 so empty-block lanes (a block per
+            # ~2 tokens, one pending slot) cannot starve into t_max
+            trig = (tl & (pmax - 1)) == 0
+
+            @pl.when(trig)
+            def _svc():
+                service(rest[7])
+
+            return (tl + unroll,) + rest
+
+        zu = jnp.zeros((SB, 128), jnp.uint32)
+        zi = jnp.zeros((SB, 128), jnp.int32)
+        st = (jnp.int32(0), zu, zu, zu, zu, zi, zi, zi, zi, zi) + \
+            tuple(zi for _ in range(32))
+        st = jax.lax.while_loop(cond, body, st)
+        bid_f = st[8]
+        st_ref[0, 0] = bid_f
+        st_ref[0, 1] = jnp.full((SB, 128), st[0], jnp.int32)
+        # final drain: flush the tail pendings and push the window to nbp
+        service(jnp.full((SB, 128), nbp, jnp.int32))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "t_max", "interpret", "win",
+                                   "hbm", "unroll", "wb", "adv", "pmax",
+                                   "return_status"))
+def decode_scans_async_dense(words, n_blocks: int, t_max: int,
+                             interpret: bool = False, win: int = WIN,
+                             hbm: bool | None = None, unroll: int = 1,
+                             wb: int = WBD, adv: int = ADV,
+                             pmax: int = 16, return_status: bool = False):
+    """words int32 [CB, W, 8, 128] -> (levels int16
+    [CB, n_blocks, 64, 8, 128], ok bool []) via the single-pass async
+    dense kernel.
+
+    Same output contract as entropy_decode_pallas._decode_layout; `ok`
+    False means some lane ran out of its t_max iteration budget
+    (malformed stream or extreme stall) and the slab is garbage -> the
+    caller must fall back to the lockstep or host path."""
+    cbn, w_rows = words.shape[0], words.shape[1]
+    if hbm is None:
+        hbm = w_rows > HBM_STREAM_ROWS
+    nbp = (n_blocks + adv - 1) // adv * adv
+    kernel = _make_dense_kernel(w_rows, n_blocks, nbp, t_max, win=win,
+                                hbm=hbm, unroll=unroll, wb=wb, adv=adv,
+                                pmax=pmax)
+    scratch = [pltpu.VMEM((wb * 64, SB, 128), jnp.int16),   # owin
+               pltpu.VMEM((32, SB, 128), jnp.int32),        # pend
+               pltpu.VMEM((SB, 128), jnp.int32),            # pv
+               pltpu.VMEM((SB, 128), jnp.int32),            # pbid
+               pltpu.SMEM((1,), jnp.int32),                 # wbase
+               pltpu.SemaphoreType.DMA]                     # out DMA
+    if hbm:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch += [pltpu.VMEM((min(win, w_rows), SB, 128), jnp.int32),
+                    pltpu.SMEM((1,), jnp.int32),
+                    pltpu.SemaphoreType.DMA]
+    else:
+        in_specs = [pl.BlockSpec((1, w_rows, SB, 128),
+                                 lambda i: (i, 0, 0, 0))]
+    out, st = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((cbn, nbp * 64, SB, 128),
+                                        jnp.int16),
+                   jax.ShapeDtypeStruct((cbn, 2, SB, 128), jnp.int32)),
+        grid=(cbn,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec((1, 2, SB, 128), lambda i: (i, 0, 0, 0))),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(words)
+    ok = jnp.all(st[:, 0] == n_blocks)
+    slab = out.reshape(cbn, nbp, 64, SB, 128)[:, :n_blocks]
+    if return_status:
+        # st[:, 1] = executed iterations per chunk (incl. defer retries)
+        return slab, ok, st
+    return slab, ok
+
+
+def default_t_max_dense(n_blocks: int, max_bytes: int) -> int:
+    """Iteration budget for the dense async kernel: the record budget
+    plus slack for defer/stall retries (measured < 10% on sorted
+    batches; 50% margin here).  Overflow is detected and falls back."""
+    return (default_t_max(n_blocks, max_bytes) * 3) // 2

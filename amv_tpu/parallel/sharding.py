@@ -126,7 +126,9 @@ def sharded_g729_encode_step(mesh: Mesh):
 
 def sharded_complete_transcode(mesh: Mesh, n_mcu: int, qmat_key,
                                w_out: int = 1024, interpret: bool = False,
-                               win_fetch: int = 64, win_emit: int = 64):
+                               win_fetch: int = 64, win_emit: int = 64,
+                               segs: int = 1,
+                               hbm_decode: bool | None = None):
     """Complete zero-relayout device transcode (unescaped scan bytes ->
     re-encoded scan words + bit counts) with frames sharded over the
     whole mesh.
@@ -145,7 +147,7 @@ def sharded_complete_transcode(mesh: Mesh, n_mcu: int, qmat_key,
 
     fn = partial(transcode_complete_layout, n_mcu=n_mcu, qmat_key=qmat_key,
                  w_out=w_out, interpret=interpret, win_fetch=win_fetch,
-                 win_emit=win_emit)
+                 win_emit=win_emit, segs=segs, hbm_decode=hbm_decode)
     spec = jax.sharding.PartitionSpec(("dp", "sp"))
     mapped = shard_map(fn, mesh=mesh, in_specs=(spec,),
                        out_specs=(spec, spec), check_rep=False)

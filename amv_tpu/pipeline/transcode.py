@@ -71,12 +71,14 @@ def transcode_levels_fused(levels_zz, qscale=2):
 
 @partial(jax.jit, static_argnames=("n_mcu", "qmat_key", "w_out", "interpret",
                                    "win_fetch", "win_emit", "segs",
-                                   "unroll_dec", "unroll_enc"))
+                                   "unroll_dec", "unroll_enc",
+                                   "hbm_decode"))
 def transcode_complete_layout(scans, n_mcu: int, qmat_key,
                               w_out: int = 1024, interpret: bool = False,
                               win_fetch: int = 256, win_emit: int = 128,
                               segs: int = 1, unroll_dec: int = 6,
-                              unroll_enc: int = 3):
+                              unroll_enc: int = 3,
+                              hbm_decode: bool | None = None):
     """Zero-relayout COMPLETE device transcode: unescaped scan bytes in,
     re-encoded scan words out, with all three Pallas stages chained in
     the entropy kernels' native [CB, blocks, 64, 8, 128] slab layout.
@@ -118,7 +120,7 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     cb, nb = fp // 1024, n_mcu * 6
     wl = scan_words_layout(scans)
     lv = _decode_layout(wl, nb, interpret=interpret, win=win_fetch,
-                        unroll=unroll_dec)
+                        unroll=unroll_dec, hbm=hbm_decode)
     lvl = lv.reshape(cb, n_mcu, 6, 64, 8, 128)
     # resolved dequantized DC (+1024 bias), cumsum per component in-layout
     qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
@@ -144,30 +146,37 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
 @partial(jax.jit, static_argnames=("n_mcu", "qmat_key", "w_out",
                                    "interpret", "win_fetch", "win_emit",
                                    "segs", "t_max_dec", "t_max_enc",
-                                   "unroll_dec", "rank_sort"))
+                                   "unroll_dec", "unroll_enc", "enc",
+                                   "pmax", "wb", "adv", "hbm_decode"))
 def transcode_complete_async(scans, n_mcu: int, qmat_key,
                              w_out: int = 1024, interpret: bool = False,
-                             win_fetch: int = 256, win_emit: int = 128,
+                             win_fetch: int = 64, win_emit: int = 64,
                              segs: int = 1, t_max_dec: int = 0,
                              t_max_enc: int = 0, unroll_dec: int = 1,
-                             rank_sort: bool = True):
-    """Lane-async COMPLETE device transcode over the token-record IR.
+                             unroll_enc: int = 3, enc: str = "lockstep",
+                             pmax: int = 16, wb: int = 8, adv: int = 4,
+                             hbm_decode: bool | None = None):
+    """Lane-async COMPLETE device transcode (dense async decoder).
 
     Same contract as transcode_complete_layout (unescaped scan bytes in,
-    re-encoded scan words out), but both entropy stages run without the
-    per-block lockstep barrier: decode emits token records (iteration
-    count = chunk max of per-lane totals, ~1.06x mean on sorted batches,
-    vs 1.93x for per-block max) and encode packs records produced by a
-    fully-parallel XLA tokenizer (~1.09x vs 2.29x).  See
-    kernels/entropy_async_pallas.py / entropy_encode_async_pallas.py.
+    re-encoded scan words out), but the entropy DECODE runs without the
+    per-block lockstep barrier: the single-pass async dense kernel
+    (kernels/entropy_async_pallas.decode_scans_async_dense) decodes one
+    token per lane per iteration — iteration count = chunk max of
+    per-lane token totals (~1.06x mean on sorted batches, vs 1.93x for
+    the per-block max) — and densifies in-register through a pending
+    slot + ring-buffered output window.  The re-encode is the lockstep
+    packer by default (`enc="async"` selects the record-IR tokenizer
+    pair, whose XLA compaction is gather-bound on TPU — kept for the
+    negative-result record).
 
     Returns (words [F*segs, w_out], bits [F*segs], ok).  ok False means
-    a record budget overflowed or a stream was malformed -> caller must
-    fall back (transcode_complete_layout or host entropy).
+    an iteration/record budget overflowed or a stream was malformed ->
+    caller must fall back (transcode_complete_layout or host entropy).
     """
     from ..bitstream import jpeg_tables as T
-    from ..kernels.entropy_async_pallas import (decode_scans_async_layout,
-                                                default_t_max,
+    from ..kernels.entropy_async_pallas import (decode_scans_async_dense,
+                                                default_t_max_dense,
                                                 empty_scan_bytes)
     from ..kernels.entropy_decode_pallas import scan_words_layout
     from ..kernels.entropy_encode_async_pallas import (encode_layout_async,
@@ -180,7 +189,7 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
     fp = (F + 1023) // 1024 * 1024
     cb, nb = fp // 1024, n_mcu * 6
     if t_max_dec == 0:
-        t_max_dec = default_t_max(nb, scans.shape[1])
+        t_max_dec = default_t_max_dense(nb, scans.shape[1])
     if t_max_enc == 0:
         t_max_enc = default_t_max_enc(nb)
     if fp > F:
@@ -192,10 +201,11 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
             [jnp.pad(scans, ((0, 0), (0, width - scans.shape[1]))),
              jnp.broadcast_to(jnp.asarray(prow), (fp - F, width))], axis=0)
     wl = scan_words_layout(scans)
-    slab, ok_d = decode_scans_async_layout(wl, nb, t_max_dec,
-                                           interpret=interpret,
-                                           win=win_fetch, unroll=unroll_dec,
-                                           rank_sort=rank_sort)
+    slab, ok_d = decode_scans_async_dense(wl, nb, t_max_dec,
+                                          interpret=interpret,
+                                          win=win_fetch, unroll=unroll_dec,
+                                          hbm=hbm_decode, wb=wb, adv=adv,
+                                          pmax=pmax)
     lvl = slab.reshape(cb, n_mcu, 6, 64, 8, 128)
     qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
     qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
@@ -206,15 +216,22 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
     dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
     dc = jnp.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
     lv2 = transcode_mcu_layout(lvl, dc, qmat_key, interpret=interpret)
-    words, bits, ok_e = encode_layout_async(
-        lv2.reshape(cb, nb, 64, 8, 128), w_out, t_max_enc,
-        interpret=interpret, win_rows=win_emit, segs=segs)
+    if enc == "async":
+        words, bits, ok_e = encode_layout_async(
+            lv2.reshape(cb, nb, 64, 8, 128), w_out, t_max_enc,
+            interpret=interpret, win_rows=win_emit, segs=segs)
+        ok = ok_d & ok_e
+    else:
+        words, bits = _segment_encode_layout(lv2, n_mcu, segs, w_out,
+                                             interpret, win_emit,
+                                             unroll=unroll_enc)
+        ok = ok_d
     wout = (words.reshape(cb, segs, w_out, 8, 128)
             .transpose(0, 3, 4, 1, 2).reshape(fp, segs, w_out)[:F]
             .reshape(F * segs, w_out))
     bout = (bits.reshape(cb, segs, 8, 128).transpose(0, 2, 3, 1)
             .reshape(fp, segs)[:F].reshape(F * segs))
-    return wout, bout, ok_d & ok_e
+    return wout, bout, ok
 
 
 @partial(jax.jit, static_argnames=("n_mcu", "interpret", "win_fetch",
