@@ -20,6 +20,8 @@ decode(encode(levels)) == levels exactly).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import jpeg_tables as T
@@ -48,12 +50,20 @@ def _mcu_grid(frame):
     return mb_w, mb_h, hmax, vmax
 
 
+_MAPS_CACHE = {}
+
+
 def _block_index_maps(frame):
     """For each component: array mapping component-raster block index ->
     (mcu_index, slot) in the interleaved [M, nb, 64] layout used by the
     rest of the pipeline (slot order: comp0's h*v blocks, comp1's, ...).
     Component blocks beyond the component grid exist only in the MCU
-    layout (padding) and are never coded by non-interleaved scans."""
+    layout (padding) and are never coded by non-interleaved scans.
+    Cached by geometry: batch ingest decodes many same-shaped frames."""
+    key = (frame.width, frame.height, tuple(frame.components))
+    hit = _MAPS_CACHE.get(key)
+    if hit is not None:
+        return hit
     mb_w, mb_h, _, _ = _mcu_grid(frame)
     maps = []
     slot0 = 0
@@ -70,6 +80,9 @@ def _block_index_maps(frame):
                 m[by, bx, 1] = slot0 + sy * h + sx
         maps.append(m)
         slot0 += h * v
+    if len(_MAPS_CACHE) > 64:
+        _MAPS_CACHE.clear()
+    _MAPS_CACHE[key] = maps
     return maps
 
 
@@ -167,6 +180,59 @@ class _Scans:
             raise ValueError("no progressive scans found")
 
 
+def _scan_native(nat, coef_flat, f, maps, grids, slot_base, M, nb,
+                 comps, ss, se, ah, al, scan, huff, ri):
+    """Decode one scan with native/entropy.c:amv_progressive_scan.
+
+    The Python driver stays responsible for marker parsing and block
+    geometry: it flattens the scan's block visit order (and per-block
+    table/predictor slots) into index arrays so the C side is pure
+    entropy work.  Semantics are the Python scan loop's, 1:1."""
+    slots = []
+
+    def slot_of(tc, tid):
+        key = (tc, tid)
+        if key not in slots:
+            slots.append(key)
+        return slots.index(key)
+
+    if ss == 0:
+        interleaved = len(comps) > 1 or len(f.components) == 1
+        if interleaved:
+            offs, tsel, csel = [], [], []
+            for j, (ci, dc_id, _) in enumerate(comps):
+                _, h, v, _ = f.components[ci]
+                for k in range(h * v):
+                    offs.append(slot_base[ci] + k)
+                    tsel.append(slot_of(0, dc_id))
+                    csel.append(j)
+            bpu = len(offs)
+            blk = (np.arange(M, dtype=np.int64)[:, None] * nb +
+                   np.asarray(offs, np.int64)[None, :]).reshape(-1)
+        else:
+            ci, dc_id, _ = comps[0]
+            bw, bh = grids[ci]
+            m = maps[ci].reshape(-1, 2)
+            blk = np.where(m[:, 0] >= 0, m[:, 0] * nb + m[:, 1], -1)
+            tsel, csel, bpu = [slot_of(0, dc_id)], [0], 1
+    else:
+        assert len(comps) == 1, "AC scans are non-interleaved (T.81)"
+        ci, _, ac_id = comps[0]
+        m = maps[ci].reshape(-1, 2)
+        blk = np.where(m[:, 0] >= 0, m[:, 0] * nb + m[:, 1], -1)
+        tsel, csel, bpu = [slot_of(1, ac_id)], [0], 1
+    htabs = np.zeros((4, 273), np.uint8)
+    for i, key in enumerate(slots):
+        bits, vals = huff[key]
+        htabs[i, :17] = bits.astype(np.uint8)
+        htabs[i, 17:17 + len(vals)] = vals.astype(np.uint8)
+    nat.progressive_scan(bytes(scan), coef_flat, blk,
+                         np.asarray(tsel, np.uint8),
+                         np.asarray(csel, np.uint8), bpu, htabs,
+                         ss, se, ah, al, ri)
+
+
+
 def decode_progressive(data: bytes):
     """Decode a progressive JPEG to (levels int16 [M, nb, 64] zigzag
     with slot 0 = ABSOLUTE quantized DC, frame).  The caller dequantizes
@@ -183,7 +249,28 @@ def decode_progressive(data: bytes):
 
     slot_base = np.cumsum([0] + [h * v for (_, h, v, _) in f.components])
 
+    use_native = os.environ.get("AMV_PROGRESSIVE_PY") != "1"
+    nat = None
+    if use_native:
+        try:
+            from ..native import entropy_native as nat
+        except Exception:
+            use_native = False
+    coef_flat = coef.reshape(M * nb, 64)
+
     for comps, ss, se, ah, al, scan, huff, ri in ps.scans:
+        if use_native:
+            # C fast path (native/entropy.c:amv_progressive_scan);
+            # snapshot first so a mid-scan failure can retry the whole
+            # scan with the Python decoder on clean state
+            snap = coef.copy()
+            try:
+                _scan_native(nat, coef_flat, f, maps, grids, slot_base,
+                             M, nb, comps, ss, se, ah, al, scan, huff, ri)
+                continue
+            except Exception:
+                coef[...] = snap
+
         def lut(tc, tid, _huff=huff):
             bits, vals = _huff[(tc, tid)]
             key = (bits.tobytes(), vals.tobytes())

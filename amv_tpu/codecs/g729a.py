@@ -668,14 +668,27 @@ def decode_frame_batch(st, parm):
             st["exc"], EXC_OFF + i * SUBFRAME, SUBFRAME, axis=1)
         out1, fd1, ovf = lp_synthesis_filter(lp, exc_sub,
                                              st["syn_filter_data"], False)
-        exc_scaled = jnp.where(ovf[:, None], st["exc"] >> 2, st["exc"])
-        exc_sub2 = jax.lax.dynamic_slice_in_dim(
-            exc_scaled, EXC_OFF + i * SUBFRAME, SUBFRAME, axis=1)
-        out2, fd2, _ = lp_synthesis_filter(lp, exc_sub2,
-                                           st["syn_filter_data"], True)
-        st["exc"] = exc_scaled
-        speech = jnp.where(ovf[:, None], out2, jnp.clip(out1, -32768, 32767))
-        st["syn_filter_data"] = jnp.where(ovf[:, None], fd2, fd1)
+
+        # the rescale-and-redo pass (g729dec overflow handling) is rare:
+        # run it under a scalar lax.cond so the common case pays one
+        # 40-step synthesis scan per subframe, not two (bit-exact — the
+        # redo branch reproduces the unconditional arithmetic verbatim)
+        def _redo(_):
+            exc_scaled = jnp.where(ovf[:, None], st["exc"] >> 2, st["exc"])
+            exc_sub2 = jax.lax.dynamic_slice_in_dim(
+                exc_scaled, EXC_OFF + i * SUBFRAME, SUBFRAME, axis=1)
+            out2, fd2, _ = lp_synthesis_filter(lp, exc_sub2,
+                                               st["syn_filter_data"], True)
+            return (exc_scaled,
+                    jnp.where(ovf[:, None], out2,
+                              jnp.clip(out1, -32768, 32767)),
+                    jnp.where(ovf[:, None], fd2, fd1))
+
+        def _keep(_):
+            return (st["exc"], jnp.clip(out1, -32768, 32767), fd1)
+
+        st["exc"], speech, st["syn_filter_data"] = jax.lax.cond(
+            jnp.any(ovf), _redo, _keep, None)
 
         speech = postfilter(st, lp, pd_int, speech)
 

@@ -549,13 +549,23 @@ def encode_frame_batch(st, hist, samples):
             st["exc"], G.EXC_OFF + i * SUBFRAME, SUBFRAME, axis=1)
         out1, fd1, ovf = G.lp_synthesis_filter(
             lp_i, exc_sub, st["syn_filter_data"], False)
-        exc_scaled = jnp.where(ovf[:, None], st["exc"] >> 2, st["exc"])
-        exc_sub2 = jax.lax.dynamic_slice_in_dim(
-            exc_scaled, G.EXC_OFF + i * SUBFRAME, SUBFRAME, axis=1)
-        out2, fd2, _ = G.lp_synthesis_filter(
-            lp_i, exc_sub2, st["syn_filter_data"], True)
-        st["exc"] = exc_scaled
-        st["syn_filter_data"] = jnp.where(ovf[:, None], fd2, fd1)
+
+        # rare overflow rescale-and-redo under a scalar lax.cond: the
+        # common case pays one synthesis scan per subframe, not two
+        # (same trick as the decoder; shadow state stays bit-exact)
+        def _redo(_):
+            exc_scaled = jnp.where(ovf[:, None], st["exc"] >> 2, st["exc"])
+            exc_sub2 = jax.lax.dynamic_slice_in_dim(
+                exc_scaled, G.EXC_OFF + i * SUBFRAME, SUBFRAME, axis=1)
+            out2, fd2, _ = G.lp_synthesis_filter(
+                lp_i, exc_sub2, st["syn_filter_data"], True)
+            return exc_scaled, jnp.where(ovf[:, None], fd2, fd1)
+
+        def _keep(_):
+            return st["exc"], fd1
+
+        st["exc"], st["syn_filter_data"] = jax.lax.cond(
+            jnp.any(ovf), _redo, _keep, None)
         st["pitch_prev"] = t_int
 
     st["exc"] = jax.lax.dynamic_update_slice_in_dim(

@@ -603,7 +603,8 @@ ADV = 4     # DMA drain quantum, blocks (WBD/2)
 
 def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
                        win: int = WIN, hbm: bool = False, unroll: int = 1,
-                       wb: int = WBD, adv: int = ADV, pmax: int = 16):
+                       wb: int = WBD, adv: int = ADV, pmax: int = 16,
+                       press: int = 0):
     win = min(win, w_rows)
     assert wb & (wb - 1) == 0 and adv <= wb and nbp % adv == 0
     assert pmax & (pmax - 1) == 0
@@ -729,11 +730,14 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
             for _ in range(unroll):
                 rest, d = token_step(rest)
                 dfr = dfr | d
-            # periodic-only service: a defer-count pressure trigger
-            # (scalar reduce + branch per group) was measured slower;
-            # pmax must stay <= ~16 so empty-block lanes (a block per
-            # ~2 tokens, one pending slot) cannot starve into t_max
+            # periodic service; press > 0 adds a defer-count
+            # pressure trigger (scalar reduce per group) that cuts
+            # stall iterations at the cost of extra service passes.
+            # pmax <= ~16 keeps empty-block lanes (a block per ~2
+            # tokens, one pending slot) from starving into t_max
             trig = (tl & (pmax - 1)) == 0
+            if press:
+                trig = trig | (jnp.sum(dfr.astype(jnp.int32)) >= press)
 
             @pl.when(trig)
             def _svc():
@@ -757,12 +761,13 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
 
 @partial(jax.jit, static_argnames=("n_blocks", "t_max", "interpret", "win",
                                    "hbm", "unroll", "wb", "adv", "pmax",
-                                   "return_status"))
+                                   "press", "return_status"))
 def decode_scans_async_dense(words, n_blocks: int, t_max: int,
                              interpret: bool = False, win: int = WIN,
                              hbm: bool | None = None, unroll: int = 1,
                              wb: int = WBD, adv: int = ADV,
-                             pmax: int = 16, return_status: bool = False):
+                             pmax: int = 16, press: int = 0,
+                             return_status: bool = False):
     """words int32 [CB, W, 8, 128] -> (levels int16
     [CB, n_blocks, 64, 8, 128], ok bool []) via the single-pass async
     dense kernel.
@@ -777,7 +782,7 @@ def decode_scans_async_dense(words, n_blocks: int, t_max: int,
     nbp = (n_blocks + adv - 1) // adv * adv
     kernel = _make_dense_kernel(w_rows, n_blocks, nbp, t_max, win=win,
                                 hbm=hbm, unroll=unroll, wb=wb, adv=adv,
-                                pmax=pmax)
+                                pmax=pmax, press=press)
     scratch = [pltpu.VMEM((wb * 64, SB, 128), jnp.int16),   # owin
                pltpu.VMEM((32, SB, 128), jnp.int32),        # pend
                pltpu.VMEM((SB, 128), jnp.int32),            # pv

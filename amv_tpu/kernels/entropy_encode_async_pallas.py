@@ -487,3 +487,415 @@ def encode_scans_async(levels_zz, w_out: int = 1024, t_max: int = 0,
     wout = words.transpose(0, 2, 3, 1).reshape(fp, w_out)[:F]
     bout = bits[:, 0].reshape(fp)[:F]
     return wout, bout, ok
+
+
+# ---------------------------------------------------------------------------
+# Single-pass lane-async DENSE encoder: ring-buffered input window
+# ---------------------------------------------------------------------------
+#
+# Mirror of entropy_async_pallas._make_dense_kernel for the emit
+# direction, replacing both the lockstep packer's 2.29x per-block-max
+# tax and the record tokenizer's gather-bound XLA compaction: lanes emit
+# one Huffman token per iteration at their own block position.  The
+# per-lane-dynamic *read* problem (each lane needs its own block's
+# coefficients) is the dual of the decoder's write problem and gets the
+# dual solution: the lv slab stays in HBM; a VMEM ring window holds WB
+# consecutive blocks, DMA-advanced in ADV quanta once every lane has
+# moved past them; a periodic service pass stages each lane's NEXT
+# block (32 pair-packed value rows + the two nonzero-occupancy masks)
+# from the ring into a VMEM `nxt` buffer (amortized one-hot over ring
+# slots); lanes swap `nxt` into registers when they finish their
+# current block, or stall until the next service if it is not staged
+# yet.
+#
+# Bit-exact with entropy_encode_pallas._encode_layout (mjpegenc.c
+# encode_block semantics); Huffman table selection is per-lane (luma =
+# cbid % 6 < 4) via the same bit-sliced canonical tables the record
+# tokenizer uses.
+
+WBE = 4     # input ring, blocks (power of two)
+ADVE = 2    # DMA advance quantum, blocks
+
+
+def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
+                           t_max: int, win_rows: int = WIN_O,
+                           unroll: int = 1, wb: int = WBE,
+                           adv: int = ADVE, pmax: int = 16):
+    win = min(win_rows, w_out)
+    assert w_out % win == 0, (w_out, win)
+    assert wb & (wb - 1) == 0 and adv <= wb and nbp % adv == 0
+    assert pmax & (pmax - 1) == 0
+
+    def emit_if_full(out_ref, hi, lo, l2, l3, nb, wcur, tbits,
+                     force=False):
+        """Lazy per-lane word flush into a WIN-row output window —
+        identical discipline to entropy_encode_pallas.emit_if_full."""
+        hard = nb >= (32 if force else 101)
+
+        def cond(st):
+            return jnp.sum(st[6]) > 0
+
+        def body(st):
+            hi, lo, l2, l3, nb, wcur, unserved = st
+            wn = jnp.where(unserved != 0, wcur, jnp.int32(0x7FFFFFFF))
+            lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
+            wview = out_ref[0, pl.ds(lo0, win)]
+            it = lo0 + jax.lax.broadcasted_iota(jnp.int32,
+                                                (win, SB, 128), 0)
+            for _ in range(3):
+                ready = nb >= 32
+                inwin = (wcur >= lo0) & (wcur < lo0 + win)
+                srv = ready & (inwin | (hard & (wcur >= w_out)))
+                hit = (it == wcur[None]) & (srv & inwin)[None]
+                wview = jnp.where(hit, hi.astype(jnp.int32)[None], wview)
+                hi = jnp.where(srv, lo, hi)
+                lo = jnp.where(srv, l2, lo)
+                l2 = jnp.where(srv, l3, l2)
+                l3 = jnp.where(srv, jnp.uint32(0), l3)
+                nb = nb - jnp.where(srv, 32, 0)
+                wcur = wcur + jnp.where(srv, 1, 0)
+            out_ref[0, pl.ds(lo0, win)] = wview
+            unserved = jnp.where(nb < (32 if force else 101), 0, unserved)
+            return hi, lo, l2, l3, nb, wcur, unserved
+
+        u0 = hard.astype(jnp.int32)
+        hi, lo, l2, l3, nb, wcur, _ = jax.lax.while_loop(
+            cond, body, (hi, lo, l2, l3, nb, wcur, u0))
+        return hi, lo, l2, l3, nb, wcur, tbits
+
+    def append(hi, lo, l2, l3, nb, tbits, code, ln, active):
+        """MSB-first append at nb <= 100 (entropy_encode_pallas.append;
+        the <= 27-bit token invariant is asserted at module load)."""
+        cu = jnp.where(active, code.astype(jnp.uint32), jnp.uint32(0))
+        lna = jnp.where(active, ln, 0)
+        s = nb & 31
+        sh_hi = 32 - s - lna
+        c_a = jnp.where(sh_hi >= 0,
+                        cu << (sh_hi & 31).astype(jnp.uint32),
+                        cu >> ((-sh_hi) & 31).astype(jnp.uint32))
+        c_b = jnp.where(sh_hi < 0,
+                        cu << ((32 + sh_hi) & 31).astype(jnp.uint32),
+                        jnp.uint32(0))
+        w0 = nb < 32
+        w1 = (nb >= 32) & (nb < 64)
+        w2 = (nb >= 64) & (nb < 96)
+        z = jnp.uint32(0)
+        hi = hi | jnp.where(w0, c_a, z)
+        lo = lo | jnp.where(w0, c_b, jnp.where(w1, c_a, z))
+        l2 = l2 | jnp.where(w1, c_b, jnp.where(w2, c_a, z))
+        l3 = l3 | jnp.where(w2, c_b, jnp.where(w0 | w1, z, c_a))
+        nb = nb + lna
+        tbits = tbits + lna
+        return hi, lo, l2, l3, nb, tbits
+
+    def popc(xu):
+        xu = xu - ((xu >> 1) & jnp.uint32(0x55555555))
+        xu = (xu & jnp.uint32(0x33333333)) + \
+            ((xu >> 2) & jnp.uint32(0x33333333))
+        xu = (xu + (xu >> 4)) & jnp.uint32(0x0F0F0F0F)
+        return ((xu * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+    def kernel(lv_ref, dc0_ref, out_ref, bits_ref, st_ref, iwin,
+               nxt_ref, nv_ref, wb_ref, sem):
+        ci = pl.program_id(0)
+        for r in range(0, w_out, win):
+            out_ref[0, pl.ds(r, win)] = jnp.zeros((win, SB, 128),
+                                                  jnp.int32)
+        nv_ref[...] = jnp.zeros((SB, 128), jnp.int32)
+        wb_ref[0] = 0
+        # initial ring fill: blocks [0, wb)
+        for q in range(wb // adv):
+            cp = pltpu.make_async_copy(
+                lv_ref.at[ci, pl.ds(q * adv * 64, adv * 64)],
+                iwin.at[pl.ds(q * adv * 64, adv * 64)], sem)
+            cp.start()
+            cp.wait()
+
+        def service(cbid, nxt_want):
+            """Stage each waiting lane's next block from the ring into
+            nxt (values pair-packed + occupancy masks in rows 32/33),
+            then advance the ring window in `adv`-block DMA quanta past
+            blocks no lane needs anymore."""
+
+            def cond(go):
+                return go > 0
+
+            def body(go):
+                wbase = wb_ref[0]
+                nv = nv_ref[...]
+                tgt = nxt_want                    # = cbid + 1 per lane
+                need = (nv == 0) & (tgt < n_blocks) & (tgt >= wbase) & \
+                    (tgt < wbase + wb)
+                pvv = [jnp.zeros((SB, 128), jnp.int32) for _ in range(32)]
+                emlo = jnp.zeros((SB, 128), jnp.int32)
+                emhi = jnp.zeros((SB, 128), jnp.int32)
+                for slot in range(wb):
+                    m = need & ((tgt & (wb - 1)) == slot)
+                    for j in range(32):
+                        vlo = iwin[slot * 64 + 2 * j].astype(jnp.int32) \
+                            & 0xFFFF
+                        vhi = iwin[slot * 64 + 2 * j + 1].astype(jnp.int32)
+                        pj = vlo | (vhi << 16)
+                        pvv[j] = pvv[j] | jnp.where(m, pj, 0)
+                        if j > 0:
+                            if 2 * j < 32:
+                                emlo = emlo | jnp.where(
+                                    m & (vlo != 0), jnp.int32(1 << (2 * j)),
+                                    0)
+                            else:
+                                b = 1 << (2 * j - 32)
+                                emhi = emhi | jnp.where(
+                                    m & (vlo != 0), jnp.int32(b), 0)
+                        ko = 2 * j + 1
+                        if ko < 32:
+                            bo = 1 << ko
+                            emlo = emlo | jnp.where(
+                                m & (vhi != 0),
+                                jnp.int32(bo - (1 << 32) if ko == 31
+                                          else bo), 0)
+                        else:
+                            b = 1 << (ko - 32)
+                            emhi = emhi | jnp.where(
+                                m & (vhi != 0),
+                                jnp.int32(b - (1 << 32) if ko == 63
+                                          else b), 0)
+                for j in range(32):
+                    nxt_ref[j] = jnp.where(need, pvv[j], nxt_ref[j])
+                nxt_ref[32] = jnp.where(need, emlo, nxt_ref[32])
+                nxt_ref[33] = jnp.where(need, emhi, nxt_ref[33])
+                nv = jnp.where(need, 1, nv)
+                nv_ref[...] = nv
+                # ring advance: lowest block any lane still needs
+                eff = jnp.where(cbid + 1 + nv >= n_blocks, nbp + wb,
+                                cbid + 1 + nv)
+                frontier = jnp.minimum(jnp.min(eff), nbp)
+                adv_ok = (frontier - wbase >= adv) & (wbase < nbp)
+
+                @pl.when(adv_ok)
+                def _adv():
+                    slot0 = wbase & (wb - 1)
+                    src0 = wbase + wb
+                    src0 = jnp.minimum(src0, nbp - adv)
+                    cp = pltpu.make_async_copy(
+                        lv_ref.at[ci, pl.ds(src0 * 64, adv * 64)],
+                        iwin.at[pl.ds(slot0 * 64, adv * 64)], sem)
+                    cp.start()
+                    cp.wait()
+                    wb_ref[0] = wbase + adv
+
+                return jnp.where(adv_ok, jnp.int32(1), jnp.int32(0))
+
+            jax.lax.while_loop(cond, body, jnp.int32(1))
+
+        def token_step(st):
+            (hi, lo, l2, l3, nb, wcur, tbits, cbid, c6, tphase, prev,
+             z, mlo, mhi, ldc0, ldc1, ldc2) = st[:17]
+            pv = list(st[17:49])
+            # swap: lanes that finished their block take the staged next
+            nv = nv_ref[...]
+            done = (tphase == 2) & (cbid >= n_blocks - 1)
+            take = (tphase == 2) & (~done) & (nv != 0)
+            for j in range(32):
+                pv[j] = jnp.where(take, nxt_ref[j], pv[j])
+            mlo = jnp.where(take, nxt_ref[32], mlo)
+            mhi = jnp.where(take, nxt_ref[33], mhi)
+            nv_ref[...] = jnp.where(take, 0, nv)
+            cbid = cbid + take.astype(jnp.int32)
+            c6n = c6 + take.astype(jnp.int32)
+            c6 = jnp.where(c6n >= 6, 0, c6n)
+            tphase = jnp.where(take, 0, tphase)
+            prev = jnp.where(take, 0, prev)
+            z = jnp.where(take, 0, z)
+            luma = c6 < 4
+            is_cr = c6 == 5
+
+            # ---- DC token (tphase 0) ----
+            is_dcp = tphase == 0
+            dcabs = ((pv[0] & 0xFFFF) ^ 0x8000) - 0x8000
+            ldc = jnp.where(luma, ldc0, jnp.where(is_cr, ldc2, ldc1))
+            diff = dcabs - ldc
+            negd = diff < 0
+            nbd = _bitlen(jnp.abs(diff))
+            mantd = jnp.where(negd, diff - 1, diff) & \
+                ((jnp.int32(1) << nbd) - 1)
+            dc_pk = _sel_small(jnp.clip(nbd, 0, 11),
+                               [_packed(_ET["dc_l"], n) for n in range(12)],
+                               [_packed(_ET["dc_c"], n) for n in range(12)],
+                               luma)
+            code_d = ((dc_pk >> 5) << nbd) | mantd
+            ln_d = (dc_pk & 31) + nbd
+
+            # ---- AC token (tphase 1) ----
+            in_ac = (mlo != 0) | (mhi != 0)
+            sel_lo = mlo != 0
+            wmask = jnp.where(sel_lo, mlo, mhi)
+            low = wmask & -wmask
+            pos = popc((low - 1).astype(jnp.uint32)) + \
+                jnp.where(sel_lo, 0, 32)
+            half = jnp.zeros((SB, 128), jnp.int32)
+            for j in range(32):
+                half = half | jnp.where((pos >> 1) == j, pv[j], 0)
+            val = jnp.where((pos & 1) != 0, half >> 16,
+                            ((half & 0xFFFF) ^ 0x8000) - 0x8000)
+            run = pos - prev - 1 - 16 * z
+            is_ac = tphase == 1
+            is_zrl = is_ac & in_ac & (run >= 16)
+            is_sym = is_ac & in_ac & (run < 16)
+            is_eob = is_ac & (~in_ac) & (prev != 63)
+            negv = val < 0
+            nbv = _bitlen(jnp.abs(val))
+            mantv = jnp.where(negv, val - 1, val) & \
+                ((jnp.int32(1) << nbv) - 1)
+            acode, alen = _ac_code_len(
+                (jnp.clip(run, 0, 15) << 4) | jnp.clip(nbv, 1, 10), luma)
+            code_s = (acode << nbv) | mantv
+            ln_s = alen + nbv
+            eob_pk = jnp.where(luma, _packed(_ET["ac_l"], 0),
+                               _packed(_ET["ac_c"], 0))
+            zrl_pk = jnp.where(luma, _packed(_ET["ac_l"], 0xF0),
+                               _packed(_ET["ac_c"], 0xF0))
+
+            code = jnp.where(is_dcp, code_d,
+                             jnp.where(is_sym, code_s,
+                                       jnp.where(is_zrl, zrl_pk >> 5,
+                                                 eob_pk >> 5)))
+            ln = jnp.where(is_dcp, ln_d,
+                           jnp.where(is_sym, ln_s,
+                                     jnp.where(is_zrl, zrl_pk & 31,
+                                               eob_pk & 31)))
+            act = (is_dcp | is_sym | is_zrl | is_eob) & (cbid >= 0) & \
+                (cbid < n_blocks)
+            hi, lo, l2, l3, nb, tbits = append(hi, lo, l2, l3, nb, tbits,
+                                               code, ln, act)
+            hi, lo, l2, l3, nb, wcur, tbits = emit_if_full(
+                out_ref, hi, lo, l2, l3, nb, wcur, tbits)
+
+            # ---- state updates ----
+            dc_upd = is_dcp & act
+            ldc0 = jnp.where(dc_upd & luma, dcabs, ldc0)
+            ldc1 = jnp.where(dc_upd & (~luma) & (~is_cr), dcabs, ldc1)
+            ldc2 = jnp.where(dc_upd & is_cr, dcabs, ldc2)
+            clear_lo = is_sym & sel_lo
+            mlo = jnp.where(clear_lo, mlo ^ low, mlo)
+            mhi = jnp.where(is_sym & (~sel_lo), mhi ^ low, mhi)
+            empty_after = (mlo == 0) & (mhi == 0)
+            blk_done = is_eob | (is_sym & empty_after & (pos == 63))
+            tphase = jnp.where(is_dcp & act, 1,
+                               jnp.where(blk_done, 2, tphase))
+            prev = jnp.where(is_sym, pos, prev)
+            z = jnp.where(is_sym, 0,
+                          jnp.where(is_zrl, z + 1, z))
+            return (hi, lo, l2, l3, nb, wcur, tbits, cbid, c6, tphase,
+                    prev, z, mlo, mhi, ldc0, ldc1, ldc2, *pv)
+
+        def cond(st):
+            tphase, cbid = st[1 + 9], st[1 + 7]
+            done = (tphase == 2) & (cbid >= n_blocks - 1)
+            return (st[0] < t_max) & \
+                (jnp.sum(1 - done.astype(jnp.int32)) > 0)
+
+        def body(st):
+            tl = st[0]
+            rest = st[1:]
+
+            @pl.when((tl & (pmax - 1)) == 0)
+            def _svc():
+                service(rest[7], rest[7] + 1)
+
+            for _ in range(unroll):
+                rest = token_step(rest)
+            return (tl + unroll,) + rest
+
+        zi = jnp.zeros((SB, 128), jnp.int32)
+        zu = jnp.zeros((SB, 128), jnp.uint32)
+        st = (jnp.int32(0), zu, zu, zu, zu, zi, zi, zi,
+              jnp.full((SB, 128), -1, jnp.int32),          # cbid
+              jnp.full((SB, 128), 5, jnp.int32),           # c6 (pre-first)
+              jnp.full((SB, 128), 2, jnp.int32),           # tphase: want
+              zi, zi, zi, zi,
+              dc0_ref[0, 0], dc0_ref[0, 1], dc0_ref[0, 2]) + \
+            tuple(zi for _ in range(32))
+        st = jax.lax.while_loop(cond, body, st)
+        (hi, lo, l2, l3, nb, wcur, tbits) = st[1:8]
+        tphase, cbid = st[10], st[8]
+        done_f = (tphase == 2) & (cbid >= n_blocks - 1)
+        st_ref[0, 0] = jnp.where(done_f, n_blocks, cbid)
+        st_ref[0, 1] = jnp.full((SB, 128), st[0], jnp.int32)
+        # final drain (mirrors the lockstep kernel's flush)
+        hi_f, lo_f, l2_f, l3_f, nb_f, wcur_f, tbits = emit_if_full(
+            out_ref, hi, lo, l2, l3, nb, wcur, tbits, force=True)
+
+        def cond_f(s):
+            return jnp.sum(s[1]) > 0
+
+        def body_f(s):
+            _, unserved = s
+            wn = jnp.where(unserved != 0, wcur_f, jnp.int32(0x7FFFFFFF))
+            lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
+            wview = out_ref[0, pl.ds(lo0, win)]
+            it2 = lo0 + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (win, SB, 128), 0)
+            hit = (it2 == wcur_f[None]) & (unserved != 0)[None]
+            out_ref[0, pl.ds(lo0, win)] = jnp.where(
+                hit, hi_f.astype(jnp.int32)[None], wview)
+            inwin = (wcur_f >= lo0) & (wcur_f < lo0 + win)
+            return jnp.int32(0), jnp.where(inwin, 0, unserved)
+
+        u0 = ((nb_f > 0) & (wcur_f < w_out)).astype(jnp.int32)
+        jax.lax.while_loop(cond_f, body_f, (jnp.int32(0), u0))
+        bits_ref[0, 0] = tbits
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("w_out", "t_max", "interpret",
+                                   "win_rows", "unroll", "wb", "adv",
+                                   "pmax", "return_status"))
+def encode_layout_async_dense(lv, w_out: int, t_max: int,
+                              interpret: bool = False,
+                              win_rows: int = WIN_O, unroll: int = 1,
+                              wb: int = WBE, adv: int = ADVE,
+                              pmax: int = 16, dc0=None,
+                              return_status: bool = False):
+    """lv int16 [CB, NB, 64, SB, 128] zigzag (slot0 = absolute DC) ->
+    (words int32 [CB, w_out, SB, 128], bits int32 [CB, 1, SB, 128], ok)
+    via the single-pass async encoder.
+
+    Bit-exact with entropy_encode_pallas._encode_layout; `ok` False
+    means some lane ran out of its t_max iteration budget -> the caller
+    must fall back to the lockstep packer."""
+    cbn, NB = lv.shape[0], lv.shape[1]
+    if dc0 is None:
+        dc0 = jnp.full((cbn, 3, SB, 128), 128, jnp.int32)
+    nbp = max((NB + adv - 1) // adv * adv, wb)
+    if nbp > NB:
+        lv = jnp.concatenate(
+            [lv, jnp.zeros((cbn, nbp - NB, 64, SB, 128), jnp.int16)],
+            axis=1)
+    kernel = _make_enc_dense_kernel(NB, nbp, w_out, t_max,
+                                    win_rows=win_rows, unroll=unroll,
+                                    wb=wb, adv=adv, pmax=pmax)
+    scratch = [pltpu.VMEM((wb * 64, SB, 128), jnp.int16),   # iwin
+               pltpu.VMEM((34, SB, 128), jnp.int32),        # nxt
+               pltpu.VMEM((SB, 128), jnp.int32),            # nxt valid
+               pltpu.SMEM((1,), jnp.int32),                 # wbase
+               pltpu.SemaphoreType.DMA]
+    words, bits, st = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((cbn, w_out, SB, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((cbn, 1, SB, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((cbn, 2, SB, 128), jnp.int32)),
+        grid=(cbn,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((1, 3, SB, 128), lambda i: (i, 0, 0, 0))],
+        out_specs=(pl.BlockSpec((1, w_out, SB, 128),
+                                lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((1, 1, SB, 128), lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((1, 2, SB, 128), lambda i: (i, 0, 0, 0))),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(lv.reshape(cbn, nbp * 64, SB, 128), dc0)
+    ok = jnp.all(st[:, 0] == NB)
+    if return_status:
+        return words, bits, ok, st
+    return words, bits, ok

@@ -950,3 +950,223 @@ API int64_t adpcm_ref_decode(const uint8_t *data, int64_t nbytes,
     }
     return k;
 }
+
+/* ------------------------------------------------------------------------
+ * Progressive JPEG scan decoder (T.81 G.1.2 / G.2, libjpeg jdphuff
+ * semantics -- the vendored mjpegdec.c covers only the Ah==0 subset).
+ * One call decodes ONE scan pass over the zigzag coefficient planes;
+ * the Python driver (bitstream/jpeg_progressive.py) parses markers,
+ * snapshots Huffman tables per SOS, and precomputes the block-order
+ * map so this stays pure entropy work.  Mirrors the pure-Python
+ * decoder 1:1 (differentially tested against it).
+ * --------------------------------------------------------------------- */
+
+typedef struct {
+    const uint8_t *d;
+    long n, p;                 /* next raw byte */
+    uint64_t acc;
+    int nb;
+} PBits;
+
+static int pb_byte(PBits *b) {
+    if (b->p >= b->n) return 0;          /* past end: zero fill */
+    uint8_t v = b->d[b->p++];
+    if (v == 0xFF && b->p < b->n && b->d[b->p] == 0x00)
+        b->p++;                          /* drop stuffing byte */
+    return v;
+}
+
+static void pb_fill(PBits *b) {
+    while (b->nb <= 56) {
+        b->acc = (b->acc << 8) | (uint64_t)pb_byte(b);
+        b->nb += 8;
+    }
+}
+
+static uint32_t pb_bits(PBits *b, int n) {
+    if (!n) return 0;
+    pb_fill(b);
+    uint32_t v = (uint32_t)((b->acc >> (b->nb - n)) & ((1u << n) - 1));
+    b->nb -= n;
+    return v;
+}
+
+static int32_t pb_xbits(PBits *b, int n) {
+    int32_t v = (int32_t)pb_bits(b, n);
+    if (v < (1 << (n - 1)))
+        return v - (1 << n) + 1;
+    return v;
+}
+
+static int pb_rst(PBits *b) {
+    b->nb -= b->nb & 7;                  /* byte align */
+    uint32_t mk = pb_bits(b, 16);
+    return (mk & 0xFFF8) == 0xFFD0 ? 0 : -1;
+}
+
+typedef struct {
+    int32_t maxcode[17], mincode[17], valptr[17];
+    uint8_t vals[256];
+    int ok;
+} PHuff;
+
+static void ph_build(PHuff *h, const uint8_t *t) {
+    /* t: bits[17] (t[0] unused) + vals[256] */
+    int code = 0, k = 0, l;
+    for (l = 1; l <= 16; l++) {
+        h->valptr[l] = k;
+        h->mincode[l] = code;
+        code += t[l];
+        k += t[l];
+        h->maxcode[l] = code - 1;        /* < mincode when empty */
+        code <<= 1;
+    }
+    memcpy(h->vals, t + 17, 256);
+    h->ok = k > 0;
+}
+
+static int ph_vlc(PBits *b, const PHuff *h) {
+    int code = (int)pb_bits(b, 1), l = 1;
+    while (h->maxcode[l] < h->mincode[l] || code > h->maxcode[l]) {
+        code = (code << 1) | (int)pb_bits(b, 1);
+        if (++l > 16) return -1;
+    }
+    return h->vals[h->valptr[l] + code - h->mincode[l]];
+}
+
+static void pb_refine_tail(PBits *b, int32_t *bk, int k, int se,
+                           int32_t p1, int32_t m1) {
+    for (; k <= se; k++)
+        if (bk[k]) {
+            if (pb_bits(b, 1) && !(bk[k] & p1))
+                bk[k] += bk[k] > 0 ? p1 : m1;
+        }
+}
+
+API int amv_progressive_scan(
+    const uint8_t *scan, long scan_len,
+    int32_t *coef,               /* [nblocks_total * 64], zigzag */
+    const int64_t *blk,          /* [units*bpu] block index or -1 */
+    const uint8_t *tabsel,       /* [bpu] huffman slot (0..3) */
+    const uint8_t *cisel,        /* [bpu] dc predictor slot (0..3) */
+    long units, int bpu,
+    const uint8_t *htabs,        /* [4][17+256] bits+vals */
+    int ss, int se, int ah, int al, int ri) {
+    PBits b = {scan, scan_len, 0, 0, 0};
+    PHuff ph[4];
+    int i;
+    for (i = 0; i < 4; i++)
+        ph_build(&ph[i], htabs + i * (17 + 256));
+
+    if (ss == 0) {               /* DC scan (interleaved or single) */
+        int32_t pred[4] = {0, 0, 0, 0};
+        long u;
+        for (u = 0; u < units; u++) {
+            if (ri && u && u % ri == 0) {
+                if (pb_rst(&b)) return -2;
+                pred[0] = pred[1] = pred[2] = pred[3] = 0;
+            }
+            for (i = 0; i < bpu; i++) {
+                int32_t val;
+                long t = blk[u * bpu + i];
+                if (ah == 0) {
+                    int sym = ph_vlc(&b, &ph[tabsel[i]]);
+                    if (sym < 0 || sym > 15) return -3;
+                    pred[cisel[i]] += sym ? pb_xbits(&b, sym) : 0;
+                    val = pred[cisel[i]] << al;
+                    if (t >= 0) coef[t * 64] = val;
+                } else {
+                    val = (int32_t)pb_bits(&b, 1) << al;
+                    if (t >= 0) coef[t * 64] |= val;
+                }
+            }
+        }
+        return 0;
+    }
+
+    {                            /* AC scan: single component, bpu==1 */
+        const PHuff *tab = &ph[tabsel[0]];
+        long eobrun = 0, u;
+        int32_t p1 = 1 << al, m1 = -(1 << al);
+        int32_t dummy[64];
+        for (u = 0; u < units; u++) {
+            long t = blk[u];
+            int32_t *bk;
+            if (ri && u && u % ri == 0) {
+                if (pb_rst(&b)) return -2;
+                eobrun = 0;
+            }
+            if (t >= 0) {
+                bk = coef + t * 64;
+            } else {
+                memset(dummy, 0, sizeof dummy);
+                bk = dummy;
+            }
+            if (ah == 0) {
+                int k;
+                if (eobrun > 0) { eobrun--; continue; }
+                k = ss;
+                while (k <= se) {
+                    int rs = ph_vlc(&b, tab);
+                    int r, sz;
+                    if (rs < 0) return -3;
+                    r = rs >> 4; sz = rs & 15;
+                    if (sz == 0) {
+                        if (r == 15) { k += 16; continue; }
+                        eobrun = (1L << r) - 1;
+                        if (r) eobrun += pb_bits(&b, r);
+                        break;
+                    }
+                    k += r;
+                    if (k > se) return -4;
+                    bk[k] = pb_xbits(&b, sz) << al;
+                    k++;
+                }
+            } else {             /* AC refinement */
+                int k, hit;
+                if (eobrun > 0) {
+                    eobrun--;
+                    pb_refine_tail(&b, bk, ss, se, p1, m1);
+                    continue;
+                }
+                k = ss; hit = 0;
+                while (k <= se) {
+                    int rs = ph_vlc(&b, tab);
+                    int r, sz;
+                    int32_t insert = 0;
+                    if (rs < 0) return -3;
+                    r = rs >> 4; sz = rs & 15;
+                    if (sz == 0) {
+                        if (r < 15) {
+                            eobrun = (1L << r) - 1;
+                            if (r) eobrun += pb_bits(&b, r);
+                            hit = 1;
+                            break;
+                        }
+                        /* r == 15: skip 16 zero-history coeffs */
+                    } else {
+                        if (sz != 1) return -5;
+                        insert = pb_bits(&b, 1) ? p1 : m1;
+                    }
+                    while (k <= se) {
+                        if (bk[k]) {
+                            if (pb_bits(&b, 1) && !(bk[k] & p1))
+                                bk[k] += bk[k] > 0 ? p1 : m1;
+                        } else {
+                            if (r == 0) {
+                                if (insert) bk[k] = insert;
+                                k++;
+                                break;
+                            }
+                            r--;
+                        }
+                        k++;
+                    }
+                }
+                if (hit)
+                    pb_refine_tail(&b, bk, k, se, p1, m1);
+            }
+        }
+    }
+    return 0;
+}

@@ -298,3 +298,43 @@ def ref_adpcm_decode(data: bytes, predictor: int, step_index: int) -> np.ndarray
         data, len(data), predictor, step_index,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
     return out[:n]
+
+
+_lib.amv_progressive_scan.restype = ctypes.c_int
+_lib.amv_progressive_scan.argtypes = [
+    ctypes.c_char_p, ctypes.c_long,
+    ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ctypes.c_long, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+
+
+def progressive_scan(scan: bytes, coef: np.ndarray, blk: np.ndarray,
+                     tabsel: np.ndarray, cisel: np.ndarray, bpu: int,
+                     htabs: np.ndarray, ss: int, se: int, ah: int,
+                     al: int, ri: int) -> None:
+    """One progressive-JPEG scan pass over zigzag coefficient planes.
+
+    coef int32 [NB_total, 64] (modified in place), blk int64
+    [units*bpu] flat block indices (-1 = bit-consuming skip), tabsel /
+    cisel uint8 [bpu], htabs uint8 [4, 273] (bits[17] + vals[256] per
+    slot).  Raises on malformed scans (caller falls back to the Python
+    scan decoder, which reports the precise position)."""
+    assert coef.dtype == np.int32 and coef.flags.c_contiguous
+    blk = np.ascontiguousarray(blk, np.int64)
+    tabsel = np.ascontiguousarray(tabsel, np.uint8)
+    cisel = np.ascontiguousarray(cisel, np.uint8)
+    htabs = np.ascontiguousarray(htabs, np.uint8)
+    assert htabs.shape == (4, 273)
+    units = len(blk) // bpu
+    rc = _lib.amv_progressive_scan(
+        scan, len(scan),
+        coef.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        tabsel.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cisel.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        units, bpu,
+        htabs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ss, se, ah, al, ri)
+    if rc != 0:
+        raise ValueError(f"progressive scan decode failed (rc={rc})")

@@ -154,6 +154,35 @@ def sharded_complete_transcode(mesh: Mesh, n_mcu: int, qmat_key,
     return jax.jit(mapped)
 
 
+def sharded_complete_transcode_async(mesh: Mesh, n_mcu: int, qmat_key,
+                                     w_out: int = 1024,
+                                     interpret: bool = False,
+                                     win_fetch: int = 64,
+                                     win_emit: int = 64, segs: int = 1,
+                                     hbm_decode: bool | None = None):
+    """The round-3 lane-async complete chain (dense async Huffman decode
+    + in-layout transform + dense async Huffman encode), frames sharded
+    over the whole mesh via shard_map.
+
+    Returns (words, bits, ok_per_shard int32 [n_shards]): every shard
+    entry must be 1, else some shard overflowed its iteration budget
+    and the caller falls back to the lockstep chain."""
+    from jax.experimental.shard_map import shard_map
+    from ..pipeline.transcode import transcode_complete_async
+
+    def fn(scans):
+        words, bits, ok = transcode_complete_async(
+            scans, n_mcu=n_mcu, qmat_key=qmat_key, w_out=w_out,
+            interpret=interpret, win_fetch=win_fetch, win_emit=win_emit,
+            segs=segs, enc="async", hbm_decode=hbm_decode)
+        return words, bits, ok.astype(jnp.int32).reshape(1)
+
+    spec = jax.sharding.PartitionSpec(("dp", "sp"))
+    mapped = shard_map(fn, mesh=mesh, in_specs=(spec,),
+                      out_specs=(spec, spec, spec), check_rep=False)
+    return jax.jit(mapped)
+
+
 def sharded_decode_scans(mesh: Mesh, n_mcu: int, interpret: bool = False,
                          win_fetch: int = 64):
     """Zero-relayout device decode chain (scan bytes -> pixel blocks)

@@ -147,14 +147,19 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
                                    "interpret", "win_fetch", "win_emit",
                                    "segs", "t_max_dec", "t_max_enc",
                                    "unroll_dec", "unroll_enc", "enc",
-                                   "pmax", "wb", "adv", "hbm_decode"))
+                                   "pmax", "wb", "adv", "press",
+                                   "enc_unroll", "enc_pmax", "enc_wb",
+                                   "enc_adv", "hbm_decode"))
 def transcode_complete_async(scans, n_mcu: int, qmat_key,
                              w_out: int = 1024, interpret: bool = False,
                              win_fetch: int = 64, win_emit: int = 64,
                              segs: int = 1, t_max_dec: int = 0,
-                             t_max_enc: int = 0, unroll_dec: int = 1,
+                             t_max_enc: int = 0, unroll_dec: int = 8,
                              unroll_enc: int = 3, enc: str = "lockstep",
-                             pmax: int = 16, wb: int = 8, adv: int = 4,
+                             pmax: int = 8, wb: int = 8, adv: int = 4,
+                             press: int = 64, enc_unroll: int = 8,
+                             enc_pmax: int = 8, enc_wb: int = 8,
+                             enc_adv: int = 4,
                              hbm_decode: bool | None = None):
     """Lane-async COMPLETE device transcode (dense async decoder).
 
@@ -192,6 +197,9 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
         t_max_dec = default_t_max_dense(nb, scans.shape[1])
     if t_max_enc == 0:
         t_max_enc = default_t_max_enc(nb)
+        if enc == "async":
+            # the dense async encoder's budget counts stall retries too
+            t_max_enc = t_max_enc * 3 // 2
     if fp > F:
         pad = np.frombuffer(empty_scan_bytes(n_mcu), np.uint8)
         width = max(scans.shape[1], len(pad))
@@ -205,7 +213,7 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
                                           interpret=interpret,
                                           win=win_fetch, unroll=unroll_dec,
                                           hbm=hbm_decode, wb=wb, adv=adv,
-                                          pmax=pmax)
+                                          pmax=pmax, press=press)
     lvl = slab.reshape(cb, n_mcu, 6, 64, 8, 128)
     qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
     qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
@@ -217,11 +225,34 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
     dc = jnp.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
     lv2 = transcode_mcu_layout(lvl, dc, qmat_key, interpret=interpret)
     if enc == "async":
+        from ..kernels.entropy_encode_async_pallas import \
+            encode_layout_async_dense
+        if segs == 1:
+            lvs, dc0 = lv2.reshape(cb, nb, 64, 8, 128), None
+        else:
+            # lane-parallel segments, same wiring as
+            # _segment_encode_layout: a segment's initial DC predictors
+            # are the previous segment's last per-component DC levels
+            ms = n_mcu // segs
+            prev = lv2[:, ms - 1::ms, 3:6, 0].astype(jnp.int32)
+            dc0 = jnp.concatenate(
+                [jnp.full((cb, 1, 3, 8, 128), 128, jnp.int32),
+                 prev[:, :-1]], axis=1).reshape(cb * segs, 3, 8, 128)
+            lvs = lv2.reshape(cb * segs, ms * 6, 64, 8, 128)
+        words, bits, ok_e = encode_layout_async_dense(
+            lvs, w_out, t_max_enc, interpret=interpret,
+            win_rows=win_emit, unroll=enc_unroll, pmax=enc_pmax,
+            wb=enc_wb, adv=enc_adv, dc0=dc0)
+        ok = ok_d & ok_e
+    elif enc == "record":
+        # record-IR tokenizer pair: kept as the documented negative
+        # (XLA compaction is gather-bound on TPU)
         words, bits, ok_e = encode_layout_async(
             lv2.reshape(cb, nb, 64, 8, 128), w_out, t_max_enc,
             interpret=interpret, win_rows=win_emit, segs=segs)
         ok = ok_d & ok_e
     else:
+        # lockstep packer (also the segs > 1 fallback of enc="async")
         words, bits = _segment_encode_layout(lv2, n_mcu, segs, w_out,
                                              interpret, win_emit,
                                              unroll=unroll_enc)

@@ -37,13 +37,17 @@ import numpy as np
 TILE = int(os.environ.get("AMV_BENCH_TILE", "32"))
 
 
-def best_time(fn, iters=3):
-    best = float("inf")
+def times_n(fn, iters=3):
+    ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)
+
+
+def best_time(fn, iters=3):
+    return times_n(fn, iters)[0]
 
 
 def main():
@@ -360,16 +364,23 @@ def main():
     # order) run through the C framing pass and must equal the host
     # encoder's payload bytes for every corpus frame.
     dev_complete_fps = None
+    dev_complete_med_fps = None
+    dev_complete_lockstep_fps = None
     try:
-        from amv_tpu.pipeline.transcode import transcode_complete_layout
+        from amv_tpu.pipeline.transcode import (transcode_complete_layout,
+                                                transcode_complete_async)
 
+        # headline chain: lane-async dense decoder + lane-async dense
+        # encoder (round-3 kernels; 1.06x-mean iteration counts vs the
+        # lockstep pair's 1.93x/2.29x per-block-max tax), ok-gated
         def make_complete(fe):
             @jax.jit
             def complete(rw, salt):
-                words, bits = transcode_complete_layout(
-                    rw, M, qk, w_out=1024, win_fetch=64, win_emit=64)
-                return words, bits, (jnp.sum(words[::31, ::17]) +
-                                     jnp.sum(bits) + salt)
+                words, bits, ok = transcode_complete_async(
+                    rw, M, qk, w_out=1024, win_fetch=64, win_emit=64,
+                    enc="async")
+                return words, bits, ok, (jnp.sum(words[::31, ::17]) +
+                                         jnp.sum(bits) + salt)
             return complete
 
         # end-to-end byte gate at K=1 (sorted in, unsorted out)
@@ -377,8 +388,9 @@ def main():
         lens_c1 = np.array([len(p) for p in payloads])
         ord1 = np.argsort(lens_c1, kind="stable")
         inv1 = np.argsort(ord1)
-        wds1, bts1, _ = make_complete(F)(
+        wds1, bts1, ok1, _ = make_complete(F)(
             jax.device_put(jnp.asarray(rows_c1[ord1])), jnp.int32(0))
+        assert bool(ok1[...]), "async complete chain tripped its ok gate"
         got_payloads = native.escape_frames(np.asarray(wds1)[inv1],
                                             np.asarray(bts1)[inv1])
         want_payloads = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
@@ -392,10 +404,23 @@ def main():
             np.tile(rows_c1, (KC, 1))[ord_k]))
         jax.block_until_ready(rows_ct)
         complete_k = make_complete(FC)
-        _ = int(complete_k(rows_ct, jnp.int32(0))[2][...])
-        t_c = best_time(lambda: int(complete_k(
-            rows_ct, jnp.int32(np.random.randint(1000)))[2][...]))
+        _ = int(complete_k(rows_ct, jnp.int32(0))[3][...])
+        ts_c = times_n(lambda: int(complete_k(
+            rows_ct, jnp.int32(np.random.randint(1000)))[3][...]), iters=5)
+        t_c = ts_c[0]
         dev_complete_fps = FC / t_c
+        dev_complete_med_fps = FC / ts_c[len(ts_c) // 2]
+
+        # round-2 lockstep chain, same batch (regression reference)
+        @jax.jit
+        def complete_lock(rw, salt):
+            words, bits = transcode_complete_layout(
+                rw, M, qk, w_out=1024, win_fetch=64, win_emit=64)
+            return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) + salt)
+
+        _ = int(complete_lock(rows_ct, jnp.int32(0))[...])
+        dev_complete_lockstep_fps = FC / best_time(lambda: int(
+            complete_lock(rows_ct, jnp.int32(np.random.randint(1000)))[...]))
 
         # content-clustered ordering (same program, different input
         # permutation): sort by (length, content id) so identical
@@ -407,7 +432,7 @@ def main():
             np.tile(rows_c1, (KC, 1))[ord_cl]))
         jax.block_until_ready(rows_cl)
         t_cl = best_time(lambda: int(complete_k(
-            rows_cl, jnp.int32(np.random.randint(1000)))[2][...]))
+            rows_cl, jnp.int32(np.random.randint(1000)))[3][...]))
         dev_complete_clustered_fps = FC / t_cl
     except Exception as e:
         dev_complete_clustered_fps = None
@@ -432,14 +457,14 @@ def main():
         lens160 = np.array([len(p) for p in pay160] * (F160 // 64))
         ord160 = np.argsort(lens160, kind="stable")
         inv160 = np.argsort(ord160)
-        from amv_tpu.pipeline.transcode import transcode_complete_layout
-
         @jax.jit
         def complete160(rw, salt):
-            words, bits = transcode_complete_layout(
-                rw, M160, qk, w_out=1664, win_fetch=64, win_emit=64)
+            words, bits, ok = transcode_complete_async(
+                rw, M160, qk, w_out=1664, win_fetch=64, win_emit=64,
+                enc="async")
             return words, bits, (jnp.sum(words[::31, ::17]) +
-                                 jnp.sum(bits) + salt)
+                                 jnp.sum(bits) +
+                                 jnp.where(ok, 0, 1 << 30) + salt)
 
         rows160_d = jax.device_put(jnp.asarray(rows160[ord160]))
         jax.block_until_ready(rows160_d)
@@ -474,7 +499,7 @@ def main():
     # host re-encode.
     dev_complete320_fps = None
     try:
-        from amv_tpu.pipeline.transcode import (transcode_complete_layout,
+        from amv_tpu.pipeline.transcode import (transcode_complete_async,
                                                 transcode_levels_fused,
                                                 pick_segments)
         M320, F320 = 300, 1024            # 320x240 = 20x15 MCUs
@@ -492,11 +517,12 @@ def main():
 
         @jax.jit
         def complete320(rw, salt):
-            words, bits = transcode_complete_layout(
+            words, bits, ok = transcode_complete_async(
                 rw, M320, qk, w_out=wout320, win_fetch=64, win_emit=64,
-                segs=segs320)
+                segs=segs320, enc="async")
             return words, bits, (jnp.sum(words[::31, ::17]) +
-                                 jnp.sum(bits) + salt)
+                                 jnp.sum(bits) +
+                                 jnp.where(ok, 0, 1 << 30) + salt)
 
         rows320_d = jax.device_put(jnp.asarray(rows320[ord320]))
         jax.block_until_ready(rows320_d)
@@ -518,6 +544,142 @@ def main():
         print(f"# complete 320x240 transcode section skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # ---------------- progressive JPEG ingest (host C scan decoder) ---------
+    # Round-3: the per-scan progressive decoder moved to native/entropy.c
+    # (amv_progressive_scan); this logs coefficient-recovery throughput
+    # on synthetic 128x96-class streams for the VERDICT item-9 contract.
+    prog_fps = None
+    try:
+        from amv_tpu.bitstream.jpeg_progressive import (decode_progressive,
+                                                        encode_progressive)
+        rngp = np.random.default_rng(5)
+        lvp = np.zeros((48, 6, 64), np.int16)
+        lvp[:, :, 0] = rngp.integers(-60, 60, (48, 6))
+        for sl in (1, 2, 5, 9, 17, 30):
+            mk = rngp.random((48, 6)) < 0.35
+            lvp[:, :, sl] = np.where(mk, rngp.integers(-30, 30, (48, 6)), 0)
+        datap = encode_progressive(lvp, (128, 96))
+        decode_progressive(datap)                      # warm
+        NPROG = 256
+        t0 = time.perf_counter()
+        for _ in range(NPROG):
+            decode_progressive(datap)
+        prog_fps = NPROG / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# progressive section skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # ---------------- roofline / utilization accounting ---------------------
+    # VERDICT r2 item 2: per-stage bytes-touched, issued-vector-op
+    # estimates and % of the v5e-1 HBM/VPU ceilings, so the remaining
+    # entropy headroom is quantified instead of guessed.  Iteration
+    # counts are EXACT (read back from the async kernels' status rows,
+    # stalls included); ops/iteration are static counts documented in
+    # utils/roofline.py.
+    roofline = []
+    try:
+        if dev_complete_fps:
+            from amv_tpu.utils.roofline import (
+                StageRoofline, DECODE_ASYNC_OPS_PER_ITER,
+                ENCODE_OPS_PER_ITER, TRANSCODE_OPS_PER_BLOCK)
+            from amv_tpu.kernels.entropy_decode_pallas import \
+                scan_words_layout
+            from amv_tpu.kernels.entropy_async_pallas import (
+                decode_scans_async_dense, default_t_max_dense)
+            from amv_tpu.kernels.entropy_encode_async_pallas import (
+                encode_layout_async_dense, default_t_max_enc)
+            from amv_tpu.kernels.transcode_layout_pallas import \
+                transcode_mcu_layout
+            from amv_tpu.bitstream import jpeg_tables as JT
+
+            nb_r = M * 6
+            # 1024-align with repeated (valid) shortest scans so pad
+            # lanes terminate; zero rows would decode forever
+            FR = (FC + 1023) // 1024 * 1024
+            rows_rf = np.tile(rows_c1, (KC, 1))[ord_k]
+            rows_rf = np.concatenate(
+                [rows_rf, np.tile(rows_rf[:1], (FR - FC, 1))], axis=0)
+            rw_rf = jax.device_put(jnp.asarray(rows_rf))
+            jax.block_until_ready(rw_rf)
+            t_dn = default_t_max_dense(nb_r, rows_rf.shape[1])
+            cb_r = FR // 1024
+
+            @jax.jit
+            def dec_stage(rw, salt):
+                wl = scan_words_layout(rw)
+                slab, ok, st = decode_scans_async_dense(
+                    wl, nb_r, t_dn, win=64, unroll=8, pmax=8, press=64,
+                    return_status=True)
+                return slab, st, (jnp.sum(slab[:, ::7, ::5]
+                                          .astype(jnp.int32)) + salt)
+
+            slab_r, st_d, _ = dec_stage(rw_rf, jnp.int32(0))
+            jax.block_until_ready(slab_r)
+            t_ds = best_time(lambda: int(dec_stage(
+                rw_rf, jnp.int32(np.random.randint(1000)))[2][...]))
+            it_dec = int(np.asarray(st_d)[:, 1, 0, 0].sum())
+            slab_bytes = FR * nb_r * 64 * 2
+            roofline.append(StageRoofline(
+                "entropy_decode_async", t_ds,
+                rows_rf.nbytes + slab_bytes,
+                DECODE_ASYNC_OPS_PER_ITER * it_dec).report())
+
+            @jax.jit
+            def tf_stage(slab, salt):
+                lvl = slab.reshape(cb_r, M, 6, 64, 8, 128)
+                qdc_l = int(JT.SP5X_QUANT_LUMA_ZZ[0])
+                qdc_c = int(JT.SP5X_QUANT_CHROMA_ZZ[0])
+                d = lvl[:, :, :, 0].astype(jnp.int32)
+                dy = (jnp.cumsum(d[:, :, :4].reshape(cb_r, M * 4, 8, 128)
+                                 * qdc_l, axis=1)
+                      .reshape(cb_r, M, 4, 8, 128) + 1024)
+                dcb = jnp.cumsum(d[:, :, 4] * qdc_c, axis=1) + 1024
+                dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
+                dc = jnp.concatenate(
+                    [dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
+                lv2s = transcode_mcu_layout(lvl, dc, qk)
+                return lv2s, (jnp.sum(lv2s[:, :, :, 1].astype(jnp.int32))
+                              + salt)
+
+            lv2_r, _ = tf_stage(slab_r, jnp.int32(0))
+            jax.block_until_ready(lv2_r)
+            t_tf = best_time(lambda: int(tf_stage(
+                slab_r, jnp.int32(np.random.randint(1000)))[1][...]))
+            roofline.append(StageRoofline(
+                "transform_dequant_idct_fdct_quant", t_tf, 2 * slab_bytes,
+                cb_r * nb_r * TRANSCODE_OPS_PER_BLOCK).report())
+
+            t_en = default_t_max_enc(nb_r) * 2
+
+            @jax.jit
+            def enc_stage(lv2s, salt):
+                words, bits, ok, st = encode_layout_async_dense(
+                    lv2s.reshape(cb_r, nb_r, 64, 8, 128), 1024, t_en,
+                    win_rows=64, unroll=8, pmax=8, return_status=True)
+                return st, (jnp.sum(words[:, ::31]) + jnp.sum(bits) + salt)
+
+            st_e, _ = enc_stage(lv2_r, jnp.int32(0))
+            jax.block_until_ready(st_e)
+            t_es = best_time(lambda: int(enc_stage(
+                lv2_r, jnp.int32(np.random.randint(1000)))[1][...]))
+            it_enc = int(np.asarray(st_e)[:, 1, 0, 0].sum())
+            roofline.append(StageRoofline(
+                "entropy_encode_async", t_es,
+                slab_bytes + FR * 1024 * 4,
+                ENCODE_OPS_PER_ITER * it_enc).report())
+            roofline.append({
+                "stage": "complete_chain",
+                "ms": round(FC / dev_complete_fps * 1e3, 2),
+                "stage_sum_ms": round((t_ds + t_tf + t_es) * 1e3, 2),
+                "dec_iters": it_dec, "enc_iters": it_enc,
+                "note": "all three device stages are compute(VPU)-bound "
+                        "far below HBM limits; the entropy kernels' "
+                        "ceiling is per-token vector work, not bandwidth",
+            })
+    except Exception as e:
+        print(f"# roofline section skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # ---------------- sustained end-to-end (bytes -> bytes, pipelined) ------
     # Steady-state AMV->AMV rate with the host C stages in the loop:
     # unescape (C) -> complete device chain -> escape (C).  JAX dispatch
@@ -535,7 +697,7 @@ def main():
             rows_host = np.tile(rows_c1, (KC, 1))[ord_s]
 
             def one_batch(dev_prev):
-                words, bits, _ = complete_k(jax.device_put(
+                words, bits, _, _ = complete_k(jax.device_put(
                     jnp.asarray(rows_host)), jnp.int32(0))
                 out_prev = None
                 if dev_prev is not None:
@@ -794,6 +956,11 @@ def main():
                if dev_fulltrans_fps else {}),
             **({"device_complete_transcode_fps": round(dev_complete_fps, 1)}
                if dev_complete_fps else {}),
+            **({"device_complete_median_fps": round(dev_complete_med_fps, 1)}
+               if dev_complete_med_fps else {}),
+            **({"device_complete_lockstep_fps":
+                round(dev_complete_lockstep_fps, 1)}
+               if dev_complete_lockstep_fps else {}),
             **({"device_complete_clustered_fps":
                 round(dev_complete_clustered_fps, 1)}
                if dev_complete_clustered_fps else {}),
@@ -806,6 +973,8 @@ def main():
                if dev_completeenc_fps else {}),
             **({"host_unescape_fps": round(unescape_fps, 1)}
                if unescape_fps else {}),
+            **({"progressive_host_fps": round(prog_fps, 1)}
+               if prog_fps else {}),
             "adpcm_kernel": adpcm_kernel,
             **({"adpcm_tpu_msamples": round(n_samples / t_adpcm / 1e6, 1)}
                if t_adpcm else {}),
@@ -814,6 +983,7 @@ def main():
                     "RTT and ~30MB/s tunnel of this dev environment; "
                     "e2e_tunnel_* include them",
             "device": str(jax.devices()[0]),
+            **({"roofline": roofline} if roofline else {}),
             **g729_detail,
         },
     }

@@ -201,3 +201,46 @@ def test_per_scan_table_redefinition():
     expect = np.zeros(64, np.int16)
     expect[0], expect[1], expect[6] = 5, 3, -2
     np.testing.assert_array_equal(coef[0, 0], expect)
+
+
+def test_native_scan_decoder_matches_python():
+    """The C per-scan decoder (native/entropy.c:amv_progressive_scan)
+    must agree with the pure-Python scan loop on every scan kind the
+    encoder emits (DC/AC first + successive-approximation refinement)."""
+    import os
+    lv = _rand_levels("420", 48, 32, seed=5)
+    data = encode_progressive(lv, (48, 32), al_dc=2, al_ac=2)
+    c_nat, _ = decode_progressive(data)
+    os.environ["AMV_PROGRESSIVE_PY"] = "1"
+    try:
+        c_py, _ = decode_progressive(data)
+    finally:
+        del os.environ["AMV_PROGRESSIVE_PY"]
+    np.testing.assert_array_equal(c_nat, c_py)
+
+
+def test_libjpeg_progressive_equals_baseline():
+    """Real libjpeg progressive output (PIL, optimized per-scan Huffman
+    tables + successive approximation): the progressive and baseline
+    encodings of the same image carry identical quantized coefficients,
+    so our two decode paths must produce identical pixels."""
+    import io
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(2)
+    xx, yy = np.mgrid[0:64, 0:80]
+    img = np.stack([
+        np.clip(120 + 70 * np.sin(xx / 7.0) + rng.integers(-9, 9, (64, 80)),
+                0, 255),
+        np.clip(110 + 60 * np.cos(yy / 9.0), 0, 255),
+        np.clip(90 + 50 * np.sin((xx + yy) / 11.0), 0, 255)],
+        axis=-1).astype(np.uint8)
+    im = PIL.fromarray(img)
+    base, prog = io.BytesIO(), io.BytesIO()
+    im.save(base, "JPEG", quality=80, progressive=False, optimize=False,
+            subsampling=2)
+    im.save(prog, "JPEG", quality=80, progressive=True, subsampling=2)
+    yb, cbb, crb = decode_mjpeg_frames([base.getvalue()])
+    yp, cbp, crp = decode_mjpeg_frames([prog.getvalue()])
+    np.testing.assert_array_equal(np.asarray(yb), np.asarray(yp))
+    np.testing.assert_array_equal(np.asarray(cbb), np.asarray(cbp))
+    np.testing.assert_array_equal(np.asarray(crb), np.asarray(crp))

@@ -66,6 +66,16 @@ def test_complete_transcode_byte_exact(tpu, sample_amv_bytes):
     got = native.escape_frames(np.asarray(words)[inv], np.asarray(bits)[inv])
     assert got == want
 
+    # the round-3 lane-async chain (bench headline), same gate
+    from amv_tpu.pipeline.transcode import transcode_complete_async
+    words_a, bits_a, ok = transcode_complete_async(
+        jnp.asarray(rows[order]), M, qk, w_out=1024,
+        win_fetch=64, win_emit=64, enc="async")
+    assert bool(ok)
+    got_a = native.escape_frames(np.asarray(words_a)[inv],
+                                 np.asarray(bits_a)[inv])
+    assert got_a == want
+
 
 def test_adpcm_decode_bit_exact(tpu, sample_amv_bytes):
     """Compiled Mosaic ADPCM decode equals the C reference per sample."""
