@@ -115,6 +115,12 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
     from ..kernels.transcode_layout_pallas import transcode_mcu_layout
 
     w_out = max(WIN_O, (w_out + WIN_O - 1) // WIN_O * WIN_O)
+    if interpret:
+        # semantics are unroll-invariant; unrolled interpret graphs
+        # only multiply the 1-core CPU compile time (see the async
+        # chain's matching note)
+        unroll_dec = 1
+        unroll_enc = 1
     F = scans.shape[0]
     fp = (F + 1023) // 1024 * 1024
     cb, nb = fp // 1024, n_mcu * 6
@@ -190,6 +196,13 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
     from ..kernels.transcode_layout_pallas import transcode_mcu_layout
 
     w_out = max(WIN_O, (w_out + WIN_O - 1) // WIN_O * WIN_O)
+    if interpret:
+        # interpret mode (CPU tests / dryrun) checks semantics, which
+        # unrolling cannot change — but every unroll step re-traces the
+        # whole token body, and the 1-core CPU compiles of those graphs
+        # dominate the suite (measured 8x compile-time inflation)
+        unroll_dec = 1
+        enc_unroll = 1
     F = scans.shape[0]
     fp = (F + 1023) // 1024 * 1024
     cb, nb = fp // 1024, n_mcu * 6
