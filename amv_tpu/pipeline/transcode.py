@@ -438,9 +438,16 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
         # per-segment output budget, VMEM-capped (32-bit words)
         ms = mb_w * mb_h // segs
         w_out = min(1664, 1024 * ((ms + 47) // 48))
-        words, bits = transcode_complete_layout(
+        # lane-async production chain first (round-3 kernels, ~1.2x the
+        # lockstep pair); its ok gate falls back to the lockstep chain
+        # on iteration-budget overflow (pathological streams)
+        words, bits, ok = transcode_complete_async(
             jnp.asarray(rows[order]), mb_w * mb_h, qk, w_out=w_out,
-            win_fetch=64, win_emit=64, segs=segs)
+            win_fetch=64, win_emit=64, segs=segs, enc="async")
+        if not bool(ok[...]):
+            words, bits = transcode_complete_layout(
+                jnp.asarray(rows[order]), mb_w * mb_h, qk, w_out=w_out,
+                win_fetch=64, win_emit=64, segs=segs)
         try:
             wnp = np.asarray(words).reshape(len(order), segs, -1)[inv]
             bnp = np.asarray(bits).reshape(len(order), segs)[inv]
