@@ -42,6 +42,47 @@ _QM_C[T.ZIGZAG] = T.SP5X_QUANT_CHROMA_ZZ
 _ZZ = [int(v) for v in T.ZIGZAG]
 
 
+def _make_mcu_kernel(qmat_key):
+    """One grid step = one MCU (6 blocks): the component type is a
+    Python constant per sub-block, so the quant-table select disappears
+    entirely, and the grid shrinks 6x (the per-block grid measured
+    launch-bound: 27.9 ms for 4,608 steps at F=16K)."""
+    q = list(qmat_key)
+
+    def one_block(lv_ref, dc_ref, out_ref, k, luma):
+        deq = [None] * 64
+        deq[0] = _wrap16(dc_ref[0, 0, k].astype(jnp.int32))
+        qm = _QM_L if luma else _QM_C
+        for i in range(1, 64):
+            deq[_ZZ[i]] = _wrap16(lv_ref[0, 0, k, i].astype(jnp.int32) *
+                                  int(qm[_ZZ[i]]))
+        pix = _idct_cols(deq)
+        cols = [[pix[r * 8 + i2] for i2 in range(8)] for r in range(8)]
+        mid = [_fdct_1d(cols[r], 13 - PASS1_BITS, True) for r in range(8)]
+        out = [None] * 64
+        for j in range(8):
+            cc = [mid[i2][j] for i2 in range(8)]
+            o = _fdct_1d(cc, 13 + PASS1_BITS, False)
+            for i2 in range(8):
+                pos = i2 * 8 + j
+                coef = o[i2]
+                if pos == 0:
+                    out[0] = ((coef + 32) >> 6).astype(jnp.int16)
+                else:
+                    level = coef * q[pos]
+                    qv2 = jnp.where(level >= 0, level >> 22,
+                                    -((-level) >> 22))
+                    out[pos] = jnp.clip(qv2, -1023, 1023).astype(jnp.int16)
+        for i in range(64):
+            out_ref[0, 0, k, i] = out[_ZZ[i]]
+
+    def kernel(lv_ref, dc_ref, out_ref):
+        for k in range(6):
+            one_block(lv_ref, dc_ref, out_ref, k, k < 4)
+
+    return kernel
+
+
 def _make_kernel(qmat_key):
     q = list(qmat_key)
 
@@ -169,18 +210,18 @@ def transcode_mcu_layout(lv, dc, qmat_key, interpret: bool = False):
     lv2 int16 [CB, M, 6, 64, 8, 128] zigzag re-quantized levels
     (slot0 = absolute DC)."""
     cb, m = lv.shape[0], lv.shape[1]
-    kernel = _make_kernel(qmat_key)
+    kernel = _make_mcu_kernel(qmat_key)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, SB, 128), jnp.int16),
-        grid=(cb, m, 6),
+        grid=(cb, m),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 64, SB, 128),
-                         lambda i, j, k: (i, j, k, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, SB, 128),
-                         lambda i, j, k: (i, j, k, 0, 0)),
+            pl.BlockSpec((1, 1, 6, 64, SB, 128),
+                         lambda i, j: (i, j, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 6, SB, 128),
+                         lambda i, j: (i, j, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, 64, SB, 128),
-                               lambda i, j, k: (i, j, k, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, 6, 64, SB, 128),
+                               lambda i, j: (i, j, 0, 0, 0, 0)),
         interpret=interpret,
     )(lv, dc)

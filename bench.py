@@ -593,6 +593,18 @@ def main():
             from amv_tpu.bitstream import jpeg_tables as JT
 
             nb_r = M * 6
+            # single-call stage timings carry the axon relay's dispatch
+            # floor (~22 ms measured: a trivial jit round-trip costs
+            # that much); subtract it so the roofline reflects device
+            # time, not link latency (the chained bench sections pay it
+            # once per batch, not per stage)
+            @jax.jit
+            def _null(salt):
+                return salt + 1
+
+            _ = int(_null(jnp.int32(0))[...])
+            t_null = best_time(lambda: int(_null(
+                jnp.int32(np.random.randint(1000)))[...]))
             # 1024-align with repeated (valid) shortest scans so pad
             # lanes terminate; zero rows would decode forever
             FR = (FC + 1023) // 1024 * 1024
@@ -615,8 +627,9 @@ def main():
 
             slab_r, st_d, _ = dec_stage(rw_rf, jnp.int32(0))
             jax.block_until_ready(slab_r)
-            t_ds = best_time(lambda: int(dec_stage(
+            t_ds = max(best_time(lambda: int(dec_stage(
                 rw_rf, jnp.int32(np.random.randint(1000)))[2][...]))
+                - t_null, 1e-6)
             it_dec = int(np.asarray(st_d)[:, 1, 0, 0].sum())
             slab_bytes = FR * nb_r * 64 * 2
             roofline.append(StageRoofline(
@@ -643,8 +656,9 @@ def main():
 
             lv2_r, _ = tf_stage(slab_r, jnp.int32(0))
             jax.block_until_ready(lv2_r)
-            t_tf = best_time(lambda: int(tf_stage(
+            t_tf = max(best_time(lambda: int(tf_stage(
                 slab_r, jnp.int32(np.random.randint(1000)))[1][...]))
+                - t_null, 1e-6)
             roofline.append(StageRoofline(
                 "transform_dequant_idct_fdct_quant", t_tf, 2 * slab_bytes,
                 cb_r * nb_r * TRANSCODE_OPS_PER_BLOCK).report())
@@ -660,14 +674,16 @@ def main():
 
             st_e, _ = enc_stage(lv2_r, jnp.int32(0))
             jax.block_until_ready(st_e)
-            t_es = best_time(lambda: int(enc_stage(
+            t_es = max(best_time(lambda: int(enc_stage(
                 lv2_r, jnp.int32(np.random.randint(1000)))[1][...]))
+                - t_null, 1e-6)
             it_enc = int(np.asarray(st_e)[:, 1, 0, 0].sum())
             roofline.append(StageRoofline(
                 "entropy_encode_async", t_es,
                 slab_bytes + FR * 1024 * 4,
                 ENCODE_OPS_PER_ITER * it_enc).report())
             roofline.append({
+                "dispatch_floor_ms": round(t_null * 1e3, 2),
                 "stage": "complete_chain",
                 "ms": round(FC / dev_complete_fps * 1e3, 2),
                 "stage_sum_ms": round((t_ds + t_tf + t_es) * 1e3, 2),
