@@ -39,6 +39,8 @@ class AviStream:
     # per-chunk (file_offset_of_payload, size, keyframe) from idx1/indx;
     # empty when the file carries no index
     index: list = field(default_factory=list)
+    # pal8: BGRX RGBQUAD palette from strf (BITMAPINFOHEADER tail)
+    palette: object = None
 
 
 def _walk_list(data, pos, end, handler):
@@ -143,6 +145,17 @@ def demux(data: bytes, use_index: bool = True):
                     (_, w, hgt, _, bits, compr) = struct.unpack_from(
                         "<IiiHH4s", data, body)
                     st.width, st.height, st.bits = w, abs(hgt), bits
+                    if bits == 8 and size > 40:
+                        # pal8: RGBQUAD palette follows the 40-byte
+                        # BITMAPINFOHEADER (biClrUsed at offset 32;
+                        # 0 means the full 256)
+                        (ncol,) = struct.unpack_from("<I", data, body + 32)
+                        ncol = ncol or 256
+                        ncol = min(ncol, (size - 40) // 4)
+                        if ncol:
+                            st.palette = np.frombuffer(
+                                data, np.uint8, 4 * ncol,
+                                body + 40).reshape(ncol, 4).copy()
                     if compr.strip(b"\x00") and compr != b"\x00\x00\x00\x00":
                         st.codec = compr
                     elif not st.codec.strip(b"\x00"):
@@ -328,9 +341,28 @@ def extract_yuv420(st: AviStream):
         elif tag.startswith(b"Y800") or tag.startswith(b"GREY") or \
                 (st.bits == 8 and (tag.startswith(b"DIB") or not
                                    tag.strip(b"\x00"))):
-            y[i] = buf[:w * h].reshape(h, w)
-            cb[i] = 128
-            cr[i] = 128
+            pal = getattr(st, "palette", None)
+            gray_pal = pal is None or (
+                pal.shape[0] >= 256 and
+                np.array_equal(pal[:256, 0], np.arange(256)) and
+                np.array_equal(pal[:256, 0], pal[:256, 1]) and
+                np.array_equal(pal[:256, 0], pal[:256, 2]))
+            if tag.startswith(b"Y800") or tag.startswith(b"GREY") or \
+                    gray_pal:
+                # top-down luma (or an identity-gray pal8 DIB)
+                y[i] = buf[:w * h].reshape(h, w)
+                cb[i] = 128
+                cr[i] = 128
+            else:
+                # pal8 bottom-up DIB: palette LUT (BGRX quads) -> RGB
+                # (swscale.c pal8 input support)
+                row = (w + 3) & ~3
+                idxs = buf[:row * h].reshape(h, row)[:, :w][::-1]
+                lut = np.zeros((256, 4), np.uint8)
+                lut[:pal.shape[0]] = pal
+                rgb = lut[idxs][:, :, 2::-1]   # BGRX -> RGB
+                y[i], cb[i], cr[i] = (a[0] for a in rgb_frames_to_yuv(
+                    np.ascontiguousarray(rgb)[None]))
         elif st.bits == 16 and (tag.startswith(b"DIB") or
                                 not tag.strip(b"\x00")):
             # RGB555 bottom-up DIB (BI_RGB 16-bit default)

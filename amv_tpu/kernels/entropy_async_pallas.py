@@ -1,33 +1,37 @@
-"""Lane-async JPEG entropy decode: token-record IR + block expander.
+"""Lane-async JPEG entropy decode (production: the single-pass DENSE
+kernel at the bottom of this module; the token-record IR above it is
+kept as a measured negative).
 
 The block-lockstep decoder (entropy_decode_pallas.py) synchronizes all
 1024 lanes at every block: its iteration count is the sum over blocks of
 the per-chunk MAX token count — measured 1.93x the mean on the corpus
-(CLAUDE.md round-2 findings).  This module removes the block barrier:
+(CLAUDE.md round-2 findings).  Both designs here remove that barrier;
+they differ in how the dense coefficient slab gets written:
 
-* Phase 1 (`_decode_records`): lanes decode their whole scan with NO
-  synchronization points, emitting one 32-bit TOKEN RECORD per loop
-  iteration at a statically-indexed output row (row == iteration), so
-  the per-lane-dynamic write problem that forces block lockstep never
-  arises.  On a length-sorted batch the iteration count is the chunk
-  max of per-lane TOTALS — measured 1.064x the mean, i.e. the 1.9x
-  divergence tax collapses to ~6%.  Records: level<<16 | is_dc<<7 |
-  valid<<6 | pos (pos = zigzag slot within the block; DC value is the
-  DIFFERENCE, prediction stays downstream, matching the existing
-  contract).  ZRL/EOB iterations emit valid=0 markers.
-* Phase 2 (`_expand_records`): records are regrouped per block (XLA
-  gather; block boundaries recovered from the is_dc bits) and a
-  trivial expander kernel — one record per iteration, read at a scalar
-  row index, accumulated into the 32 pair-packed registers — produces
-  the dense [64]-coefficient blocks.  Lanes are BLOCKS here (sorted by
-  per-frame record-count rank), so its divergence is ~1.00x and its
-  per-iteration body is a fraction of a full Huffman step.
+* Record IR (`_decode_records` + `decode_scans_async_layout`) — the
+  round-2 flagged redesign: lanes emit one 32-bit token record per
+  iteration at a statically-indexed row (row == iteration), so the
+  per-lane-dynamic write problem never arises, and the Pallas phase
+  runs at the chunk max of per-lane TOTALS (1.06x mean; 273.8K fps
+  standalone on TPU).  MEASURED NEGATIVE: the XLA regroup/expand glue
+  that turns records into dense blocks is gather-bound (~30 ns/element
+  for every formulation tried — vmapped searchsorted, bit-descent
+  probes, contiguous-run slice gathers; 12.9 s vs the lockstep chain's
+  64.8 ms).  Kept for the record and its tests.
+* DENSE single pass (`decode_scans_async_dense`) — the production
+  kernel: same async Huffman core, but lanes densify in-register (32
+  pair-packed accumulators) and completed blocks leave through a
+  pending slot + ring-buffered output window (amortized one-hot
+  service flush, fixed-quantum DMA drain to HBM once every lane has
+  deposited the departing blocks).  No XLA glue at all; byte-exact
+  with the lockstep decoder, 59.1 ms vs 64.8 on the bench corpus and
+  the win compounds in the complete chain (145.6K vs 125.2K fps).
 
-Semantics match kernels/entropy_decode_pallas.decode_scans_pallas
-(mjpegdec.c:376-430 decode_block): levels in zigzag order, slot 0 = DC
-difference.  Invalid streams produce bounded garbage; the per-lane
-completed-block/record counts let callers detect short decodes and fall
-back to the validating host path.
+Semantics of both match kernels/entropy_decode_pallas
+.decode_scans_pallas (mjpegdec.c:376-430 decode_block): levels in
+zigzag order, slot 0 = DC difference.  Invalid streams produce bounded
+garbage; per-lane status rows let callers detect short decodes and
+fall back to the validating host path.
 """
 
 from __future__ import annotations

@@ -1,8 +1,23 @@
-"""Lane-async JPEG entropy encode: parallel tokenizer + async packer.
+"""Lane-async JPEG entropy encode (production: the single-pass DENSE
+kernel at the bottom of this module; the tokenizer+packer pair above it
+is kept as a measured negative).
 
 The block-lockstep packer (entropy_encode_pallas.py) pays the per-block
-chunk-MAX token count — measured 2.29x the mean on the corpus.  Here the
-sequential kernel does ONLY bit-packing:
+chunk-MAX token count — measured 2.29x the mean on the corpus.
+
+MEASURED NEGATIVE (record pair): the XLA tokenizer's binary-search
+compaction rides per-lane take_along_axis gathers — the same ~30
+ns/element wall as the decoder's record regroup — and its HLO at
+bench batch sizes exceeded the remote-compile request limit outright.
+The production path is `encode_layout_async_dense` below: a mirror of
+the dense async decoder where lanes emit one Huffman token per
+iteration at their own block position, reading blocks from a VMEM
+input ring prefetched out of HBM (service pass stages each lane's next
+block; ring advances in fixed DMA quanta).  Byte-exact with the
+lockstep packer; 67.8 ms vs 80.5 standalone on the bench corpus.
+
+The retained record pair, for reference — the sequential kernel does
+ONLY bit-packing:
 
 * `tokenize_levels_layout` (pure XLA, fully data-parallel, slab layout):
   derives every Huffman token of every block at once — DC differences,

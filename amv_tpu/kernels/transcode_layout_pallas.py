@@ -210,6 +210,26 @@ def transcode_mcu_layout(lv, dc, qmat_key, interpret: bool = False):
     lv2 int16 [CB, M, 6, 64, 8, 128] zigzag re-quantized levels
     (slot0 = absolute DC)."""
     cb, m = lv.shape[0], lv.shape[1]
+    if interpret:
+        # the 6-block MCU kernel's interpret graph (6x the DCT body)
+        # makes 1-core XLA-CPU compiles pathological (>20 min for the
+        # tiny sharding test); interpret mode keeps the per-block grid
+        # — both kernels are bit-exact by construction
+        return pl.pallas_call(
+            _make_kernel(qmat_key),
+            out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, SB, 128),
+                                           jnp.int16),
+            grid=(cb, m, 6),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 64, SB, 128),
+                             lambda i, j, k: (i, j, k, 0, 0, 0)),
+                pl.BlockSpec((1, 1, 1, SB, 128),
+                             lambda i, j, k: (i, j, k, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, 64, SB, 128),
+                                   lambda i, j, k: (i, j, k, 0, 0, 0)),
+            interpret=True,
+        )(lv, dc)
     kernel = _make_mcu_kernel(qmat_key)
     return pl.pallas_call(
         kernel,

@@ -256,3 +256,36 @@ def test_cli_vcodec_copy(tmp_path, sample_amv_bytes):
     ya, _, _ = amv_video.decode_frames(s.video_chunks[:3],
                                        s.info.width, s.info.height)
     np.testing.assert_array_equal(y, ya[:, ::-1])
+
+
+def test_avi_pal8_palette_input():
+    """pal8 bottom-up DIB (swscale.c pal8 input): indices go through the
+    BGRX RGBQUAD palette; an identity-gray palette stays the luma fast
+    path."""
+    rng = np.random.default_rng(7)
+    h, w = 16, 20                       # w not a multiple of 4: row pad
+    idxs = rng.integers(0, 256, (h, w), np.uint8).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 4), np.uint8).astype(np.uint8)
+    row = (w + 3) & ~3
+    dib = np.zeros((h, row), np.uint8)
+    dib[:, :w] = idxs[::-1]             # bottom-up
+    st = avi.AviStream("video", codec=b"DIB ", width=w, height=h,
+                       bits=8, chunks=[dib.tobytes()], palette=pal)
+    yg, cbg, crg = avi.extract_yuv420(st)
+    from amv_tpu.kernels.color import rgb_to_yuv420_bt601
+    rgb = pal[idxs][:, :, 2::-1]
+    yw, cbw, crw = (np.asarray(a) for a in rgb_to_yuv420_bt601(
+        np.ascontiguousarray(rgb)[None]))
+    np.testing.assert_array_equal(yg[0], yw[0])
+    np.testing.assert_array_equal(cbg[0], cbw[0])
+    np.testing.assert_array_equal(crg[0], crw[0])
+
+    # identity-gray palette: keep exact-luma semantics
+    gray_pal = np.stack([np.arange(256)] * 3 + [np.zeros(256)],
+                        axis=-1).astype(np.uint8)
+    stg = avi.AviStream("video", codec=b"DIB ", width=w, height=h,
+                        bits=8, chunks=[idxs.tobytes()], palette=gray_pal)
+    # gray path reads top-down unpadded (Y800 semantics)
+    yg2, cbg2, _ = avi.extract_yuv420(stg)
+    np.testing.assert_array_equal(yg2[0], idxs)
+    assert (cbg2 == 128).all()
