@@ -698,14 +698,19 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
             # next service pass frees the slot
             defer = alive & blk_end & (pvv != 0)
             commit = alive & ~defer
-            c1 = jnp.where(commit, ln, 0)
-            hi, lo, l2, l3, nbb = _b_consume(hi, lo, l2, l3, nbb, c1)
+            # single consume per token: the mantissa sits at bit offset
+            # ln of the pre-consume buffer (ln >= 1, so the funnel shift
+            # never hits a shift-by-32), and ln + size <= 27 fits one
+            # _b_consume call — saves a full 128-bit shift chain per
+            # token vs the consume(ln); consume(size) pair
+            top = (hi << ln.astype(jnp.uint32)) | \
+                (lo >> (32 - ln).astype(jnp.uint32))
             mant = jnp.where(size > 0,
-                             hi >> ((32 - size) & 31).astype(jnp.uint32),
+                             top >> ((32 - size) & 31).astype(jnp.uint32),
                              jnp.uint32(0))
             level = _b_extend(mant, size)
-            c2 = jnp.where(commit, size, 0)
-            hi, lo, l2, l3, nbb = _b_consume(hi, lo, l2, l3, nbb, c2)
+            c1 = jnp.where(commit, ln + size, 0)
+            hi, lo, l2, l3, nbb = _b_consume(hi, lo, l2, l3, nbb, c1)
             write = commit & write0
             lv16 = jnp.where(write, level & 0xFFFF, 0)
             contrib = jnp.where((wpos & 1) != 0, lv16 << 16, lv16)

@@ -535,7 +535,8 @@ ADVE = 2    # DMA advance quantum, blocks
 def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
                            t_max: int, win_rows: int = WIN_O,
                            unroll: int = 1, wb: int = WBE,
-                           adv: int = ADVE, pmax: int = 16):
+                           adv: int = ADVE, pmax: int = 16,
+                           press: int = 0):
     win = min(win_rows, w_out)
     assert w_out % win == 0, (w_out, win)
     assert wb & (wb - 1) == 0 and adv <= wb and nbp % adv == 0
@@ -812,8 +813,17 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
         def body(st):
             tl = st[0]
             rest = st[1:]
+            trig = (tl & (pmax - 1)) == 0
+            if press:
+                # stall-pressure trigger (the decoder's press, mirrored):
+                # lanes waiting in tphase 2 with nothing staged are pure
+                # stall — service early when enough of them pile up
+                cbid_c, tph_c = rest[7], rest[9]
+                stalled = (tph_c == 2) & (cbid_c < n_blocks - 1) & \
+                    (nv_ref[...] == 0)
+                trig = trig | (jnp.sum(stalled.astype(jnp.int32)) >= press)
 
-            @pl.when((tl & (pmax - 1)) == 0)
+            @pl.when(trig)
             def _svc():
                 service(rest[7], rest[7] + 1)
 
@@ -865,12 +875,12 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
 
 @partial(jax.jit, static_argnames=("w_out", "t_max", "interpret",
                                    "win_rows", "unroll", "wb", "adv",
-                                   "pmax", "return_status"))
+                                   "pmax", "press", "return_status"))
 def encode_layout_async_dense(lv, w_out: int, t_max: int,
                               interpret: bool = False,
                               win_rows: int = WIN_O, unroll: int = 1,
                               wb: int = WBE, adv: int = ADVE,
-                              pmax: int = 16, dc0=None,
+                              pmax: int = 16, press: int = 0, dc0=None,
                               return_status: bool = False):
     """lv int16 [CB, NB, 64, SB, 128] zigzag (slot0 = absolute DC) ->
     (words int32 [CB, w_out, SB, 128], bits int32 [CB, 1, SB, 128], ok)
@@ -889,7 +899,8 @@ def encode_layout_async_dense(lv, w_out: int, t_max: int,
             axis=1)
     kernel = _make_enc_dense_kernel(NB, nbp, w_out, t_max,
                                     win_rows=win_rows, unroll=unroll,
-                                    wb=wb, adv=adv, pmax=pmax)
+                                    wb=wb, adv=adv, pmax=pmax,
+                                    press=press)
     scratch = [pltpu.VMEM((wb * 64, SB, 128), jnp.int16),   # iwin
                pltpu.VMEM((34, SB, 128), jnp.int32),        # nxt
                pltpu.VMEM((SB, 128), jnp.int32),            # nxt valid
