@@ -68,6 +68,11 @@ def main(argv=None):
     p.add_argument("-f", dest="format", default=None, help="force format (amv)")
     p.add_argument("-r", dest="fps", type=int, default=16, help="frame rate")
     p.add_argument("-s", dest="size", default=None, help="WxH frame size")
+    p.add_argument("-sws_flags", dest="sws_flags", default="bicubic",
+                   choices=["bilinear", "bicubic", "point", "area",
+                            "lanczos"],
+                   help="rescale filter (libswscale SWS_* flag parity; "
+                        "default bicubic like ffmpeg)")
     p.add_argument("-ar", dest="sample_rate", type=int, default=22050)
     p.add_argument("-ac", dest="channels", type=int, default=1)
     p.add_argument("-qscale", dest="qscale", type=int, default=2)
@@ -407,9 +412,11 @@ def _encode(args):
         if args.size and (vst.width, vst.height) != (w, h):
             import jax.numpy as jnp
             from .kernels.scale import resize_yuv420
-            print(f"rescaling {vst.width}x{vst.height} -> {w}x{h} (bicubic)")
+            print(f"rescaling {vst.width}x{vst.height} -> {w}x{h} "
+                  f"({args.sws_flags})")
             y, cb, cr = (np.asarray(p) for p in resize_yuv420(
-                jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), h, w))
+                jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), h, w,
+                filt=args.sws_flags))
         else:
             w, h = vst.width, vst.height
         if astreams and astreams[0].codec == b"\x01\x00":

@@ -10,11 +10,15 @@ whole thing fused and the result is bit-reproducible on any backend
 mirror that arithmetic but do not chase bit-identity with its
 version-specific filter tables).
 
-Filters:
+Filters (the reference's SWS_* single-pass set, swscale.h flags):
   * 'bilinear' — 2-tap triangle (SWS_BILINEAR)
   * 'bicubic'  — 4-tap cubic with a = -0.6, ffmpeg's default bicubic
     parameter (swscale default when no flags given, utils.c)
-Both use the standard center convention src = (dst + 0.5) * L / Ld - 0.5
+  * 'point'    — nearest neighbour (SWS_POINT), no anti-alias stretch
+  * 'area'     — box average (SWS_AREA): exact pixel averaging on
+    integer downscales, nearest-dominated on upscales
+  * 'lanczos'  — 6-tap Lanczos-3 windowed sinc (SWS_LANCZOS)
+All use the standard center convention src = (dst + 0.5) * L / Ld - 0.5
 with edge clamping (replicated borders, like swscale).
 """
 
@@ -40,6 +44,16 @@ def _triangle(x: np.ndarray) -> np.ndarray:
     return np.maximum(0.0, 1.0 - np.abs(x))
 
 
+def _box(x: np.ndarray) -> np.ndarray:
+    return (np.abs(x) <= 0.5).astype(np.float64)
+
+
+def _lanczos(x: np.ndarray, a: float = 3.0) -> np.ndarray:
+    ax = np.abs(x)
+    out = np.sinc(x) * np.sinc(x / a)
+    return np.where(ax < a, out, 0.0)
+
+
 def _build_taps(src_l: int, dst_l: int, filt: str):
     """Per-output-sample tap indices + 2^14-scaled int weights.
 
@@ -49,16 +63,31 @@ def _build_taps(src_l: int, dst_l: int, filt: str):
     """
     scale = src_l / dst_l
     stretch = max(1.0, scale)
+    if filt == "point":
+        # nearest neighbour: one tap, no anti-alias stretch (SWS_POINT)
+        pos = (np.arange(dst_l) + 0.5) * scale - 0.5
+        idx = np.clip(np.floor(pos + 0.5).astype(np.int64),
+                      0, src_l - 1)[:, None]
+        w = np.full((dst_l, 1), 1 << _SHIFT, np.int64)
+        return idx.astype(np.int32), w.astype(np.int32)
     if filt == "bilinear":
         base_r, fn = 1.0, _triangle
     elif filt == "bicubic":
         base_r, fn = 2.0, _cubic
+    elif filt == "area":
+        base_r, fn = 0.5, _box
+    elif filt == "lanczos":
+        base_r, fn = 3.0, _lanczos
     else:
         raise ValueError(f"unknown filter {filt!r}")
     radius = base_r * stretch
-    ntaps = int(np.ceil(2 * radius))
+    ntaps = max(2, int(np.ceil(2 * radius)))
     pos = (np.arange(dst_l) + 0.5) * scale - 0.5
-    i0 = np.floor(pos - radius + 0.5).astype(np.int64)
+    # centered tap window: ceil(pos - ntaps/2) puts the ntaps integers
+    # symmetrically around pos.  (The previous floor(pos - radius + 0.5)
+    # was off by up to one tap for fractional phases — e.g. 2-tap
+    # bilinear upscale degenerated to nearest-neighbour for frac < 0.5.)
+    i0 = np.ceil(pos - ntaps / 2).astype(np.int64)
     t = np.arange(ntaps)
     idx = i0[:, None] + t[None, :]
     x = (idx - pos[:, None]) / stretch

@@ -10,7 +10,8 @@ from amv_tpu.kernels.resample import resample_pcm
 
 # ---------------- video rescale ----------------
 
-@pytest.mark.parametrize("filt", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("filt", ["bilinear", "bicubic", "point", "area",
+                                  "lanczos"])
 def test_resize_identity(filt):
     rng = np.random.default_rng(0)
     x = rng.integers(0, 256, (2, 24, 32), dtype=np.uint8)
@@ -18,8 +19,47 @@ def test_resize_identity(filt):
     np.testing.assert_array_equal(out, x)
 
 
-@pytest.mark.parametrize("filt", ["bilinear", "bicubic"])
-@pytest.mark.parametrize("dims", [(120, 160), (96, 128), (17, 23)])
+def test_resize_point_is_nearest():
+    # SWS_POINT: exact nearest-neighbour pick, no blending anywhere
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 256, (1, 13, 17), dtype=np.uint8)
+    for dh, dw in ((26, 34), (7, 9), (20, 11)):
+        out = np.asarray(resize_plane(jnp.asarray(x), dh, dw, "point"))
+        iy = np.clip(np.floor((np.arange(dh) + 0.5) * 13 / dh).astype(int),
+                     0, 12)
+        ix = np.clip(np.floor((np.arange(dw) + 0.5) * 17 / dw).astype(int),
+                     0, 16)
+        np.testing.assert_array_equal(out[0], x[0][np.ix_(iy, ix)])
+
+
+def test_resize_area_integer_downscale_is_box_mean():
+    # SWS_AREA on an integer factor = exact pixel-block average
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, (1, 32, 48), dtype=np.uint8)
+    out = np.asarray(resize_plane(jnp.asarray(x), 16, 24, "area"))
+    blocks = x[0].reshape(16, 2, 24, 2).astype(np.float64)
+    want = blocks.mean(axis=(1, 3))
+    # two rounded 14-bit passes: within 1 of the exact mean
+    assert np.abs(out[0].astype(np.float64) - want).max() <= 1.0
+
+
+def test_resize_lanczos_sharper_than_bilinear():
+    # a step edge upscaled: lanczos must have a steeper transition
+    x = np.zeros((1, 8, 16), np.uint8)
+    x[:, :, 8:] = 255
+    up_l = np.asarray(resize_plane(jnp.asarray(x), 8, 64, "lanczos"))
+    up_b = np.asarray(resize_plane(jnp.asarray(x), 8, 64, "bilinear"))
+    mid_l = np.abs(np.diff(up_l[0, 4].astype(np.int32))).max()
+    mid_b = np.abs(np.diff(up_b[0, 4].astype(np.int32))).max()
+    assert mid_l > mid_b
+    # flat regions stay flat (windowed-sinc ringing clipped off the ends)
+    np.testing.assert_array_equal(up_l[0, :, :16], 0)
+    np.testing.assert_array_equal(up_l[0, :, -16:], 255)
+
+
+@pytest.mark.parametrize("filt", ["bilinear", "bicubic", "point", "area",
+                                  "lanczos"])
+@pytest.mark.parametrize("dims", [(120, 160), (17, 23)])
 def test_resize_constant_stays_constant(filt, dims):
     x = np.full((1, 48, 64), 137, np.uint8)
     out = np.asarray(resize_plane(jnp.asarray(x), *dims, filt))
