@@ -104,40 +104,72 @@ def _lsel4(isdc, luma, vdl, vdc, val, vac):
     return jnp.where(isdc, d, a)
 
 
+def tree_sum(xs):
+    """Balanced-tree sum: log2(n) dependency depth instead of the n-deep
+    chain a sequential loop emits.  The async kernels are LATENCY-bound
+    on their token-to-token dependency cycle (measured: removing ~4x of
+    the service pass's parallel vector work changed nothing at equal
+    iteration counts), so reduction depth on the peek->length->consume
+    path is time, op count is not."""
+    xs = list(xs)
+    while len(xs) > 1:
+        nxt = [xs[i] + xs[i + 1] for i in range(0, len(xs) - 1, 2)]
+        if len(xs) & 1:
+            nxt.append(xs[-1])
+        xs = nxt
+    return xs[0]
+
+
+def tree_or(xs):
+    """Balanced-tree bitwise OR (see tree_sum)."""
+    xs = list(xs)
+    while len(xs) > 1:
+        nxt = [xs[i] | xs[i + 1] for i in range(0, len(xs) - 1, 2)]
+        if len(xs) & 1:
+            nxt.append(xs[-1])
+        xs = nxt
+    return xs[0]
+
+
 def _token_tables(hi, is_dc, luma):
     """One Huffman symbol from the buffer top: peek16 -> canonical code
     length, then the (run, size) fields via the bit-sliced K.3 AC value
     table (mjpegdec.c:376-430 decode_block table semantics).
 
+    All table reductions are balanced trees (tree_sum/tree_or): this
+    computation sits on the serial token-to-token cycle, where
+    dependency depth is the measured cost model.
+
     Returns (ln, size, run, eob, zrl)."""
     p16 = (hi >> 16).astype(jnp.int32)
-    ln = jnp.zeros(p16.shape, jnp.int32)
-    for l in range(16):
-        bnd = _lsel4(is_dc, luma, int(_DCL[0][l]), int(_DCC[0][l]),
-                     int(_ACL[0][l]), int(_ACC[0][l]))
-        ln = ln + (p16 >= bnd).astype(jnp.int32)
+    ln = tree_sum([
+        (p16 >= _lsel4(is_dc, luma, int(_DCL[0][l]), int(_DCC[0][l]),
+                       int(_ACL[0][l]), int(_ACC[0][l])))
+        .astype(jnp.int32) for l in range(16)])
     ln = jnp.clip(ln + 1, 1, 16)
-    dsel = jnp.zeros(p16.shape, jnp.int32)
-    for l in range(1, 17):
-        dv = _lsel4(is_dc, luma,
-                    int(_DCL[2][l] - _DCL[1][l]),
-                    int(_DCC[2][l] - _DCC[1][l]),
-                    int(_ACL[2][l] - _ACL[1][l]),
-                    int(_ACC[2][l] - _ACC[1][l]))
-        dsel = dsel | jnp.where(ln == l, dv, 0)
+    dsel = tree_or([
+        jnp.where(ln == l,
+                  _lsel4(is_dc, luma,
+                         int(_DCL[2][l] - _DCL[1][l]),
+                         int(_DCC[2][l] - _DCC[1][l]),
+                         int(_ACL[2][l] - _ACL[1][l]),
+                         int(_ACC[2][l] - _ACC[1][l])), 0)
+        for l in range(1, 17)])
     idx = (p16 >> (16 - ln)) + dsel
     idx_ac = jnp.clip(idx, 0, 161)
     wsel = idx_ac >> 5
     shv = (idx_ac & 31).astype(jnp.uint32)
-    sym = jnp.zeros(p16.shape, jnp.int32)
+    bits = []
     for b in range(8):
-        word = jnp.zeros(p16.shape, jnp.int32)
-        for w_ in range(_ACW):
-            mw = (_ACM_L[b][w_] if _ACM_L[b][w_] == _ACM_C[b][w_]
-                  else jnp.where(luma, _ACM_L[b][w_], _ACM_C[b][w_]))
-            word = word | jnp.where(wsel == w_, mw, 0)
+        word = tree_or([
+            jnp.where(wsel == w_,
+                      (_ACM_L[b][w_] if _ACM_L[b][w_] == _ACM_C[b][w_]
+                       else jnp.where(luma, _ACM_L[b][w_], _ACM_C[b][w_])),
+                      0)
+            for w_ in range(_ACW)])
         bit = (word.astype(jnp.uint32) >> shv) & jnp.uint32(1)
-        sym = sym | (bit.astype(jnp.int32) << b)
+        bits.append(bit.astype(jnp.int32) << b)
+    sym = tree_or(bits)
     run = sym >> 4
     size = jnp.where(is_dc, jnp.clip(idx, 0, 11), sym & 0xF)
     eob = (~is_dc) & (sym == 0)
@@ -608,11 +640,12 @@ ADV = 4     # DMA drain quantum, blocks (WBD/2)
 def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
                        win: int = WIN, hbm: bool = False, unroll: int = 1,
                        wb: int = WBD, adv: int = ADV, pmax: int = 16,
-                       press: int = 0):
+                       press: int = 0, packed: bool = False):
     win = min(win, w_rows)
     assert wb & (wb - 1) == 0 and adv <= wb and nbp % adv == 0
     assert pmax & (pmax - 1) == 0
     ensure = _make_ensure(w_rows, win, hbm)
+    pr = 32 if packed else 64           # output ring rows per block
 
     def kernel(words_ref, out_ref, st_ref, owin, pend_ref, pv_ref,
                pbid_ref, wb_ref, sem, *hbm_scratch):
@@ -622,7 +655,8 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
             fbuf, flo_ref, hsem = hbm_scratch
             aux = (fbuf, flo_ref, hsem, ci)
             flo_ref[0] = -1
-        owin[...] = jnp.zeros((wb * 64, SB, 128), jnp.int16)
+        owin[...] = jnp.zeros((wb * pr, SB, 128),
+                              jnp.int32 if packed else jnp.int16)
         pend_ref[...] = jnp.zeros((32, SB, 128), jnp.int32)
         pv_ref[...] = jnp.zeros((SB, 128), jnp.int32)
         pbid_ref[...] = jnp.zeros((SB, 128), jnp.int32)
@@ -646,16 +680,26 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
                 # around this flush measured 84.4 ms vs 64.7 ms plain on
                 # TPU — Mosaic scalar branches around big vector bodies
                 # lose, exactly like the round-2 skip-counter negative.
-                for slot in range(wb):
-                    m = inwin & ((pbb & (wb - 1)) == slot)
-                    for r in range(32):
-                        v = pend_ref[r]
-                        owin[slot * 64 + 2 * r] = jnp.where(
-                            m, (v & 0xFFFF).astype(jnp.int16),
-                            owin[slot * 64 + 2 * r])
-                        owin[slot * 64 + 2 * r + 1] = jnp.where(
-                            m, (v >> 16).astype(jnp.int16),
-                            owin[slot * 64 + 2 * r + 1])
+                if packed:
+                    # the pending accumulators already hold pair-packed
+                    # int32 rows: the flush is a straight 32-row masked
+                    # store (half the RMWs of the int16 split)
+                    for slot in range(wb):
+                        m = inwin & ((pbb & (wb - 1)) == slot)
+                        for r in range(32):
+                            owin[slot * 32 + r] = jnp.where(
+                                m, pend_ref[r], owin[slot * 32 + r])
+                else:
+                    for slot in range(wb):
+                        m = inwin & ((pbb & (wb - 1)) == slot)
+                        for r in range(32):
+                            v = pend_ref[r]
+                            owin[slot * 64 + 2 * r] = jnp.where(
+                                m, (v & 0xFFFF).astype(jnp.int16),
+                                owin[slot * 64 + 2 * r])
+                            owin[slot * 64 + 2 * r + 1] = jnp.where(
+                                m, (v >> 16).astype(jnp.int16),
+                                owin[slot * 64 + 2 * r + 1])
                 pvv = jnp.where(inwin, 0, pvv)
                 pv_ref[...] = pvv
                 eff = jnp.where(pvv != 0, pbb, eff_done)
@@ -666,8 +710,8 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
                 def _adv():
                     slot0 = wbase & (wb - 1)
                     cp = pltpu.make_async_copy(
-                        owin.at[pl.ds(slot0 * 64, adv * 64)],
-                        out_ref.at[ci, pl.ds(wbase * 64, adv * 64)], sem)
+                        owin.at[pl.ds(slot0 * pr, adv * pr)],
+                        out_ref.at[ci, pl.ds(wbase * pr, adv * pr)], sem)
                     cp.start()
                     cp.wait()
                     wb_ref[0] = wbase + adv
@@ -770,16 +814,26 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
 
 @partial(jax.jit, static_argnames=("n_blocks", "t_max", "interpret", "win",
                                    "hbm", "unroll", "wb", "adv", "pmax",
-                                   "press", "return_status"))
+                                   "press", "packed", "return_status"))
 def decode_scans_async_dense(words, n_blocks: int, t_max: int,
                              interpret: bool = False, win: int = WIN,
                              hbm: bool | None = None, unroll: int = 1,
                              wb: int = WBD, adv: int = ADV,
                              pmax: int = 16, press: int = 0,
+                             packed: bool = False,
                              return_status: bool = False):
     """words int32 [CB, W, 8, 128] -> (levels int16
     [CB, n_blocks, 64, 8, 128], ok bool []) via the single-pass async
     dense kernel.
+
+    packed: keep the output ring in the pending accumulators'
+    pair-packed int32 form (32 rows/block), halving the flush RMWs of
+    the service pass, with one XLA unpack pass after.  MEASURED
+    NEGATIVE on TPU (2026-08-18, F=16384 sorted corpus): 63.5 ms vs
+    60.0 ms unpacked at identical iteration counts — the kernel is
+    latency-bound on its serial dependency chains, so removing
+    parallel vector work from the service pass buys nothing and the
+    unpack pass adds its own cost.  Kept for the record + tests.
 
     Same output contract as entropy_decode_pallas._decode_layout; `ok`
     False means some lane ran out of its t_max iteration budget
@@ -791,8 +845,10 @@ def decode_scans_async_dense(words, n_blocks: int, t_max: int,
     nbp = (n_blocks + adv - 1) // adv * adv
     kernel = _make_dense_kernel(w_rows, n_blocks, nbp, t_max, win=win,
                                 hbm=hbm, unroll=unroll, wb=wb, adv=adv,
-                                pmax=pmax, press=press)
-    scratch = [pltpu.VMEM((wb * 64, SB, 128), jnp.int16),   # owin
+                                pmax=pmax, press=press, packed=packed)
+    pr = 32 if packed else 64
+    scratch = [pltpu.VMEM((wb * pr, SB, 128),
+                          jnp.int32 if packed else jnp.int16),   # owin
                pltpu.VMEM((32, SB, 128), jnp.int32),        # pend
                pltpu.VMEM((SB, 128), jnp.int32),            # pv
                pltpu.VMEM((SB, 128), jnp.int32),            # pbid
@@ -808,8 +864,9 @@ def decode_scans_async_dense(words, n_blocks: int, t_max: int,
                                  lambda i: (i, 0, 0, 0))]
     out, st = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((cbn, nbp * 64, SB, 128),
-                                        jnp.int16),
+        out_shape=(jax.ShapeDtypeStruct((cbn, nbp * pr, SB, 128),
+                                        jnp.int32 if packed
+                                        else jnp.int16),
                    jax.ShapeDtypeStruct((cbn, 2, SB, 128), jnp.int32)),
         grid=(cbn,),
         in_specs=in_specs,
@@ -819,7 +876,14 @@ def decode_scans_async_dense(words, n_blocks: int, t_max: int,
         interpret=interpret,
     )(words)
     ok = jnp.all(st[:, 0] == n_blocks)
-    slab = out.reshape(cbn, nbp, 64, SB, 128)[:, :n_blocks]
+    if packed:
+        p = out.reshape(cbn, nbp, 32, SB, 128)[:, :n_blocks]
+        lo = ((p << 16) >> 16).astype(jnp.int16)
+        hi = (p >> 16).astype(jnp.int16)
+        slab = jnp.stack([lo, hi], axis=3) \
+            .reshape(cbn, n_blocks, 64, SB, 128)
+    else:
+        slab = out.reshape(cbn, nbp, 64, SB, 128)[:, :n_blocks]
     if return_status:
         # st[:, 1] = executed iterations per chunk (incl. defer retries)
         return slab, ok, st

@@ -55,6 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..bitstream import jpeg_tables as T
+from .entropy_async_pallas import tree_or
 from .entropy_encode_pallas import _ET, _ACE_L, _ACE_C, _packed, _pad
 
 SB = 8
@@ -77,42 +78,46 @@ def _bitlen(v):
 
 def _sel_small(idx, consts_l, consts_c, luma):
     """out[...] = (luma ? consts_l : consts_c)[idx] via compare-selects
-    (no gathers; the tables are tiny)."""
-    out = jnp.zeros(idx.shape, jnp.int32)
-    for i in range(len(consts_l)):
-        v = (consts_l[i] if consts_l[i] == consts_c[i]
-             else jnp.where(luma, consts_l[i], consts_c[i]))
-        out = out | jnp.where(idx == i, v, 0)
-    return out
+    (no gathers; the tables are tiny).  Tree-reduced: these selects sit
+    on the encoder's serial token-to-token cycle, which is
+    latency-bound (see entropy_async_pallas.tree_sum)."""
+    return tree_or([
+        jnp.where(idx == i,
+                  (consts_l[i] if consts_l[i] == consts_c[i]
+                   else jnp.where(luma, consts_l[i], consts_c[i])), 0)
+        for i in range(len(consts_l))])
 
 
 def _ac_code_len(rs, luma):
     """Canonical AC (code, len) for rs = run*16 + size via the packed
-    ln4/bit-plane tables (entropy_encode_pallas._ac_canonical)."""
+    ln4/bit-plane tables (entropy_encode_pallas._ac_canonical).  All
+    table reductions are balanced trees (latency-bound cycle)."""
     rsx = jnp.clip((rs >> 4) * 10 + (rs & 15) - 1, 0, 159)
     wsel = rsx >> 5
     shv = (rsx & 31).astype(jnp.uint32)
-    cidx = jnp.zeros(rs.shape, jnp.int32)
+    cbits = []
     for b in range(8):
-        wd = jnp.zeros(rs.shape, jnp.int32)
-        for i in range(5):
-            mw = (_ACE_L[1][b][i] if _ACE_L[1][b][i] == _ACE_C[1][b][i]
-                  else jnp.where(luma, _ACE_L[1][b][i], _ACE_C[1][b][i]))
-            wd = wd | jnp.where(wsel == i, mw, 0)
+        wd = tree_or([
+            jnp.where(wsel == i,
+                      (_ACE_L[1][b][i] if _ACE_L[1][b][i] == _ACE_C[1][b][i]
+                       else jnp.where(luma, _ACE_L[1][b][i],
+                                      _ACE_C[1][b][i])), 0)
+            for i in range(5)])
         bit = (wd.astype(jnp.uint32) >> shv) & jnp.uint32(1)
-        cidx = cidx | (bit.astype(jnp.int32) << b)
-    w4 = jnp.zeros(rs.shape, jnp.int32)
-    for i in range(20):
-        mw = (_ACE_L[0][i] if _ACE_L[0][i] == _ACE_C[0][i]
-              else jnp.where(luma, _ACE_L[0][i], _ACE_C[0][i]))
-        w4 = w4 | jnp.where((rsx >> 3) == i, mw, 0)
+        cbits.append(bit.astype(jnp.int32) << b)
+    cidx = tree_or(cbits)
+    w4 = tree_or([
+        jnp.where((rsx >> 3) == i,
+                  (_ACE_L[0][i] if _ACE_L[0][i] == _ACE_C[0][i]
+                   else jnp.where(luma, _ACE_L[0][i], _ACE_C[0][i])), 0)
+        for i in range(20)])
     lnc = 2 + ((w4.astype(jnp.uint32) >>
                 ((rsx & 7) << 2).astype(jnp.uint32)).astype(jnp.int32) & 15)
-    dsel = jnp.zeros(rs.shape, jnp.int32)
-    for l in range(2, 17):
-        dv = (_ACE_L[2][l] if _ACE_L[2][l] == _ACE_C[2][l]
-              else jnp.where(luma, _ACE_L[2][l], _ACE_C[2][l]))
-        dsel = dsel | jnp.where(lnc == l, dv, 0)
+    dsel = tree_or([
+        jnp.where(lnc == l,
+                  (_ACE_L[2][l] if _ACE_L[2][l] == _ACE_C[2][l]
+                   else jnp.where(luma, _ACE_L[2][l], _ACE_C[2][l])), 0)
+        for l in range(2, 17)])
     return cidx - dsel, lnc
 
 
@@ -531,12 +536,40 @@ def encode_scans_async(levels_zz, w_out: int = 1024, t_max: int = 0,
 WBE = 4     # input ring, blocks (power of two)
 ADVE = 2    # DMA advance quantum, blocks
 
+PACK_ROWS = 34  # pair-packed block: 32 value rows + 2 occupancy masks
+
+
+@jax.jit
+def pack_levels_masks(lv):
+    """lv int16 [CB, NB, 64, SB, 128] (zigzag, slot0 = absolute DC) ->
+    int32 [CB, NB * 34, SB, 128]: per block, rows 0..31 pair-pack slots
+    (2j, 2j+1) as (lo16 | hi << 16) and rows 32/33 carry the nonzero-
+    occupancy masks (row 32 bit k = slot k nonzero for k in 1..31, row
+    33 bit k = slot 32+k nonzero) — exactly the (pv, emlo, emhi) staging
+    format the dense async encoder's service pass otherwise rebuilds
+    in-kernel from 64 int16 rows per block per service.  Precomputing it
+    here is one fully-parallel XLA pass over the slab; the in-kernel
+    service shrinks to a plain 34-row one-hot select."""
+    cbn, NB = lv.shape[0], lv.shape[1]
+    v = lv.astype(jnp.int32)
+    pv = (v[:, :, 0::2] & 0xFFFF) | (v[:, :, 1::2] << 16)
+    nz = (v != 0).astype(jnp.uint32)
+    k = jnp.arange(64, dtype=jnp.uint32).reshape(1, 1, 64, 1, 1)
+    bits = nz * jnp.where(k == 0, jnp.uint32(0), jnp.uint32(1) << (k & 31))
+    emlo = jax.lax.bitcast_convert_type(
+        jnp.sum(bits[:, :, :32], axis=2), jnp.int32)
+    emhi = jax.lax.bitcast_convert_type(
+        jnp.sum(bits[:, :, 32:], axis=2), jnp.int32)
+    out = jnp.concatenate(
+        [pv, emlo[:, :, None], emhi[:, :, None]], axis=2)
+    return out.reshape(cbn, NB * PACK_ROWS, SB, 128)
+
 
 def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
                            t_max: int, win_rows: int = WIN_O,
                            unroll: int = 1, wb: int = WBE,
                            adv: int = ADVE, pmax: int = 16,
-                           press: int = 0):
+                           press: int = 0, packed: bool = False):
     win = min(win_rows, w_out)
     assert w_out % win == 0, (w_out, win)
     assert wb & (wb - 1) == 0 and adv <= wb and nbp % adv == 0
@@ -611,6 +644,8 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
         xu = (xu + (xu >> 4)) & jnp.uint32(0x0F0F0F0F)
         return ((xu * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
 
+    br = PACK_ROWS if packed else 64   # ring rows per block
+
     def kernel(lv_ref, dc0_ref, out_ref, bits_ref, st_ref, iwin,
                nxt_ref, nv_ref, wb_ref, sem):
         ci = pl.program_id(0)
@@ -622,8 +657,8 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
         # initial ring fill: blocks [0, wb)
         for q in range(wb // adv):
             cp = pltpu.make_async_copy(
-                lv_ref.at[ci, pl.ds(q * adv * 64, adv * 64)],
-                iwin.at[pl.ds(q * adv * 64, adv * 64)], sem)
+                lv_ref.at[ci, pl.ds(q * adv * br, adv * br)],
+                iwin.at[pl.ds(q * adv * br, adv * br)], sem)
             cp.start()
             cp.wait()
 
@@ -642,43 +677,59 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
                 tgt = nxt_want                    # = cbid + 1 per lane
                 need = (nv == 0) & (tgt < n_blocks) & (tgt >= wbase) & \
                     (tgt < wbase + wb)
-                pvv = [jnp.zeros((SB, 128), jnp.int32) for _ in range(32)]
-                emlo = jnp.zeros((SB, 128), jnp.int32)
-                emhi = jnp.zeros((SB, 128), jnp.int32)
-                for slot in range(wb):
-                    m = need & ((tgt & (wb - 1)) == slot)
-                    for j in range(32):
-                        vlo = iwin[slot * 64 + 2 * j].astype(jnp.int32) \
-                            & 0xFFFF
-                        vhi = iwin[slot * 64 + 2 * j + 1].astype(jnp.int32)
-                        pj = vlo | (vhi << 16)
-                        pvv[j] = pvv[j] | jnp.where(m, pj, 0)
-                        if j > 0:
-                            if 2 * j < 32:
+                if packed:
+                    # pre-packed ring: rows are already the staging
+                    # format (32 pair-packed value rows + 2 masks) —
+                    # the whole stage is a wb-way one-hot row select
+                    pvv = [jnp.zeros((SB, 128), jnp.int32)
+                           for _ in range(PACK_ROWS)]
+                    for slot in range(wb):
+                        m = need & ((tgt & (wb - 1)) == slot)
+                        for j in range(PACK_ROWS):
+                            pvv[j] = pvv[j] | jnp.where(
+                                m, iwin[slot * PACK_ROWS + j], 0)
+                    for j in range(PACK_ROWS):
+                        nxt_ref[j] = jnp.where(need, pvv[j], nxt_ref[j])
+                else:
+                    pvv = [jnp.zeros((SB, 128), jnp.int32)
+                           for _ in range(32)]
+                    emlo = jnp.zeros((SB, 128), jnp.int32)
+                    emhi = jnp.zeros((SB, 128), jnp.int32)
+                    for slot in range(wb):
+                        m = need & ((tgt & (wb - 1)) == slot)
+                        for j in range(32):
+                            vlo = iwin[slot * 64 + 2 * j] \
+                                .astype(jnp.int32) & 0xFFFF
+                            vhi = iwin[slot * 64 + 2 * j + 1] \
+                                .astype(jnp.int32)
+                            pj = vlo | (vhi << 16)
+                            pvv[j] = pvv[j] | jnp.where(m, pj, 0)
+                            if j > 0:
+                                if 2 * j < 32:
+                                    emlo = emlo | jnp.where(
+                                        m & (vlo != 0),
+                                        jnp.int32(1 << (2 * j)), 0)
+                                else:
+                                    b = 1 << (2 * j - 32)
+                                    emhi = emhi | jnp.where(
+                                        m & (vlo != 0), jnp.int32(b), 0)
+                            ko = 2 * j + 1
+                            if ko < 32:
+                                bo = 1 << ko
                                 emlo = emlo | jnp.where(
-                                    m & (vlo != 0), jnp.int32(1 << (2 * j)),
-                                    0)
+                                    m & (vhi != 0),
+                                    jnp.int32(bo - (1 << 32) if ko == 31
+                                              else bo), 0)
                             else:
-                                b = 1 << (2 * j - 32)
+                                b = 1 << (ko - 32)
                                 emhi = emhi | jnp.where(
-                                    m & (vlo != 0), jnp.int32(b), 0)
-                        ko = 2 * j + 1
-                        if ko < 32:
-                            bo = 1 << ko
-                            emlo = emlo | jnp.where(
-                                m & (vhi != 0),
-                                jnp.int32(bo - (1 << 32) if ko == 31
-                                          else bo), 0)
-                        else:
-                            b = 1 << (ko - 32)
-                            emhi = emhi | jnp.where(
-                                m & (vhi != 0),
-                                jnp.int32(b - (1 << 32) if ko == 63
-                                          else b), 0)
-                for j in range(32):
-                    nxt_ref[j] = jnp.where(need, pvv[j], nxt_ref[j])
-                nxt_ref[32] = jnp.where(need, emlo, nxt_ref[32])
-                nxt_ref[33] = jnp.where(need, emhi, nxt_ref[33])
+                                    m & (vhi != 0),
+                                    jnp.int32(b - (1 << 32) if ko == 63
+                                              else b), 0)
+                    for j in range(32):
+                        nxt_ref[j] = jnp.where(need, pvv[j], nxt_ref[j])
+                    nxt_ref[32] = jnp.where(need, emlo, nxt_ref[32])
+                    nxt_ref[33] = jnp.where(need, emhi, nxt_ref[33])
                 nv = jnp.where(need, 1, nv)
                 nv_ref[...] = nv
                 # ring advance: lowest block any lane still needs
@@ -693,8 +744,8 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
                     src0 = wbase + wb
                     src0 = jnp.minimum(src0, nbp - adv)
                     cp = pltpu.make_async_copy(
-                        lv_ref.at[ci, pl.ds(src0 * 64, adv * 64)],
-                        iwin.at[pl.ds(slot0 * 64, adv * 64)], sem)
+                        lv_ref.at[ci, pl.ds(src0 * br, adv * br)],
+                        iwin.at[pl.ds(slot0 * br, adv * br)], sem)
                     cp.start()
                     cp.wait()
                     wb_ref[0] = wbase + adv
@@ -748,9 +799,10 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
             low = wmask & -wmask
             pos = popc((low - 1).astype(jnp.uint32)) + \
                 jnp.where(sel_lo, 0, 32)
-            half = jnp.zeros((SB, 128), jnp.int32)
-            for j in range(32):
-                half = half | jnp.where((pos >> 1) == j, pv[j], 0)
+            # 32-way one-hot value pick, tree-reduced (the AC value
+            # feeds size -> append on the serial cycle)
+            half = tree_or([jnp.where((pos >> 1) == j, pv[j], 0)
+                            for j in range(32)])
             val = jnp.where((pos & 1) != 0, half >> 16,
                             ((half & 0xFFFF) ^ 0x8000) - 0x8000)
             run = pos - prev - 1 - 16 * z
@@ -875,16 +927,30 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
 
 @partial(jax.jit, static_argnames=("w_out", "t_max", "interpret",
                                    "win_rows", "unroll", "wb", "adv",
-                                   "pmax", "press", "return_status"))
+                                   "pmax", "press", "packed",
+                                   "return_status"))
 def encode_layout_async_dense(lv, w_out: int, t_max: int,
                               interpret: bool = False,
                               win_rows: int = WIN_O, unroll: int = 1,
                               wb: int = WBE, adv: int = ADVE,
                               pmax: int = 16, press: int = 0, dc0=None,
+                              packed: bool = False,
                               return_status: bool = False):
     """lv int16 [CB, NB, 64, SB, 128] zigzag (slot0 = absolute DC) ->
     (words int32 [CB, w_out, SB, 128], bits int32 [CB, 1, SB, 128], ok)
     via the single-pass async encoder.
+
+    packed: pre-pack the level slab to the kernel's staging format with
+    pack_levels_masks (one XLA pass), so the service pass stages a
+    lane's next block with a 34-row one-hot select instead of
+    rebuilding pair-packing + occupancy masks from 64 int16 rows (~4x
+    less service vector work).  MEASURED NEGATIVE on TPU (2026-08-18,
+    F=16384 sorted corpus): 89.4 ms vs 69.9 ms unpacked at IDENTICAL
+    iteration counts (74,632) — the kernel is latency-bound on its
+    serial dependency chains (bit buffer, loop control), so the service
+    op reduction buys nothing while the XLA pack pass and the int32
+    ring's doubled load bytes add real time.  Kept for the record +
+    tests; the same finding killed the decoder's packed output ring.
 
     Bit-exact with entropy_encode_pallas._encode_layout; `ok` False
     means some lane ran out of its t_max iteration budget -> the caller
@@ -900,12 +966,16 @@ def encode_layout_async_dense(lv, w_out: int, t_max: int,
     kernel = _make_enc_dense_kernel(NB, nbp, w_out, t_max,
                                     win_rows=win_rows, unroll=unroll,
                                     wb=wb, adv=adv, pmax=pmax,
-                                    press=press)
-    scratch = [pltpu.VMEM((wb * 64, SB, 128), jnp.int16),   # iwin
+                                    press=press, packed=packed)
+    br = PACK_ROWS if packed else 64
+    iwin_dt = jnp.int32 if packed else jnp.int16
+    scratch = [pltpu.VMEM((wb * br, SB, 128), iwin_dt),     # iwin
                pltpu.VMEM((34, SB, 128), jnp.int32),        # nxt
                pltpu.VMEM((SB, 128), jnp.int32),            # nxt valid
                pltpu.SMEM((1,), jnp.int32),                 # wbase
                pltpu.SemaphoreType.DMA]
+    lv_in = (pack_levels_masks(lv) if packed
+             else lv.reshape(cbn, nbp * 64, SB, 128))
     words, bits, st = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((cbn, w_out, SB, 128), jnp.int32),
@@ -920,7 +990,7 @@ def encode_layout_async_dense(lv, w_out: int, t_max: int,
                    pl.BlockSpec((1, 2, SB, 128), lambda i: (i, 0, 0, 0))),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(lv.reshape(cbn, nbp * 64, SB, 128), dc0)
+    )(lv_in, dc0)
     ok = jnp.all(st[:, 0] == NB)
     if return_status:
         return words, bits, ok, st

@@ -77,6 +77,13 @@ def test_dense_decode_defer_heavy_and_unroll():
                                         wb=4, adv=2)
     assert bool(ok)
     np.testing.assert_array_equal(np.asarray(slab), ref)
+    # packed output-ring variant (pair-packed int32 flush; measured
+    # negative on TPU, kept for the record — see decode_scans_async_dense)
+    slab_u, ok_u = decode_scans_async_dense(wl, nb, tm, interpret=True,
+                                            win=64, unroll=2, pmax=8,
+                                            wb=4, adv=2, packed=True)
+    assert bool(ok_u)
+    np.testing.assert_array_equal(np.asarray(slab_u), ref)
 
 
 def test_dense_decode_hbm_streamed():

@@ -49,6 +49,40 @@ def test_enc_dense_matches_lockstep():
     assert bool(ok)
     np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_new))
     np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_new))
+    # packed input-ring variant (XLA pre-pack staging; measured negative
+    # on TPU, kept for the record — see encode_layout_async_dense)
+    w_up, b_up, ok_up = encode_layout_async_dense(
+        slab, 1024, default_t_max_enc(NB) * 2, interpret=True,
+        win_rows=64, packed=True)
+    assert bool(ok_up)
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_up))
+    np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_up))
+
+
+def test_pack_levels_masks_format():
+    """The XLA pre-pack emits exactly the kernel's staging format."""
+    from amv_tpu.kernels.entropy_encode_async_pallas import \
+        pack_levels_masks
+    rng = np.random.default_rng(3)
+    lv = rng.integers(-1023, 1023, (1, 4, 64, 8, 128)).astype(np.int16)
+    lv[0, 1, 1:] = 0                       # empty-AC block
+    lv[0, 2, 63] = 5                       # last-slot tail
+    out = np.asarray(pack_levels_masks(jnp.asarray(lv)))
+    out = out.reshape(1, 4, 34, 8, 128)
+    for b in range(4):
+        for j in range(32):
+            lo = lv[0, b, 2 * j].astype(np.int32) & 0xFFFF
+            hi = lv[0, b, 2 * j + 1].astype(np.int32) << 16
+            np.testing.assert_array_equal(out[0, b, j], lo | hi)
+        nz = lv[0, b] != 0
+        emlo = np.zeros((8, 128), np.uint32)
+        emhi = np.zeros((8, 128), np.uint32)
+        for k in range(1, 32):
+            emlo |= nz[k].astype(np.uint32) << k
+        for k in range(32, 64):
+            emhi |= nz[k].astype(np.uint32) << (k - 32)
+        np.testing.assert_array_equal(out[0, b, 32].view(np.uint32), emlo)
+        np.testing.assert_array_equal(out[0, b, 33].view(np.uint32), emhi)
 
 
 def test_enc_dense_overflow_reports_not_ok():
