@@ -32,6 +32,16 @@ Semantics of both match kernels/entropy_decode_pallas
 zigzag order, slot 0 = DC difference.  Invalid streams produce bounded
 garbage; per-lane status rows let callers detect short decodes and
 fall back to the validating host path.
+
+Ring/unroll sweep on TPU (2026-08-18, F=16384 sorted, byte gates OK) —
+all MEASURED NEGATIVE vs defaults (u8: 60.2 ms min, 67,832 iters):
+unroll 16 = 65.1 ms @ 84,144 iters (deeper unroll pads the per-lane
+tail, iterations INCREASE); output ring 16 = 64.5 ms @ 65,344 (4%
+fewer stall iterations, +7% time in flush work).  Together with the
+pend-in-registers (+34%), scalar flush gates (+30%) and packed-ring
+negatives this pins the kernel at its serial-dependency latency floor;
+further gains need a shorter token-cycle critical path, not fewer
+iterations.
 """
 
 from __future__ import annotations

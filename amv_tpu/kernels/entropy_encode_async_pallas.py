@@ -535,6 +535,13 @@ def encode_scans_async(levels_zz, w_out: int = 1024, t_max: int = 0,
 
 WBE = 4     # input ring, blocks (power of two)
 ADVE = 2    # DMA advance quantum, blocks
+# Ring/unroll sweep on TPU (2026-08-18, F=16384 sorted corpus, byte
+# gates OK) — all MEASURED NEGATIVE vs the defaults (69.7 ms min,
+# 74,632 iters): ring 16 blocks = 71.0 ms @ 70,744 iters; ring 32 =
+# 78.4 ms @ 67,192; ring 16 + unroll 12 = 72.7 ms @ 78,912.  Every
+# ring doubling buys ~5% fewer stall iterations but costs +6-12% in
+# per-pass service/flush work, and deeper unrolls pad the per-lane
+# tail (iterations go UP).  The kernel is at its latency floor.
 
 PACK_ROWS = 34  # pair-packed block: 32 value rows + 2 occupancy masks
 
