@@ -90,6 +90,15 @@ def main(argv=None):
                    help="WAV output codec: pcm (decode) or copy (raw "
                         "IMA-ADPCM stream with fact header, amvlib's "
                         "second WAV export mode, AMVDec.c:447-530)")
+    p.add_argument("-pix_fmt", dest="pix_fmt", default=None,
+                   choices=["rgb32", "bgr32", "rgb24", "bgr24",
+                            "rgb565", "bgr565", "rgb555", "bgr555",
+                            "rgb8", "bgr8", "rgb4", "bgr4",
+                            "rgb4_byte", "bgr4_byte", "monob",
+                            "yuyv422", "uyvy422"],
+                   help="packed pixel format for .raw/.rgb rawvideo "
+                        "output (libswscale yuv2rgb output family incl. "
+                        "ordered dithering, yuv2rgb.c:304-615)")
     p.add_argument("-psnr", dest="psnr", action="store_true",
                    help="after encoding, print mean Y/U/V/All PSNR of the "
                         "output vs the input (CODEC_FLAG_PSNR, "
@@ -359,6 +368,30 @@ def _decode(args):
                 f.write(dec.cr[fidx].tobytes())
         print(f"wrote {out}: {dec.y.shape[0]} frames "
               f"{dec.info.width}x{dec.info.height} yuv420p")
+        return 0
+    if ext in (".rgb", ".raw"):
+        import numpy as _np
+        from .kernels import yuv2rgb_dither as y2r
+        fmt = args.pix_fmt or "rgb24"
+        if fmt == "yuyv422":
+            frames = _np.asarray(y2r.yuv420_to_yuyv422(dec.y, dec.cb,
+                                                       dec.cr))
+        elif fmt == "uyvy422":
+            frames = _np.asarray(y2r.yuv420_to_uyvy422(dec.y, dec.cb,
+                                                       dec.cr))
+        else:
+            kfmt = "monoblack" if fmt == "monob" else fmt
+            frames = _np.asarray(y2r.yuv420_to_packed(
+                dec.y, dec.cb, dec.cr, fmt=kfmt))
+            if frames.dtype == _np.uint16:
+                frames = frames.astype("<u2")   # LE like the reference
+            elif frames.dtype == _np.uint32:
+                frames = frames.astype("<u4")
+        with open(out, "wb") as f:
+            for fidx in range(frames.shape[0]):
+                f.write(frames[fidx].tobytes())
+        print(f"wrote {out}: {frames.shape[0]} frames "
+              f"{dec.info.width}x{dec.info.height} {fmt}")
         return 0
     if ext == ".bmp":
         from .kernels.color import yuv420_to_rgb
