@@ -31,6 +31,10 @@ class JpegFrame:
     # Pegasus LJIF APP0 colorspace (mjpegdec.c:962-973): 0 = none,
     # 1 = RGB, 2 = RGB + pegasus reversible color transform
     ljif_colorspace: int = 0
+    # AVI1 APP0 field polarity byte (mjpegdec.c:890-914 buggy-AVID
+    # marker): 1 = this image is the top field, 2 = bottom field,
+    # 0 = absent/unspecified
+    avi1_polarity: int = 0
     # quant tables by id, zigzag order
     quant: dict = field(default_factory=dict)
     # huffman specs: (class, id) -> (bits[17], vals[])
@@ -124,6 +128,11 @@ def parse_jpeg(data: bytes, allow_lossless: bool = False) -> JpegFrame:
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError(f"unsupported SOF type 0x{marker:02x} "
                              "(baseline only)")
+        elif marker == 0xE0 and body[:4] == b"AVI1":
+            # buggy-AVID field marker (mjpegdec.c:890-914): byte after
+            # the fourcc is the polarity (1 = top field, 2 = bottom)
+            if len(body) > 4:
+                f.avi1_polarity = body[4]
         elif marker == 0xE0 and body[:4] == b"LJIF":
             # Pegasus lossless header (mjpegdec.c mjpeg_decode_app
             # :962-973): 4x16-bit unknowns then an 8-bit colorspace

@@ -70,9 +70,10 @@ def main(argv=None):
     p.add_argument("-s", dest="size", default=None, help="WxH frame size")
     p.add_argument("-sws_flags", dest="sws_flags", default="bicubic",
                    choices=["bilinear", "bicubic", "point", "area",
-                            "lanczos"],
-                   help="rescale filter (libswscale SWS_* flag parity; "
-                        "default bicubic like ffmpeg)")
+                            "lanczos", "gauss", "sinc", "spline",
+                            "experimental", "bicublin"],
+                   help="rescale filter (full libswscale SWS_* flag set, "
+                        "swscale.c:1065-1161; default bicubic like ffmpeg)")
     p.add_argument("-ar", dest="sample_rate", type=int, default=22050)
     p.add_argument("-ac", dest="channels", type=int, default=1)
     p.add_argument("-qscale", dest="qscale", type=int, default=2)
@@ -174,7 +175,11 @@ def main(argv=None):
         with trace("cli"):  # device trace when AMV_TRACE_DIR is set
             if args.format == "amv" or ext == ".amv":
                 src_ext = os.path.splitext(args.inputs[0])[1].lower()
-                if len(args.inputs) == 1 and src_ext == ".amv":
+                if (len(args.inputs) == 1 and src_ext == ".amv"
+                        and not args.size and not args.psnr):
+                    # fused same-geometry requantize path; -s (rescale)
+                    # or -psnr forces the full decode->encode pipeline
+                    # like ffmpeg.c's filter-graph insertion
                     return _transcode(args)
                 return _encode(args)
             if args.format == "act" or ext == ".act":
@@ -412,18 +417,44 @@ def _encode(args):
     if args.size:
         w, h = map(int, args.size.lower().split("x"))
     else:
-        raise SystemExit("encode requires -s WxH")
-    yuv_path = wav_path = avi_path = None
+        w = h = None  # AMV/AVI inputs carry geometry; raw YUV needs -s
+    yuv_path = wav_path = avi_path = amv_path = None
     for src in args.inputs:
         e = os.path.splitext(src)[1].lower()
         if e == ".wav":
             wav_path = src
         elif e == ".avi":
             avi_path = src
+        elif e == ".amv":
+            amv_path = src
         else:
             yuv_path = src
     pcm = None
-    if avi_path:
+    if amv_path:
+        # AMV -> AMV with -s/-psnr: full decode -> rescale -> re-encode
+        # (the reference CLI inserts sws_scale whenever -s differs,
+        # ffmpeg.c:757; the fused requantize path can't rescale)
+        from .pipeline.decode import decode_file
+        dec = decode_file(amv_path, max_frames=args.max_frames,
+                          start_frame=args.seek)
+        y, cb, cr, pcm = dec.y, dec.cb, dec.cr, dec.pcm
+        if w is None:
+            w, h = dec.info.width, dec.info.height
+        if (dec.info.width, dec.info.height) != (w, h):
+            import jax.numpy as jnp
+            from .kernels.scale import resize_yuv420
+            print(f"rescaling {dec.info.width}x{dec.info.height} -> "
+                  f"{w}x{h} ({args.sws_flags})")
+            y, cb, cr = (np.asarray(p) for p in resize_yuv420(
+                jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), h, w,
+                filt=args.sws_flags))
+        if dec.info.sample_rate != args.sample_rate and len(pcm):
+            from .kernels.resample import resample_pcm
+            print(f"resampling audio {dec.info.sample_rate} -> "
+                  f"{args.sample_rate} Hz")
+            pcm = resample_pcm(pcm, dec.info.sample_rate, args.sample_rate)
+        n_frames = y.shape[0]
+    elif avi_path:
         from .containers import avi as avimod
         streams = avimod.read(avi_path)
         vstreams = [st for st in streams if st.kind == "video"]
@@ -463,6 +494,8 @@ def _encode(args):
     else:
         if yuv_path is None:
             raise SystemExit("encode requires a raw .yuv or .avi input")
+        if w is None:
+            raise SystemExit("raw YUV encode requires -s WxH")
         frame_bytes = w * h * 3 // 2
         raw = open(yuv_path, "rb").read()
         n_frames = len(raw) // frame_bytes

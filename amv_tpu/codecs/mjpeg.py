@@ -327,14 +327,16 @@ def _sof_height(data: bytes) -> int:
 
 
 def decode_interlaced_frames(payloads: list[bytes],
-                             interlace_polarity: int = 0):
+                             interlace_polarity: int | None = 0):
     """Decode two-field interlaced MJPEG packets (each payload carries
     both field images) and row-interleave them into full frames
     (mjpegdec.c:263-283 two-field detection, :339 stride doubling,
     :712-713 bottom-field row offset, :1277-1285 eoi_parser field
     pairing).  polarity 0 = first field on even rows (top field first,
-    the default `interlace_polarity`).  Returns (y, cb, cr) with
-    height = 2 x field height."""
+    the default `interlace_polarity`); None = auto-detect from the
+    first field's AVI1 APP0 marker when present (buggy-AVID polarity
+    byte, mjpegdec.c:890-914: 2 means the first image is the bottom
+    field).  Returns (y, cb, cr) with height = 2 x field height."""
     spans = [_image_spans(p) for p in payloads]
     if not all(len(s) == 2 for s in spans):
         raise ValueError("interlaced packets must carry two field images")
@@ -342,6 +344,9 @@ def decode_interlaced_frames(payloads: list[bytes],
     for p, s in zip(payloads, spans):
         fields.append(p[s[0][0]:s[0][1]])
         fields.append(p[s[1][0]:s[1][1]])
+    if interlace_polarity is None:
+        pol = parse_jpeg(fields[0]).avi1_polarity
+        interlace_polarity = 1 if pol == 2 else 0
     y, cb, cr = decode_mjpeg_frames(fields)
     f0, f1 = (0, 1) if interlace_polarity == 0 else (1, 0)
     yo = _interleave_fields(y[f0::2], y[f1::2])
@@ -376,7 +381,10 @@ def decode_mjpeg_frames(payloads: list[bytes], org_height: int = 0):
         nimg = len(_image_spans(payloads[0]))
         h0 = _sof_height(payloads[0])
         if nimg == 2 and (not org_height or h0 < (org_height * 3) // 4):
-            return decode_interlaced_frames(payloads)
+            # polarity from the AVI1 APP0 marker when tagged
+            # (mjpegdec.c:890-914), top-field-first otherwise
+            return decode_interlaced_frames(payloads,
+                                            interlace_polarity=None)
     sofs = [_sof_marker(p) for p in payloads]
     if any(m == 0xC3 for m in sofs):
         if not all(m == 0xC3 for m in sofs):

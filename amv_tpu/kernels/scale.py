@@ -10,7 +10,8 @@ whole thing fused and the result is bit-reproducible on any backend
 mirror that arithmetic but do not chase bit-identity with its
 version-specific filter tables).
 
-Filters (the reference's SWS_* single-pass set, swscale.h flags):
+Filters (the reference's full SWS_* flag set, swscale.h /
+swscale.c:1065-1161 initFilter kernels):
   * 'bilinear' — 2-tap triangle (SWS_BILINEAR)
   * 'bicubic'  — 4-tap cubic with a = -0.6, ffmpeg's default bicubic
     parameter (swscale default when no flags given, utils.c)
@@ -18,6 +19,16 @@ Filters (the reference's SWS_* single-pass set, swscale.h flags):
   * 'area'     — box average (SWS_AREA): exact pixel averaging on
     integer downscales, nearest-dominated on upscales
   * 'lanczos'  — 6-tap Lanczos-3 windowed sinc (SWS_LANCZOS)
+  * 'gauss'    — 2^(-3 d^2) Gaussian, default param 3 (SWS_GAUSS,
+    swscale.c:1133-1137)
+  * 'sinc'     — unwindowed sinc, support 20 (SWS_SINC,
+    swscale.c:1138-1141)
+  * 'spline'   — natural bicubic spline via the reference's
+    getSplineCoeff recursion (SWS_SPLINE, swscale.c:971-980,1153-1157)
+  * 'experimental' — raised-cosine window, default A = 1 (SWS_X,
+    swscale.c:1114-1125)
+'bicublin' (SWS_BICUBLIN: bicubic luma, bilinear chroma,
+swscale.c:2295-2341) is handled at the resize_yuv420 level.
 All use the standard center convention src = (dst + 0.5) * L / Ld - 0.5
 with edge clamping (replicated borders, like swscale).
 """
@@ -54,6 +65,42 @@ def _lanczos(x: np.ndarray, a: float = 3.0) -> np.ndarray:
     return np.where(ax < a, out, 0.0)
 
 
+def _gauss(x: np.ndarray, p: float = 3.0) -> np.ndarray:
+    return np.exp2(-p * x * x)
+
+
+def _sinc(x: np.ndarray) -> np.ndarray:
+    return np.sinc(x)
+
+
+def _spline(x: np.ndarray) -> np.ndarray:
+    """Natural bicubic spline: getSplineCoeff(1, 0, p, -p-1, d) with
+    p = -2.196152422706632 (swscale.c:971-980,1153-1157), the tail
+    recursion unrolled over the 10-pixel support."""
+    p = -2.196152422706632
+    d = np.abs(x).astype(np.float64)
+    a = np.ones_like(d)
+    b = np.zeros_like(d)
+    c = np.full_like(d, p)
+    e = np.full_like(d, -p - 1.0)
+    for _ in range(10):
+        go = d > 1.0
+        a, b, c, e = (np.where(go, 0.0, a),
+                      np.where(go, b + 2 * c + 3 * e, b),
+                      np.where(go, c + 3 * e, c),
+                      np.where(go, -b - 3 * c - 6 * e, e))
+        d = np.where(go, d - 1.0, d)
+    return ((e * d + c) * d + b) * d + a
+
+
+def _xexp(x: np.ndarray) -> np.ndarray:
+    """SWS_X 'experimental': cos window with signed pow A (default 1),
+    mapped to [0, 1] (swscale.c:1114-1125) — zero beyond d = 1."""
+    d = np.abs(x)
+    c = np.where(d < 1.0, np.cos(d * np.pi), -1.0)
+    return c * 0.5 + 0.5
+
+
 def _build_taps(src_l: int, dst_l: int, filt: str):
     """Per-output-sample tap indices + 2^14-scaled int weights.
 
@@ -78,6 +125,14 @@ def _build_taps(src_l: int, dst_l: int, filt: str):
         base_r, fn = 0.5, _box
     elif filt == "lanczos":
         base_r, fn = 3.0, _lanczos
+    elif filt == "gauss":
+        base_r, fn = 4.0, _gauss      # sizeFactor 8, swscale.c:1068
+    elif filt == "sinc":
+        base_r, fn = 10.0, _sinc      # sizeFactor 20, swscale.c:1070
+    elif filt == "spline":
+        base_r, fn = 10.0, _spline    # sizeFactor 20, swscale.c:1071
+    elif filt == "experimental":
+        base_r, fn = 4.0, _xexp       # sizeFactor 8, swscale.c:1066
     else:
         raise ValueError(f"unknown filter {filt!r}")
     radius = base_r * stretch
@@ -134,9 +189,14 @@ def resize_plane(x: jnp.ndarray, dst_h: int, dst_w: int,
 
 def resize_yuv420(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
                   dst_h: int, dst_w: int, filt: str = "bicubic"):
-    """Resize YUV420 planes to dst (luma dst, chroma dst/2)."""
+    """Resize YUV420 planes to dst (luma dst, chroma dst/2).
+
+    'bicublin' = bicubic luma + bilinear chroma (SWS_BICUBLIN: swscale
+    builds the luma scaler with SWS_BICUBIC and the chroma scaler with
+    SWS_BILINEAR, swscale.c:2295-2341)."""
     if dst_h % 2 or dst_w % 2:
         raise ValueError("YUV420 target dims must be even")
-    return (resize_plane(y, dst_h, dst_w, filt),
-            resize_plane(cb, dst_h // 2, dst_w // 2, filt),
-            resize_plane(cr, dst_h // 2, dst_w // 2, filt))
+    yf, cf = ("bicubic", "bilinear") if filt == "bicublin" else (filt, filt)
+    return (resize_plane(y, dst_h, dst_w, yf),
+            resize_plane(cb, dst_h // 2, dst_w // 2, cf),
+            resize_plane(cr, dst_h // 2, dst_w // 2, cf))

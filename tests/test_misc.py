@@ -136,3 +136,29 @@ def test_cli_duration_flag(tmp_path):
     want = b"".join(s.audio_chunks[:want_n])
     d = data.find(b"data")
     assert data[d + 8:] == want
+
+
+def test_cli_amv_rescale(tmp_path):
+    """`-i in.amv -s WxH out.amv` leaves the fused requantize path and
+    runs the full decode -> sws rescale -> re-encode pipeline (the
+    reference inserts sws_scale whenever -s differs, ffmpeg.c:757)."""
+    from amv_tpu import cli
+    from amv_tpu.containers import riff
+    src = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
+    out = str(tmp_path / "small.amv")
+    assert cli.main(["-i", src, "--max-frames", "2",
+                     "-s", "80x64", out]) == 0
+    s = riff.read(out)
+    assert (s.info.width, s.info.height) == (80, 64)
+    assert len(s.video_chunks) == 2
+
+
+def test_cli_amv_psnr_no_size(tmp_path, capsys):
+    """`-psnr` on AMV->AMV without -s re-encodes at source geometry
+    (no fused path, no -s requirement) and prints the summary."""
+    from amv_tpu import cli
+    src = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
+    out = str(tmp_path / "re.amv")
+    assert cli.main(["-i", src, "--max-frames", "2", "-psnr", out]) == 0
+    text = capsys.readouterr().out
+    assert "PSNR Mean Y:" in text and "All:" in text

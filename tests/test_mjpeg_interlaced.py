@@ -64,6 +64,39 @@ def test_interlace_polarity_swaps_fields():
     np.testing.assert_array_equal(y0[:, 1::2], y1[:, 0::2])
 
 
+def test_avi1_polarity_autodetect():
+    """interlace_polarity=None reads the buggy-AVID AVI1 APP0 marker
+    (mjpegdec.c:890-914): polarity byte 2 = first image is the bottom
+    field, so fields swap vs the top-first default."""
+    rng = np.random.default_rng(6)
+    pkts, _ = _field_packets(rng, 2, 8, 16)
+
+    def tag(jpeg: bytes, pol: int) -> bytes:
+        app0 = b"AVI1" + bytes([pol, 0]) + b"\x00" * 8
+        seg = b"\xFF\xE0" + (len(app0) + 2).to_bytes(2, "big") + app0
+        return jpeg[:2] + seg + jpeg[2:]
+
+    def retag(pkt: bytes, first_pol: int) -> bytes:
+        s0, s1 = _image_spans(pkt)
+        return (tag(pkt[s0[0]:s0[1]], first_pol)
+                + tag(pkt[s1[0]:s1[1]], 3 - first_pol))
+
+    bottom_first = [retag(p, 2) for p in pkts]
+    top_first = [retag(p, 1) for p in pkts]
+    y_bf, _, _ = decode_interlaced_frames(bottom_first,
+                                          interlace_polarity=None)
+    y_tf, _, _ = decode_interlaced_frames(top_first,
+                                          interlace_polarity=None)
+    y0, _, _ = decode_interlaced_frames(pkts, interlace_polarity=0)
+    y1, _, _ = decode_interlaced_frames(pkts, interlace_polarity=1)
+    np.testing.assert_array_equal(y_tf, y0)
+    np.testing.assert_array_equal(y_bf, y1)
+    # untagged packets default to top-field-first under auto-detect
+    y_plain, _, _ = decode_interlaced_frames(pkts,
+                                             interlace_polarity=None)
+    np.testing.assert_array_equal(y_plain, y0)
+
+
 def test_org_height_gate():
     """With an org_height hint, two-image packets only route through
     the interlaced path when field height < 3/4 org_height

@@ -58,13 +58,69 @@ def test_resize_lanczos_sharper_than_bilinear():
 
 
 @pytest.mark.parametrize("filt", ["bilinear", "bicubic", "point", "area",
-                                  "lanczos"])
+                                  "lanczos", "gauss", "sinc", "spline",
+                                  "experimental"])
 @pytest.mark.parametrize("dims", [(120, 160), (17, 23)])
 def test_resize_constant_stays_constant(filt, dims):
     x = np.full((1, 48, 64), 137, np.uint8)
     out = np.asarray(resize_plane(jnp.asarray(x), *dims, filt))
     assert out.shape == (1,) + dims
     np.testing.assert_array_equal(out, 137)
+
+
+@pytest.mark.parametrize("filt", ["sinc", "spline", "experimental"])
+def test_resize_identity_interpolating_filters(filt):
+    """sinc/spline/experimental all vanish at nonzero integer taps, so
+    same-size resize is exact (gauss deliberately blurs — SWS_GAUSS is
+    a blur kernel, tested separately)."""
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 256, (2, 24, 32), dtype=np.uint8)
+    out = np.asarray(resize_plane(jnp.asarray(x), 24, 32, filt))
+    np.testing.assert_array_equal(out, x)
+
+
+def test_resize_gauss_blurs():
+    """SWS_GAUSS 2^(-3 d^2) has nonzero weight at d=1 (1/8), so a
+    same-size pass low-passes: a 1-px checkerboard flattens toward
+    mid-gray while flat fields stay flat (weight normalization)."""
+    x = (np.indices((16, 16)).sum(axis=0) % 2 * 255)[None].astype(np.uint8)
+    out = np.asarray(resize_plane(jnp.asarray(x), 16, 16, "gauss"))
+    assert np.abs(out[0, 4:-4, 4:-4].astype(int) - 128).max() < 100
+
+
+def test_resize_bicublin_luma_bicubic_chroma_bilinear():
+    """SWS_BICUBLIN: Y plane matches a bicubic resize, chroma matches
+    bilinear (swscale.c:2295-2341)."""
+    rng = np.random.default_rng(10)
+    y = rng.integers(0, 256, (1, 48, 64), dtype=np.uint8)
+    cb = rng.integers(0, 256, (1, 24, 32), dtype=np.uint8)
+    cr = rng.integers(0, 256, (1, 24, 32), dtype=np.uint8)
+    yj, cbj, crj = (jnp.asarray(p) for p in (y, cb, cr))
+    y2, cb2, cr2 = resize_yuv420(yj, cbj, crj, 96, 128, "bicublin")
+    np.testing.assert_array_equal(
+        np.asarray(y2), np.asarray(resize_plane(yj, 96, 128, "bicubic")))
+    np.testing.assert_array_equal(
+        np.asarray(cb2), np.asarray(resize_plane(cbj, 48, 64, "bilinear")))
+    np.testing.assert_array_equal(
+        np.asarray(cr2), np.asarray(resize_plane(crj, 48, 64, "bilinear")))
+
+
+def test_spline_matches_reference_recursion():
+    """_spline values equal a direct transliteration of the C
+    getSplineCoeff recursion (swscale.c:971-980)."""
+    from amv_tpu.kernels.scale import _spline
+
+    def ref(a, b, c, d, dist):
+        if dist <= 1.0:
+            return ((d * dist + c) * dist + b) * dist + a
+        return ref(0.0, b + 2 * c + 3 * d, c + 3 * d,
+                   -b - 3 * c - 6 * d, dist - 1.0)
+
+    p = -2.196152422706632
+    xs = np.linspace(0, 9.5, 97)
+    want = np.array([ref(1.0, 0.0, p, -p - 1.0, float(d)) for d in xs])
+    got = _spline(xs)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
 
 
 def test_resize_ramp_monotone():
