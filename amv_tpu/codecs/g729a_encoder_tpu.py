@@ -584,8 +584,30 @@ def encode_frame_batch(st, hist, samples):
     return st, hist, parm
 
 
-def encode_streams_tpu(pcm: np.ndarray) -> np.ndarray:
-    """PCM int16 [B, n_frames*80] -> packed frames uint8 [n_frames, B, 10]."""
+@jax.jit
+def encode_frames_scan(st, hist, frames):
+    """Encode T frames in ONE dispatch: frames float32 [T, B, 80] ->
+    (st, hist, parms int32 [T, B, 16]).
+
+    A lax.scan of the frame step.  The per-frame python loop around
+    encode_frame_batch pays one relay dispatch (~7 ms measured through
+    the axon tunnel) PER FRAME — at B=1024 that dispatch tax is 2x the
+    ~3.5 ms of actual device compute (scripts/measure_g729_stages2.py).
+    Scanning amortizes it to one dispatch per T frames, exactly like
+    g729a.decode_streams on the decode side."""
+    def body(carry, xs):
+        stc, hc = carry
+        stc, hc, parm = encode_frame_batch(stc, hc, xs)
+        return (stc, hc), parm
+    (st, hist), parms = jax.lax.scan(body, (st, hist), frames)
+    return st, hist, parms
+
+
+def encode_streams_tpu(pcm: np.ndarray, chunk: int = 16) -> np.ndarray:
+    """PCM int16 [B, n_frames*80] -> packed frames uint8 [n_frames, B, 10].
+
+    Frames run through encode_frames_scan in fixed-size chunks (one
+    dispatch + one jit signature per chunk size, remainder per-frame)."""
     pcm = np.asarray(pcm, np.float32)
     if pcm.ndim == 1:
         pcm = pcm[None]
@@ -594,7 +616,15 @@ def encode_streams_tpu(pcm: np.ndarray) -> np.ndarray:
     st = G.init_state(B)
     hist = jnp.zeros((B, 160))
     parms = []
-    for f in range(n_frames):
+    f = 0
+    while f + chunk <= n_frames:
+        xs = jnp.asarray(
+            pcm[:, f * FRAME:(f + chunk) * FRAME]
+            .reshape(B, chunk, FRAME).transpose(1, 0, 2))
+        st, hist, pchunk = encode_frames_scan(st, hist, xs)
+        parms.extend(pchunk[t] for t in range(chunk))
+        f += chunk
+    for f in range(f, n_frames):
         xs = jnp.asarray(pcm[:, f * FRAME:(f + 1) * FRAME])
         st, hist, parm = encode_frame_batch(st, hist, xs)
         parms.append(parm)   # stays on device: dispatches pipeline async

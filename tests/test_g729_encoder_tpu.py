@@ -66,3 +66,24 @@ def test_tpu_encoder_state_tracks_decoder():
             == dec.syn_filter_data, f"syn frame {f}"
         assert list(np.asarray(st["pred_energ_q"])[0]) \
             == dec.pred_energ_q, f"pred frame {f}"
+
+
+def test_scan_equals_per_frame_loop():
+    """encode_frames_scan (one dispatch for T frames) is bit-identical
+    to the per-frame encode_frame_batch loop, state included."""
+    from amv_tpu.codecs.g729a_encoder_tpu import encode_frames_scan
+    rng = np.random.default_rng(5)
+    B, T = 4, 5
+    sig = (3000 * rng.standard_normal((T, B, FRAME))).astype(np.float32)
+    st1, h1 = G.init_state(B), jnp.zeros((B, 160))
+    st2, h2 = G.init_state(B), jnp.zeros((B, 160))
+    outs = []
+    for t in range(T):
+        st1, h1, p = encode_frame_batch(st1, h1, jnp.asarray(sig[t]))
+        outs.append(np.asarray(p))
+    st2, h2, parms = encode_frames_scan(st2, h2, jnp.asarray(sig))
+    np.testing.assert_array_equal(np.asarray(parms), np.stack(outs))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    for k in st1:
+        np.testing.assert_array_equal(np.asarray(st1[k]),
+                                      np.asarray(st2[k]), err_msg=k)
