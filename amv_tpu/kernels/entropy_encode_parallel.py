@@ -1,4 +1,29 @@
-"""Fully parallel JPEG entropy ENCODE: no Pallas, no serial token cycle.
+"""Fully parallel JPEG entropy ENCODE — MEASURED NEGATIVE, kept with
+its tests as the record (both variants byte-exact, ok-gated).
+
+TPU numbers (2026-08-18, bench corpus F=16384 sorted, vs lockstep
+83.2 ms same-run / async dense ~68 ms):
+  * where-reduce hierarchy (encode_layout_parallel, corpus-fitting
+    windows wl16/wg80/ws288): 257 ms — the frame-level segment-sums
+    run at low VPU efficiency and window budgets scale with content;
+  * uniform-record rechunk (encode_layout_rechunk): 129 ms = 90 ms XLA
+    prep + 62 ms _pack_records splice.  The profile that kills the
+    whole direction (scripts/measure_enc_split.py): dense per-SLOT
+    tokenization alone is 62.7 ms — MORE than the fused serial kernel
+    end-to-end — because the slot grid carries 64 sites/block where the
+    serial kernel touches only the ~11 real tokens (5.8x op inflation,
+    plus every XLA intermediate is a 1.2 GB HBM round-trip); and the
+    splice still pays 0.67 us/record-iteration with NB*R=5,760 padded
+    uniform records vs the async kernel's ~4,664 divergent token
+    iterations (uniform padding eats the entire iteration win: mean
+    block needs ~3 records, max needs 20, lockstep rows must cover the
+    max).  Sparse/compact alternatives all need per-lane gathers
+    (~30 ns/element, the round-2/3 measured wall).  Conclusion: with
+    known lengths the pack IS embarrassingly parallel in theory, but on
+    this target the serial fused kernel's per-token VMEM pipeline beats
+    every decomposition that has to materialize dense slot sites.
+
+Original design notes follow.
 
 The async/lockstep Pallas encoders pay a serial per-token (or
 per-record) latency chain: one bit-writer append per iteration, ~0.9 us
@@ -219,3 +244,92 @@ def encode_layout_parallel(lv, w_out: int, dc0=None, wl: int = 16,
     ok = (ok_blk & ok_grp & ok_sg
           & jnp.all((total_bits + 31) >> 5 <= w_out))
     return words, total_bits[:, None], ok
+
+
+RBITS = 26   # record payload width: the pack kernel appends <= 26 bits
+
+
+@partial(jax.jit, static_argnames=("w_out", "wl", "interpret",
+                                   "win_rows", "unroll", "segs"))
+def encode_layout_rechunk(lv, w_out: int, dc0=None, wl: int = 16,
+                          interpret: bool = False, win_rows: int = 128,
+                          unroll: int = 1, segs: int = 1):
+    """lv int16 [CB, NB, 64, SB, 128] zigzag (slot0 = absolute DC) ->
+    (words int32 [CB*segs, w_out, SB, 128], bits [CB*segs, 1, SB, 128],
+    ok) — parallel XLA pack + uniform-record Pallas splice.
+
+    The v1 where-reduce hierarchy above packs everything in XLA but its
+    big frame-level segment-sums run at low VPU efficiency (measured
+    174 ms vs the serial kernel's ~70 on the bench corpus).  This
+    variant keeps the parallel XLA work where it is CHEAP — per-slot
+    Huffman records and a block-LOCAL word pack (window of `wl` words
+    per block, bounded reduce over the block's own 64 slots) — then
+    re-chunks every block's bitstream into exactly R = ceil(32*wl/26)
+    fixed-width 26-bit records (tail record carries the remainder,
+    zero-length pads after it) and splices lanes with the existing
+    _pack_records kernel.  Records are uniform per block, so lanes run
+    in PERFECT lockstep (t_max = NB*R, no divergence, no compaction
+    gather) and each iteration moves up to 26 bits instead of one
+    ~6-bit token.
+
+    segs > 1 slices the uniform record grid per segment — no
+    take_along_axis, unlike encode_layout_async's record slicing.  `ok`
+    False when a block overflows wl words -> serial fallback."""
+    from .entropy_encode_async_pallas import _pack_records
+
+    cbn, NB = lv.shape[0], lv.shape[1]
+    if dc0 is None:
+        dc0 = jnp.full((cbn, 3, SB, 128), 128, jnp.int32)
+    code, ln = _slot_records(lv, dc0)
+
+    cum = jnp.cumsum(ln, axis=2)                     # [CB, NB, 64, SB, 128]
+    bbits = cum[:, :, 63]                            # [CB, NB, SB, 128]
+    start = cum - ln                                 # block-local bit offset
+    ok = jnp.all(bbits <= 32 * wl)
+
+    # block-local word pack (bounded where-reduce over the 64 slots)
+    b = (start & 31).astype(jnp.uint32)
+    lnu = ln.astype(jnp.uint32)
+    fits = b + lnu <= 32
+    sh0 = jnp.minimum(jnp.where(fits, 32 - b - lnu, 0), 31)
+    c0 = jnp.where(fits, code << sh0,
+                   code >> jnp.where(fits, jnp.uint32(0), b + lnu - 32))
+    c1 = jnp.where(fits, jnp.uint32(0),
+                   code << jnp.where(fits, jnp.uint32(0), 64 - b - lnu))
+    live = ln > 0
+    c0 = jnp.where(live, c0, 0).astype(jnp.int32)
+    c1 = jnp.where(live, c1, 0).astype(jnp.int32)
+    li = jnp.where(live, start >> 5, -1)
+    j = jnp.arange(wl, dtype=jnp.int32).reshape(1, 1, 1, wl, 1, 1)
+    bw = (jnp.sum(jnp.where(li[:, :, :, None] == j, c0[:, :, :, None], 0),
+                  axis=2)
+          + jnp.sum(jnp.where((li + 1)[:, :, :, None] == j,
+                              c1[:, :, :, None], 0), axis=2))
+    bwu = bw.astype(jnp.uint32)                      # [CB, NB, wl, SB, 128]
+
+    # re-chunk to R fixed 26-bit records (static word/bit splits per r)
+    R = -(-(32 * wl) // RBITS)
+    recs = []
+    for r in range(R):
+        o = RBITS * r
+        i, a = o >> 5, o & 31
+        hi = bwu[:, :, i] << a if a else bwu[:, :, i]
+        lo = (bwu[:, :, i + 1] >> (32 - a)) if (a and i + 1 < wl) else 0
+        field = ((hi | lo) >> (32 - RBITS)).astype(jnp.int32)
+        len_r = jnp.clip(bbits - o, 0, RBITS)
+        val = jnp.where(len_r > 0,
+                        field >> (RBITS - jnp.maximum(len_r, 1)), 0)
+        recs.append((val << 5) | len_r)
+    recs = jnp.stack(recs, axis=2)                   # [CB, NB, R, SB, 128]
+
+    if segs == 1:
+        rec_l = recs.reshape(cbn, NB * R, SB, 128)
+        totals = jnp.full((cbn, 1, SB, 128), NB * R, jnp.int32)
+    else:
+        bps = NB // segs
+        rec_l = recs.reshape(cbn * segs, bps * R, SB, 128)
+        totals = jnp.full((cbn * segs, 1, SB, 128), bps * R, jnp.int32)
+    words, bits = _pack_records(rec_l, totals, w_out, interpret=interpret,
+                                win_rows=win_rows, unroll=unroll)
+    ok = ok & jnp.all((bits + 31) >> 5 <= w_out)
+    return words, bits, ok

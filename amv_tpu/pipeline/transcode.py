@@ -257,6 +257,33 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
             win_rows=win_emit, unroll=enc_unroll, pmax=enc_pmax,
             wb=enc_wb, adv=enc_adv, dc0=dc0)
         ok = ok_d & ok_e
+    elif enc == "parallel":
+        # fully parallel XLA where-reduce packer (no serial token
+        # cycle at all); same ok-gated fallback contract
+        from ..kernels.entropy_encode_parallel import \
+            encode_layout_parallel
+        if segs == 1:
+            lvs, dc0 = lv2.reshape(cb, nb, 64, 8, 128), None
+        else:
+            ms = n_mcu // segs
+            prev = lv2[:, ms - 1::ms, 3:6, 0].astype(jnp.int32)
+            dc0 = jnp.concatenate(
+                [jnp.full((cb, 1, 3, 8, 128), 128, jnp.int32),
+                 prev[:, :-1]], axis=1).reshape(cb * segs, 3, 8, 128)
+            lvs = lv2.reshape(cb * segs, ms * 6, 64, 8, 128)
+        words, bits, ok_e = encode_layout_parallel(lvs, w_out, dc0=dc0)
+        bits = bits.reshape(bits.shape[0], 1, 8, 128)
+        ok = ok_d & ok_e
+    elif enc == "rechunk":
+        # parallel XLA block pack + uniform-record Pallas splice:
+        # records are chain-global (DC diffs included), so segs>1 is a
+        # static record-grid slice inside the kernel call
+        from ..kernels.entropy_encode_parallel import \
+            encode_layout_rechunk
+        words, bits, ok_e = encode_layout_rechunk(
+            lv2.reshape(cb, nb, 64, 8, 128), w_out,
+            interpret=interpret, win_rows=win_emit, segs=segs)
+        ok = ok_d & ok_e
     elif enc == "record":
         # record-IR tokenizer pair: kept as the documented negative
         # (XLA compaction is gather-bound on TPU)

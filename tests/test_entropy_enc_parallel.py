@@ -53,3 +53,104 @@ def test_parallel_dc0_predictors():
     assert bool(ok2)
     assert (np.asarray(b2) != np.asarray(b0)).any() or \
         (np.asarray(w2) != np.asarray(w0)).any()
+
+
+def test_complete_parallel_enc_bytes():
+    """Complete async chain with enc='parallel' == lockstep chain."""
+    from amv_tpu.containers import riff
+    from amv_tpu.codecs.amv_video import _encoder_quant_qmat_np
+    from amv_tpu.native import entropy_native as native
+    from amv_tpu.pipeline.transcode import (transcode_complete_layout,
+                                            transcode_complete_async)
+    s = riff.read("/root/reference/C-AMVDecoder/bin/AMV1.amv")
+    w, h = s.info.width, s.info.height
+    M = ((w + 15) // 16) * ((h + 15) // 16)
+    rows, _ = native.unescape_frames(s.video_chunks[:4])
+    rows = np.asarray(rows)
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    w_ref, b_ref = transcode_complete_layout(jnp.asarray(rows), M, qk,
+                                             interpret=True, win_fetch=64,
+                                             win_emit=64)
+    w_new, b_new, ok = transcode_complete_async(jnp.asarray(rows), M, qk,
+                                                interpret=True,
+                                                win_fetch=64, win_emit=64,
+                                                enc="parallel")
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_new))
+    np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_new))
+
+
+def test_complete_parallel_enc_segmented_bytes():
+    """segs > 1 parallel chain (per-segment dc0) splices to the same
+    payload bytes as the lockstep chain."""
+    from amv_tpu.containers import riff
+    from amv_tpu.codecs.amv_video import _encoder_quant_qmat_np
+    from amv_tpu.native import entropy_native as native
+    from amv_tpu.pipeline.transcode import (transcode_complete_layout,
+                                            transcode_complete_async)
+    s = riff.read("/root/reference/C-AMVDecoder/bin/AMV1.amv")
+    w, h = s.info.width, s.info.height
+    M = ((w + 15) // 16) * ((h + 15) // 16)
+    rows, _ = native.unescape_frames(s.video_chunks[:4])
+    rows = np.asarray(rows)
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    w_ref, b_ref = transcode_complete_layout(jnp.asarray(rows), M, qk,
+                                             interpret=True, win_fetch=64,
+                                             win_emit=64)
+    w_s, b_s, ok = transcode_complete_async(jnp.asarray(rows), M, qk,
+                                            interpret=True, win_fetch=64,
+                                            win_emit=64, enc="parallel",
+                                            segs=4, w_out=512)
+    assert bool(ok)
+    vch_seg = native.concat_escape_frames(np.asarray(w_s),
+                                          np.asarray(b_s), 4)
+    vch_ref = native.escape_frames(np.asarray(w_ref), np.asarray(b_ref))
+    assert all(a == b for a, b in zip(vch_seg, vch_ref))
+
+
+def test_rechunk_matches_lockstep():
+    """Uniform-record rechunk pack == lockstep packer, words and bits."""
+    from amv_tpu.kernels.entropy_encode_parallel import \
+        encode_layout_rechunk
+    slab, NB = _slab()
+    w_ref, b_ref = _encode_layout(slab, 1024, interpret=True, win_rows=64)
+    w_new, b_new, ok = encode_layout_rechunk(slab, 1024, interpret=True,
+                                             win_rows=64)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_new))
+    np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_new))
+
+
+def test_rechunk_complete_chain_bytes():
+    """Complete async chain with enc='rechunk' == lockstep chain, and
+    the segs>1 wiring splices to the same payload bytes."""
+    from amv_tpu.containers import riff
+    from amv_tpu.codecs.amv_video import _encoder_quant_qmat_np
+    from amv_tpu.native import entropy_native as native
+    from amv_tpu.pipeline.transcode import (transcode_complete_layout,
+                                            transcode_complete_async)
+    s = riff.read("/root/reference/C-AMVDecoder/bin/AMV1.amv")
+    w, h = s.info.width, s.info.height
+    M = ((w + 15) // 16) * ((h + 15) // 16)
+    rows, _ = native.unescape_frames(s.video_chunks[:4])
+    rows = np.asarray(rows)
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    w_ref, b_ref = transcode_complete_layout(jnp.asarray(rows), M, qk,
+                                             interpret=True, win_fetch=64,
+                                             win_emit=64)
+    w_new, b_new, ok = transcode_complete_async(jnp.asarray(rows), M, qk,
+                                                interpret=True,
+                                                win_fetch=64, win_emit=64,
+                                                enc="rechunk")
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_new))
+    np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_new))
+    w_s, b_s, ok = transcode_complete_async(jnp.asarray(rows), M, qk,
+                                            interpret=True, win_fetch=64,
+                                            win_emit=64, enc="rechunk",
+                                            segs=4, w_out=512)
+    assert bool(ok)
+    vch_seg = native.concat_escape_frames(np.asarray(w_s),
+                                          np.asarray(b_s), 4)
+    vch_ref = native.escape_frames(np.asarray(w_ref), np.asarray(b_ref))
+    assert all(a == b for a, b in zip(vch_seg, vch_ref))
