@@ -110,6 +110,28 @@ def sharded_g729_decode_chain(mesh: Mesh):
                    out_shardings=(st_s, parms_s))
 
 
+def sharded_g729_decode_scan(mesh: Mesh):
+    """Jitted lax.scan G.729A decoder (one dispatch for T frames,
+    codecs.g729a.decode_frames_scan) with streams sharded on dp —
+    the production serving shape: scan on-chip, batch across chips."""
+    from ..codecs.g729a import decode_frames_scan
+    st_s = NamedSharding(mesh, P("dp"))
+    parms_s = NamedSharding(mesh, P(None, "dp"))
+    return jax.jit(decode_frames_scan.__wrapped__,
+                   in_shardings=(st_s, parms_s),
+                   out_shardings=(st_s, parms_s))
+
+
+def sharded_g729_encode_scan(mesh: Mesh):
+    """Jitted lax.scan G.729A encoder chain (encode_frames_scan):
+    state/hist shard on dp, frames [T, B, 80] shard the stream axis."""
+    from ..codecs.g729a_encoder_tpu import encode_frames_scan
+    s = NamedSharding(mesh, P("dp"))
+    f_s = NamedSharding(mesh, P(None, "dp"))
+    return jax.jit(encode_frames_scan.__wrapped__,
+                   in_shardings=(s, s, f_s), out_shardings=(s, s, f_s))
+
+
 def sharded_g729_encode_step(mesh: Mesh):
     """Jitted G.729A encoder frame step with streams sharded on dp.
 

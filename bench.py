@@ -921,16 +921,13 @@ def main():
         import jax.numpy as jnpg
         parms_d = jax.device_put(jnpg.asarray(g729a.unpack_frames(frames)))
 
+        @jax.jit
         def dec_device(parms_all, salt):
             st = g729a.init_state(B)
-            acc = jnpg.int32(0)
             p = parms_all.at[0, :, 13].set(
                 (parms_all[0, :, 13] + salt) % 16)   # vary GB index
-            for t0_ in range(0, T_, g729a.DECODE_CHUNK):
-                st, pcm_ = g729a._decode_chain(
-                    st, p[t0_:t0_ + g729a.DECODE_CHUNK])
-                acc = acc + jnpg.sum(pcm_[-1, :, ::17].astype(jnpg.int32))
-            return acc
+            _, pcm_ = g729a.decode_frames_scan(st, p)
+            return jnpg.sum(pcm_[:, :, ::17].astype(jnpg.int32))
 
         _ = int(dec_device(parms_d, jnpg.int32(0))[...])
         t_g729 = np.inf

@@ -64,3 +64,26 @@ def test_unpack_frames_matches_scalar():
             assert parms[t, b, 7] == p["fc_indexes"][0]
             assert parms[t, b, 8] == p["fc_indexes"][1]
             assert parms[t, b, 14] == p["gb_cb_index"][1]
+
+
+def test_decode_scan_equals_chunk_chain():
+    """decode_frames_scan (one dispatch) is bit-identical to the
+    unrolled _decode_chain pipeline, state included."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(31)
+    T, B = 16, 4
+    frames = _streams(rng, T=T, B=B)
+    parms = jnp.asarray(g729a.unpack_frames(frames))
+    st1 = g729a.init_state(B)
+    outs = []
+    for t0 in range(0, T, g729a.DECODE_CHUNK):
+        st1, pcm = g729a._decode_chain(
+            st1, parms[t0:t0 + g729a.DECODE_CHUNK])
+        outs.append(np.asarray(pcm))
+    st2 = g729a.init_state(B)
+    st2, pcm2 = g729a.decode_frames_scan(st2, parms)
+    np.testing.assert_array_equal(np.asarray(pcm2),
+                                  np.concatenate(outs, axis=0))
+    for k in st1:
+        np.testing.assert_array_equal(np.asarray(st1[k]),
+                                      np.asarray(st2[k]), err_msg=k)
