@@ -187,7 +187,7 @@ def _token_tables(hi, is_dc, luma):
     return ln, size, run, eob, zrl
 
 
-def _make_ensure(w_rows: int, win: int, hbm: bool):
+def _make_ensure(w_rows: int, win: int, hbm: bool, sb: int = SB):
     """Refill closure: identical discipline to
     entropy_decode_pallas.ensure (128-bit buffer, up to three words
     served per window pass), gated by `alive` so finished lanes stop
@@ -217,7 +217,7 @@ def _make_ensure(w_rows: int, win: int, hbm: bool):
                 winv = fbuf[...]
             else:
                 winv = words_ref[0, pl.ds(lo0, win)]
-            it = lo0 + jax.lax.broadcasted_iota(jnp.int32, (win, SB, 128), 0)
+            it = lo0 + jax.lax.broadcasted_iota(jnp.int32, (win, sb, 128), 0)
             for _ in range(3):
                 room = (nb <= 95) & alive
                 inwin = (wc >= lo0) & (wc < lo0 + win)
@@ -650,11 +650,11 @@ ADV = 4     # DMA drain quantum, blocks (WBD/2)
 def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
                        win: int = WIN, hbm: bool = False, unroll: int = 1,
                        wb: int = WBD, adv: int = ADV, pmax: int = 16,
-                       press: int = 0, packed: bool = False):
+                       press: int = 0, packed: bool = False, sb: int = SB):
     win = min(win, w_rows)
     assert wb & (wb - 1) == 0 and adv <= wb and nbp % adv == 0
     assert pmax & (pmax - 1) == 0
-    ensure = _make_ensure(w_rows, win, hbm)
+    ensure = _make_ensure(w_rows, win, hbm, sb=sb)
     pr = 32 if packed else 64           # output ring rows per block
 
     def kernel(words_ref, out_ref, st_ref, owin, pend_ref, pv_ref,
@@ -665,11 +665,11 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
             fbuf, flo_ref, hsem = hbm_scratch
             aux = (fbuf, flo_ref, hsem, ci)
             flo_ref[0] = -1
-        owin[...] = jnp.zeros((wb * pr, SB, 128),
+        owin[...] = jnp.zeros((wb * pr, sb, 128),
                               jnp.int32 if packed else jnp.int16)
-        pend_ref[...] = jnp.zeros((32, SB, 128), jnp.int32)
-        pv_ref[...] = jnp.zeros((SB, 128), jnp.int32)
-        pbid_ref[...] = jnp.zeros((SB, 128), jnp.int32)
+        pend_ref[...] = jnp.zeros((32, sb, 128), jnp.int32)
+        pv_ref[...] = jnp.zeros((sb, 128), jnp.int32)
+        pbid_ref[...] = jnp.zeros((sb, 128), jnp.int32)
         wb_ref[0] = 0
 
         def service(eff_done):
@@ -789,7 +789,7 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
         def body(st):
             tl = st[0]
             rest = st[1:]
-            dfr = jnp.zeros((SB, 128), jnp.bool_)
+            dfr = jnp.zeros((sb, 128), jnp.bool_)
             for _ in range(unroll):
                 rest, d = token_step(rest)
                 dfr = dfr | d
@@ -808,30 +808,31 @@ def _make_dense_kernel(w_rows: int, n_blocks: int, nbp: int, t_max: int,
 
             return (tl + unroll,) + rest
 
-        zu = jnp.zeros((SB, 128), jnp.uint32)
-        zi = jnp.zeros((SB, 128), jnp.int32)
+        zu = jnp.zeros((sb, 128), jnp.uint32)
+        zi = jnp.zeros((sb, 128), jnp.int32)
         st = (jnp.int32(0), zu, zu, zu, zu, zi, zi, zi, zi, zi) + \
             tuple(zi for _ in range(32))
         st = jax.lax.while_loop(cond, body, st)
         bid_f = st[8]
         st_ref[0, 0] = bid_f
-        st_ref[0, 1] = jnp.full((SB, 128), st[0], jnp.int32)
+        st_ref[0, 1] = jnp.full((sb, 128), st[0], jnp.int32)
         # final drain: flush the tail pendings and push the window to nbp
-        service(jnp.full((SB, 128), nbp, jnp.int32))
+        service(jnp.full((sb, 128), nbp, jnp.int32))
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("n_blocks", "t_max", "interpret", "win",
                                    "hbm", "unroll", "wb", "adv", "pmax",
-                                   "press", "packed", "return_status"))
+                                   "press", "packed", "return_status",
+                                   "sb"))
 def decode_scans_async_dense(words, n_blocks: int, t_max: int,
                              interpret: bool = False, win: int = WIN,
                              hbm: bool | None = None, unroll: int = 1,
                              wb: int = WBD, adv: int = ADV,
                              pmax: int = 16, press: int = 0,
                              packed: bool = False,
-                             return_status: bool = False):
+                             return_status: bool = False, sb: int = SB):
     """words int32 [CB, W, 8, 128] -> (levels int16
     [CB, n_blocks, 64, 8, 128], ok bool []) via the single-pass async
     dense kernel.
@@ -855,45 +856,46 @@ def decode_scans_async_dense(words, n_blocks: int, t_max: int,
     nbp = (n_blocks + adv - 1) // adv * adv
     kernel = _make_dense_kernel(w_rows, n_blocks, nbp, t_max, win=win,
                                 hbm=hbm, unroll=unroll, wb=wb, adv=adv,
-                                pmax=pmax, press=press, packed=packed)
+                                pmax=pmax, press=press, packed=packed,
+                                sb=sb)
     pr = 32 if packed else 64
-    scratch = [pltpu.VMEM((wb * pr, SB, 128),
+    scratch = [pltpu.VMEM((wb * pr, sb, 128),
                           jnp.int32 if packed else jnp.int16),   # owin
-               pltpu.VMEM((32, SB, 128), jnp.int32),        # pend
-               pltpu.VMEM((SB, 128), jnp.int32),            # pv
-               pltpu.VMEM((SB, 128), jnp.int32),            # pbid
+               pltpu.VMEM((32, sb, 128), jnp.int32),        # pend
+               pltpu.VMEM((sb, 128), jnp.int32),            # pv
+               pltpu.VMEM((sb, 128), jnp.int32),            # pbid
                pltpu.SMEM((1,), jnp.int32),                 # wbase
                pltpu.SemaphoreType.DMA]                     # out DMA
     if hbm:
         in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-        scratch += [pltpu.VMEM((min(win, w_rows), SB, 128), jnp.int32),
+        scratch += [pltpu.VMEM((min(win, w_rows), sb, 128), jnp.int32),
                     pltpu.SMEM((1,), jnp.int32),
                     pltpu.SemaphoreType.DMA]
     else:
-        in_specs = [pl.BlockSpec((1, w_rows, SB, 128),
+        in_specs = [pl.BlockSpec((1, w_rows, sb, 128),
                                  lambda i: (i, 0, 0, 0))]
     out, st = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((cbn, nbp * pr, SB, 128),
+        out_shape=(jax.ShapeDtypeStruct((cbn, nbp * pr, sb, 128),
                                         jnp.int32 if packed
                                         else jnp.int16),
-                   jax.ShapeDtypeStruct((cbn, 2, SB, 128), jnp.int32)),
+                   jax.ShapeDtypeStruct((cbn, 2, sb, 128), jnp.int32)),
         grid=(cbn,),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec((1, 2, SB, 128), lambda i: (i, 0, 0, 0))),
+                   pl.BlockSpec((1, 2, sb, 128), lambda i: (i, 0, 0, 0))),
         scratch_shapes=scratch,
         interpret=interpret,
     )(words)
     ok = jnp.all(st[:, 0] == n_blocks)
     if packed:
-        p = out.reshape(cbn, nbp, 32, SB, 128)[:, :n_blocks]
+        p = out.reshape(cbn, nbp, 32, sb, 128)[:, :n_blocks]
         lo = ((p << 16) >> 16).astype(jnp.int16)
         hi = (p >> 16).astype(jnp.int16)
         slab = jnp.stack([lo, hi], axis=3) \
-            .reshape(cbn, n_blocks, 64, SB, 128)
+            .reshape(cbn, n_blocks, 64, sb, 128)
     else:
-        slab = out.reshape(cbn, nbp, 64, SB, 128)[:, :n_blocks]
+        slab = out.reshape(cbn, nbp, 64, sb, 128)[:, :n_blocks]
     if return_status:
         # st[:, 1] = executed iterations per chunk (incl. defer retries)
         return slab, ok, st

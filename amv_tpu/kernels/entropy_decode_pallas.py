@@ -436,19 +436,21 @@ def _pad(n, m):
     return (n + m - 1) // m * m
 
 
-def scan_words_layout(scans: jnp.ndarray) -> jnp.ndarray:
+def scan_words_layout(scans: jnp.ndarray, sb: int = SB) -> jnp.ndarray:
     """scans uint8 [F, max_bytes] (unescaped, zero-padded) ->
-    big-endian word slabs int32 [CB, W, 8, 128] for _decode_layout
-    (frame f lives at chunk f//1024, sublane (f%1024)//128, lane f%128)."""
+    big-endian word slabs int32 [CB, W, sb, 128] for _decode_layout
+    (frame f lives at chunk f//(sb*128), sublane (f%(sb*128))//128,
+    lane f%128; sb=8 is the production layout, wider sb packs several
+    8-sublane groups into one kernel chunk for the lane-width sweep)."""
     F, max_bytes = scans.shape
-    fp = _pad(F, SB * 128)
+    fp = _pad(F, sb * 128)
     bp = _pad(max_bytes, 4)
     s = jnp.pad(scans, ((0, fp - F), (0, bp - max_bytes))).astype(jnp.uint32)
     words = ((s[:, 0::4] << 24) | (s[:, 1::4] << 16) |
              (s[:, 2::4] << 8) | s[:, 3::4]).astype(jnp.int32)  # [Fp, W]
     w_rows = words.shape[1]
-    cbn = fp // (SB * 128)
-    return words.reshape(cbn, SB, 128, w_rows).transpose(0, 3, 1, 2)
+    cbn = fp // (sb * 128)
+    return words.reshape(cbn, sb, 128, w_rows).transpose(0, 3, 1, 2)
 
 
 @partial(jax.jit, static_argnames=("n_mcu", "interpret", "win"))
