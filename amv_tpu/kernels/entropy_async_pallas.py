@@ -851,8 +851,11 @@ def decode_scans_async_dense(words, n_blocks: int, t_max: int,
     (malformed stream or extreme stall) and the slab is garbage -> the
     caller must fall back to the lockstep or host path."""
     cbn, w_rows = words.shape[0], words.shape[1]
+    assert words.shape[2] == sb, (words.shape, sb)
     if hbm is None:
-        hbm = w_rows > HBM_STREAM_ROWS
+        # VMEM budget scales with the lane tile: wider sb streams from
+        # HBM at proportionally fewer input rows
+        hbm = w_rows * sb > HBM_STREAM_ROWS * 8
     nbp = (n_blocks + adv - 1) // adv * adv
     kernel = _make_dense_kernel(w_rows, n_blocks, nbp, t_max, win=win,
                                 hbm=hbm, unroll=unroll, wb=wb, adv=adv,

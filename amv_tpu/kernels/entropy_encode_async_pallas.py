@@ -569,14 +569,15 @@ def pack_levels_masks(lv):
         jnp.sum(bits[:, :, 32:], axis=2), jnp.int32)
     out = jnp.concatenate(
         [pv, emlo[:, :, None], emhi[:, :, None]], axis=2)
-    return out.reshape(cbn, NB * PACK_ROWS, SB, 128)
+    return out.reshape(cbn, NB * PACK_ROWS, lv.shape[3], 128)
 
 
 def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
                            t_max: int, win_rows: int = WIN_O,
                            unroll: int = 1, wb: int = WBE,
                            adv: int = ADVE, pmax: int = 16,
-                           press: int = 0, packed: bool = False):
+                           press: int = 0, packed: bool = False,
+                           sb: int = SB):
     win = min(win_rows, w_out)
     assert w_out % win == 0, (w_out, win)
     assert wb & (wb - 1) == 0 and adv <= wb and nbp % adv == 0
@@ -597,7 +598,7 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
             lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
             wview = out_ref[0, pl.ds(lo0, win)]
             it = lo0 + jax.lax.broadcasted_iota(jnp.int32,
-                                                (win, SB, 128), 0)
+                                                (win, sb, 128), 0)
             for _ in range(3):
                 ready = nb >= 32
                 inwin = (wcur >= lo0) & (wcur < lo0 + win)
@@ -657,9 +658,9 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
                nxt_ref, nv_ref, wb_ref, sem):
         ci = pl.program_id(0)
         for r in range(0, w_out, win):
-            out_ref[0, pl.ds(r, win)] = jnp.zeros((win, SB, 128),
+            out_ref[0, pl.ds(r, win)] = jnp.zeros((win, sb, 128),
                                                   jnp.int32)
-        nv_ref[...] = jnp.zeros((SB, 128), jnp.int32)
+        nv_ref[...] = jnp.zeros((sb, 128), jnp.int32)
         wb_ref[0] = 0
         # initial ring fill: blocks [0, wb)
         for q in range(wb // adv):
@@ -688,7 +689,7 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
                     # pre-packed ring: rows are already the staging
                     # format (32 pair-packed value rows + 2 masks) —
                     # the whole stage is a wb-way one-hot row select
-                    pvv = [jnp.zeros((SB, 128), jnp.int32)
+                    pvv = [jnp.zeros((sb, 128), jnp.int32)
                            for _ in range(PACK_ROWS)]
                     for slot in range(wb):
                         m = need & ((tgt & (wb - 1)) == slot)
@@ -698,10 +699,10 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
                     for j in range(PACK_ROWS):
                         nxt_ref[j] = jnp.where(need, pvv[j], nxt_ref[j])
                 else:
-                    pvv = [jnp.zeros((SB, 128), jnp.int32)
+                    pvv = [jnp.zeros((sb, 128), jnp.int32)
                            for _ in range(32)]
-                    emlo = jnp.zeros((SB, 128), jnp.int32)
-                    emhi = jnp.zeros((SB, 128), jnp.int32)
+                    emlo = jnp.zeros((sb, 128), jnp.int32)
+                    emhi = jnp.zeros((sb, 128), jnp.int32)
                     for slot in range(wb):
                         m = need & ((tgt & (wb - 1)) == slot)
                         for j in range(32):
@@ -890,12 +891,12 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
                 rest = token_step(rest)
             return (tl + unroll,) + rest
 
-        zi = jnp.zeros((SB, 128), jnp.int32)
-        zu = jnp.zeros((SB, 128), jnp.uint32)
+        zi = jnp.zeros((sb, 128), jnp.int32)
+        zu = jnp.zeros((sb, 128), jnp.uint32)
         st = (jnp.int32(0), zu, zu, zu, zu, zi, zi, zi,
-              jnp.full((SB, 128), -1, jnp.int32),          # cbid
-              jnp.full((SB, 128), 5, jnp.int32),           # c6 (pre-first)
-              jnp.full((SB, 128), 2, jnp.int32),           # tphase: want
+              jnp.full((sb, 128), -1, jnp.int32),          # cbid
+              jnp.full((sb, 128), 5, jnp.int32),           # c6 (pre-first)
+              jnp.full((sb, 128), 2, jnp.int32),           # tphase: want
               zi, zi, zi, zi,
               dc0_ref[0, 0], dc0_ref[0, 1], dc0_ref[0, 2]) + \
             tuple(zi for _ in range(32))
@@ -904,7 +905,7 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
         tphase, cbid = st[10], st[8]
         done_f = (tphase == 2) & (cbid >= n_blocks - 1)
         st_ref[0, 0] = jnp.where(done_f, n_blocks, cbid)
-        st_ref[0, 1] = jnp.full((SB, 128), st[0], jnp.int32)
+        st_ref[0, 1] = jnp.full((sb, 128), st[0], jnp.int32)
         # final drain (mirrors the lockstep kernel's flush)
         hi_f, lo_f, l2_f, l3_f, nb_f, wcur_f, tbits = emit_if_full(
             out_ref, hi, lo, l2, l3, nb, wcur, tbits, force=True)
@@ -918,7 +919,7 @@ def _make_enc_dense_kernel(n_blocks: int, nbp: int, w_out: int,
             lo0 = jnp.clip(jnp.min(wn), 0, w_out - win)
             wview = out_ref[0, pl.ds(lo0, win)]
             it2 = lo0 + jax.lax.broadcasted_iota(jnp.int32,
-                                                 (win, SB, 128), 0)
+                                                 (win, sb, 128), 0)
             hit = (it2 == wcur_f[None]) & (unserved != 0)[None]
             out_ref[0, pl.ds(lo0, win)] = jnp.where(
                 hit, hi_f.astype(jnp.int32)[None], wview)
@@ -961,40 +962,46 @@ def encode_layout_async_dense(lv, w_out: int, t_max: int,
 
     Bit-exact with entropy_encode_pallas._encode_layout; `ok` False
     means some lane ran out of its t_max iteration budget -> the caller
-    must fall back to the lockstep packer."""
-    cbn, NB = lv.shape[0], lv.shape[1]
+    must fall back to the lockstep packer.
+
+    The sublane width is taken from lv.shape[3]: sb=8 is the production
+    layout; wider slabs (16/32) pack more frames per kernel chunk,
+    trading per-iteration vector work for iteration count (the kernel
+    is latency-bound on the serial token cycle, so this is a measured
+    win on the decode side)."""
+    cbn, NB, sb = lv.shape[0], lv.shape[1], lv.shape[3]
     if dc0 is None:
-        dc0 = jnp.full((cbn, 3, SB, 128), 128, jnp.int32)
+        dc0 = jnp.full((cbn, 3, sb, 128), 128, jnp.int32)
     nbp = max((NB + adv - 1) // adv * adv, wb)
     if nbp > NB:
         lv = jnp.concatenate(
-            [lv, jnp.zeros((cbn, nbp - NB, 64, SB, 128), jnp.int16)],
+            [lv, jnp.zeros((cbn, nbp - NB, 64, sb, 128), jnp.int16)],
             axis=1)
     kernel = _make_enc_dense_kernel(NB, nbp, w_out, t_max,
                                     win_rows=win_rows, unroll=unroll,
                                     wb=wb, adv=adv, pmax=pmax,
-                                    press=press, packed=packed)
+                                    press=press, packed=packed, sb=sb)
     br = PACK_ROWS if packed else 64
     iwin_dt = jnp.int32 if packed else jnp.int16
-    scratch = [pltpu.VMEM((wb * br, SB, 128), iwin_dt),     # iwin
-               pltpu.VMEM((34, SB, 128), jnp.int32),        # nxt
-               pltpu.VMEM((SB, 128), jnp.int32),            # nxt valid
+    scratch = [pltpu.VMEM((wb * br, sb, 128), iwin_dt),     # iwin
+               pltpu.VMEM((34, sb, 128), jnp.int32),        # nxt
+               pltpu.VMEM((sb, 128), jnp.int32),            # nxt valid
                pltpu.SMEM((1,), jnp.int32),                 # wbase
                pltpu.SemaphoreType.DMA]
     lv_in = (pack_levels_masks(lv) if packed
-             else lv.reshape(cbn, nbp * 64, SB, 128))
+             else lv.reshape(cbn, nbp * 64, sb, 128))
     words, bits, st = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((cbn, w_out, SB, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((cbn, 1, SB, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((cbn, 2, SB, 128), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((cbn, w_out, sb, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((cbn, 1, sb, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((cbn, 2, sb, 128), jnp.int32)),
         grid=(cbn,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec((1, 3, SB, 128), lambda i: (i, 0, 0, 0))],
-        out_specs=(pl.BlockSpec((1, w_out, SB, 128),
+                  pl.BlockSpec((1, 3, sb, 128), lambda i: (i, 0, 0, 0))],
+        out_specs=(pl.BlockSpec((1, w_out, sb, 128),
                                 lambda i: (i, 0, 0, 0)),
-                   pl.BlockSpec((1, 1, SB, 128), lambda i: (i, 0, 0, 0)),
-                   pl.BlockSpec((1, 2, SB, 128), lambda i: (i, 0, 0, 0))),
+                   pl.BlockSpec((1, 1, sb, 128), lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((1, 2, sb, 128), lambda i: (i, 0, 0, 0))),
         scratch_shapes=scratch,
         interpret=interpret,
     )(lv_in, dc0)

@@ -139,18 +139,18 @@ def decode_mcu_layout(lv, dc, interpret: bool = False):
     semantics).  lv int16 [CB, M, 6, 64, 8, 128] zigzag (slot0 ignored),
     dc int32 [CB, M, 6, 8, 128] resolved dequantized DC ->
     pix uint8 [CB, M, 6, 64, 8, 128] raster pixel rows."""
-    cb, m = lv.shape[0], lv.shape[1]
+    cb, m, sb = lv.shape[0], lv.shape[1], lv.shape[4]
     return pl.pallas_call(
         _make_dec_kernel(),
-        out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, SB, 128), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, sb, 128), jnp.uint8),
         grid=(cb, m, 6),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 64, SB, 128),
+            pl.BlockSpec((1, 1, 1, 64, sb, 128),
                          lambda i, j, k: (i, j, k, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, SB, 128),
+            pl.BlockSpec((1, 1, 1, sb, 128),
                          lambda i, j, k: (i, j, k, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, 64, SB, 128),
+        out_specs=pl.BlockSpec((1, 1, 1, 64, sb, 128),
                                lambda i, j, k: (i, j, k, 0, 0, 0)),
         interpret=interpret,
     )(lv, dc)
@@ -190,14 +190,14 @@ def encode_mcu_layout(pix, qmat_key, interpret: bool = False):
     [CB, M, 6, 64, 8, 128] raster rows -> lv int16 [CB, M, 6, 64, 8,
     128] zigzag levels (slot0 = absolute quantized DC, the entropy
     encoder's contract)."""
-    cb, m = pix.shape[0], pix.shape[1]
+    cb, m, sb = pix.shape[0], pix.shape[1], pix.shape[4]
     return pl.pallas_call(
         _make_enc_kernel(qmat_key),
-        out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, SB, 128), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, sb, 128), jnp.int16),
         grid=(cb, m, 6),
-        in_specs=[pl.BlockSpec((1, 1, 1, 64, SB, 128),
+        in_specs=[pl.BlockSpec((1, 1, 1, 64, sb, 128),
                                lambda i, j, k: (i, j, k, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, 1, 1, 64, SB, 128),
+        out_specs=pl.BlockSpec((1, 1, 1, 64, sb, 128),
                                lambda i, j, k: (i, j, k, 0, 0, 0)),
         interpret=interpret,
     )(pix)
@@ -209,7 +209,7 @@ def transcode_mcu_layout(lv, dc, qmat_key, interpret: bool = False):
     dc int32 [CB, M, 6, 8, 128] resolved dequantized DC ->
     lv2 int16 [CB, M, 6, 64, 8, 128] zigzag re-quantized levels
     (slot0 = absolute DC)."""
-    cb, m = lv.shape[0], lv.shape[1]
+    cb, m, sb = lv.shape[0], lv.shape[1], lv.shape[4]
     if interpret:
         # the 6-block MCU kernel's interpret graph (6x the DCT body)
         # makes 1-core XLA-CPU compiles pathological (>20 min for the
@@ -217,31 +217,31 @@ def transcode_mcu_layout(lv, dc, qmat_key, interpret: bool = False):
         # — both kernels are bit-exact by construction
         return pl.pallas_call(
             _make_kernel(qmat_key),
-            out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, SB, 128),
+            out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, sb, 128),
                                            jnp.int16),
             grid=(cb, m, 6),
             in_specs=[
-                pl.BlockSpec((1, 1, 1, 64, SB, 128),
+                pl.BlockSpec((1, 1, 1, 64, sb, 128),
                              lambda i, j, k: (i, j, k, 0, 0, 0)),
-                pl.BlockSpec((1, 1, 1, SB, 128),
+                pl.BlockSpec((1, 1, 1, sb, 128),
                              lambda i, j, k: (i, j, k, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, 1, 64, SB, 128),
+            out_specs=pl.BlockSpec((1, 1, 1, 64, sb, 128),
                                    lambda i, j, k: (i, j, k, 0, 0, 0)),
             interpret=True,
         )(lv, dc)
     kernel = _make_mcu_kernel(qmat_key)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, SB, 128), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((cb, m, 6, 64, sb, 128), jnp.int16),
         grid=(cb, m),
         in_specs=[
-            pl.BlockSpec((1, 1, 6, 64, SB, 128),
+            pl.BlockSpec((1, 1, 6, 64, sb, 128),
                          lambda i, j: (i, j, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 6, SB, 128),
+            pl.BlockSpec((1, 1, 6, sb, 128),
                          lambda i, j: (i, j, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 6, 64, SB, 128),
+        out_specs=pl.BlockSpec((1, 1, 6, 64, sb, 128),
                                lambda i, j: (i, j, 0, 0, 0, 0)),
         interpret=interpret,
     )(lv, dc)

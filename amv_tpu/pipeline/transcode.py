@@ -155,7 +155,7 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
                                    "unroll_dec", "unroll_enc", "enc",
                                    "pmax", "wb", "adv", "press",
                                    "enc_unroll", "enc_pmax", "enc_wb",
-                                   "enc_adv", "hbm_decode"))
+                                   "enc_adv", "hbm_decode", "sb"))
 def transcode_complete_async(scans, n_mcu: int, qmat_key,
                              w_out: int = 1024, interpret: bool = False,
                              win_fetch: int = 64, win_emit: int = 64,
@@ -166,7 +166,8 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
                              press: int = 64, enc_unroll: int = 8,
                              enc_pmax: int = 8, enc_wb: int = 8,
                              enc_adv: int = 4,
-                             hbm_decode: bool | None = None):
+                             hbm_decode: bool | None = None,
+                             sb: int = 8):
     """Lane-async COMPLETE device transcode (dense async decoder).
 
     Same contract as transcode_complete_layout (unescaped scan bytes in,
@@ -184,6 +185,12 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
     Returns (words [F*segs, w_out], bits [F*segs], ok).  ok False means
     an iteration/record budget overflowed or a stream was malformed ->
     caller must fall back (transcode_complete_layout or host entropy).
+
+    sb: sublane width of the kernel lane tile (frames per chunk =
+    sb*128).  Both async kernels are latency-bound on their serial
+    token cycles, so wider tiles cut iteration counts at little
+    per-iteration cost (decode A/B: 67.3 -> 58.1 ms at sb=32,
+    scripts/measure_sb.py).  sb != 8 requires enc="async".
     """
     from ..bitstream import jpeg_tables as T
     from ..kernels.entropy_async_pallas import (decode_scans_async_dense,
@@ -203,9 +210,11 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
         # dominate the suite (measured 8x compile-time inflation)
         unroll_dec = 1
         enc_unroll = 1
+    assert sb == 8 or enc == "async", "sb != 8 requires enc='async'"
     F = scans.shape[0]
-    fp = (F + 1023) // 1024 * 1024
-    cb, nb = fp // 1024, n_mcu * 6
+    fpc = sb * 128
+    fp = (F + fpc - 1) // fpc * fpc
+    cb, nb = fp // fpc, n_mcu * 6
     if t_max_dec == 0:
         t_max_dec = default_t_max_dense(nb, scans.shape[1])
     if t_max_enc == 0:
@@ -221,18 +230,18 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
         scans = jnp.concatenate(
             [jnp.pad(scans, ((0, 0), (0, width - scans.shape[1]))),
              jnp.broadcast_to(jnp.asarray(prow), (fp - F, width))], axis=0)
-    wl = scan_words_layout(scans)
+    wl = scan_words_layout(scans, sb=sb)
     slab, ok_d = decode_scans_async_dense(wl, nb, t_max_dec,
                                           interpret=interpret,
                                           win=win_fetch, unroll=unroll_dec,
                                           hbm=hbm_decode, wb=wb, adv=adv,
-                                          pmax=pmax, press=press)
-    lvl = slab.reshape(cb, n_mcu, 6, 64, 8, 128)
+                                          pmax=pmax, press=press, sb=sb)
+    lvl = slab.reshape(cb, n_mcu, 6, 64, sb, 128)
     qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
     qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
     d = lvl[:, :, :, 0].astype(jnp.int32)
-    dy = (jnp.cumsum(d[:, :, :4].reshape(cb, n_mcu * 4, 8, 128) * qdc_l,
-                     axis=1).reshape(cb, n_mcu, 4, 8, 128) + 1024)
+    dy = (jnp.cumsum(d[:, :, :4].reshape(cb, n_mcu * 4, sb, 128) * qdc_l,
+                     axis=1).reshape(cb, n_mcu, 4, sb, 128) + 1024)
     dcb = jnp.cumsum(d[:, :, 4] * qdc_c, axis=1) + 1024
     dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
     dc = jnp.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
@@ -241,7 +250,7 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
         from ..kernels.entropy_encode_async_pallas import \
             encode_layout_async_dense
         if segs == 1:
-            lvs, dc0 = lv2.reshape(cb, nb, 64, 8, 128), None
+            lvs, dc0 = lv2.reshape(cb, nb, 64, sb, 128), None
         else:
             # lane-parallel segments, same wiring as
             # _segment_encode_layout: a segment's initial DC predictors
@@ -249,9 +258,9 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
             ms = n_mcu // segs
             prev = lv2[:, ms - 1::ms, 3:6, 0].astype(jnp.int32)
             dc0 = jnp.concatenate(
-                [jnp.full((cb, 1, 3, 8, 128), 128, jnp.int32),
-                 prev[:, :-1]], axis=1).reshape(cb * segs, 3, 8, 128)
-            lvs = lv2.reshape(cb * segs, ms * 6, 64, 8, 128)
+                [jnp.full((cb, 1, 3, sb, 128), 128, jnp.int32),
+                 prev[:, :-1]], axis=1).reshape(cb * segs, 3, sb, 128)
+            lvs = lv2.reshape(cb * segs, ms * 6, 64, sb, 128)
         words, bits, ok_e = encode_layout_async_dense(
             lvs, w_out, t_max_enc, interpret=interpret,
             win_rows=win_emit, unroll=enc_unroll, pmax=enc_pmax,
@@ -297,10 +306,10 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
                                              interpret, win_emit,
                                              unroll=unroll_enc)
         ok = ok_d
-    wout = (words.reshape(cb, segs, w_out, 8, 128)
+    wout = (words.reshape(cb, segs, w_out, sb, 128)
             .transpose(0, 3, 4, 1, 2).reshape(fp, segs, w_out)[:F]
             .reshape(F * segs, w_out))
-    bout = (bits.reshape(cb, segs, 8, 128).transpose(0, 2, 3, 1)
+    bout = (bits.reshape(cb, segs, sb, 128).transpose(0, 2, 3, 1)
             .reshape(fp, segs)[:F].reshape(F * segs))
     return wout, bout, ok
 
