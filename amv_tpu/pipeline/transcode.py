@@ -387,6 +387,22 @@ def _segment_encode_layout(lv2, n_mcu: int, segs: int, w_out: int,
                           win_rows=win_emit, dc0=dc0, unroll=unroll)
 
 
+def pick_sb(n_frames: int) -> int:
+    """Sublane width for the async chain by batch size.
+
+    Wider lane tiles merge kernel chunks, cutting the latency-bound
+    kernels' total iteration count roughly in proportion (measured:
+    complete chain 112.6 -> 93.8 ms at sb=32, F=16128 sorted,
+    scripts/measure_sb_chain.py).  Below one full wide chunk the merge
+    buys nothing — the batch pads with empty scans and every vector op
+    just gets taller — so small batches stay at the native sb=8."""
+    if n_frames >= 4096:
+        return 32
+    if n_frames >= 2048:
+        return 16
+    return 8
+
+
 def pick_segments(n_mcu: int, max_mcus: int = 80) -> int:
     """Smallest divisor S of n_mcu with n_mcu/S <= max_mcus (0 if none:
     the caller falls back to the host packer for such geometries)."""
@@ -476,10 +492,12 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
         w_out = min(1664, 1024 * ((ms + 47) // 48))
         # lane-async production chain first (round-3 kernels, ~1.2x the
         # lockstep pair); its ok gate falls back to the lockstep chain
-        # on iteration-budget overflow (pathological streams)
+        # on iteration-budget overflow (pathological streams); sublane
+        # width scales with the batch (pick_sb)
         words, bits, ok = transcode_complete_async(
             jnp.asarray(rows[order]), mb_w * mb_h, qk, w_out=w_out,
-            win_fetch=64, win_emit=64, segs=segs, enc="async")
+            win_fetch=64, win_emit=64, segs=segs, enc="async",
+            sb=pick_sb(len(order)))
         if not bool(ok[...]):
             words, bits = transcode_complete_layout(
                 jnp.asarray(rows[order]), mb_w * mb_h, qk, w_out=w_out,

@@ -372,23 +372,34 @@ def main():
 
         # headline chain: lane-async dense decoder + lane-async dense
         # encoder (round-3 kernels; 1.06x-mean iteration counts vs the
-        # lockstep pair's 1.93x/2.29x per-block-max tax), ok-gated
-        def make_complete(fe):
+        # lockstep pair's 1.93x/2.29x per-block-max tax), ok-gated.
+        # Sublane width scales with the batch (pick_sb): wide lane
+        # tiles merge kernel chunks and cut the latency-bound token
+        # cycles' iteration totals (112.6 -> 93.8 ms at sb=32 on the
+        # K=64 corpus, byte-exact — scripts/measure_sb_chain.py).
+        from amv_tpu.pipeline.transcode import pick_sb
+
+        def make_complete(sb):
             @jax.jit
             def complete(rw, salt):
                 words, bits, ok = transcode_complete_async(
                     rw, M, qk, w_out=1024, win_fetch=64, win_emit=64,
-                    enc="async")
+                    enc="async", sb=sb)
                 return words, bits, ok, (jnp.sum(words[::31, ::17]) +
                                          jnp.sum(bits) + salt)
             return complete
 
-        # end-to-end byte gate at K=1 (sorted in, unsorted out)
+        KC = int(os.environ.get("AMV_BENCH_COMPLETE_K", "64"))
+        sb_c = pick_sb(F * KC)
+
+        # end-to-end byte gate at K=1 (sorted in, unsorted out) — run at
+        # the SAME sublane width as the timed batch so the headline
+        # kernel configuration itself is what gets byte-gated
         rows_c1, _ = native.unescape_frames(payloads)
         lens_c1 = np.array([len(p) for p in payloads])
         ord1 = np.argsort(lens_c1, kind="stable")
         inv1 = np.argsort(ord1)
-        wds1, bts1, ok1, _ = make_complete(F)(
+        wds1, bts1, ok1, _ = make_complete(sb_c)(
             jax.device_put(jnp.asarray(rows_c1[ord1])), jnp.int32(0))
         assert bool(ok1[...]), "async complete chain tripped its ok gate"
         got_payloads = native.escape_frames(np.asarray(wds1)[inv1],
@@ -397,13 +408,12 @@ def main():
         assert got_payloads == want_payloads, \
             "complete device transcode != host re-encode payloads"
 
-        KC = int(os.environ.get("AMV_BENCH_COMPLETE_K", "64"))
         FC = F * KC
         ord_k = np.argsort(np.tile(lens_c1, KC), kind="stable")
         rows_ct = jax.device_put(jnp.asarray(
             np.tile(rows_c1, (KC, 1))[ord_k]))
         jax.block_until_ready(rows_ct)
-        complete_k = make_complete(FC)
+        complete_k = make_complete(sb_c)
         _ = int(complete_k(rows_ct, jnp.int32(0))[3][...])
         ts_c = times_n(lambda: int(complete_k(
             rows_ct, jnp.int32(np.random.randint(1000)))[3][...]), iters=5)
@@ -457,11 +467,17 @@ def main():
         lens160 = np.array([len(p) for p in pay160] * (F160 // 64))
         ord160 = np.argsort(lens160, kind="stable")
         inv160 = np.argsort(ord160)
+        # batch-scaled sublane width (pick_sb): K160=8 -> 8192 frames ->
+        # sb=32 (A/B: 84.9 -> 69.1 ms, scripts/measure_sb_sections.py);
+        # the byte gate runs at the same width as the timed batch
+        K160 = int(os.environ.get("AMV_BENCH_COMPLETE160_K", "8"))
+        from amv_tpu.pipeline.transcode import pick_sb as _pick_sb
+
         @jax.jit
         def complete160(rw, salt):
             words, bits, ok = transcode_complete_async(
                 rw, M160, qk, w_out=1664, win_fetch=64, win_emit=64,
-                enc="async")
+                enc="async", sb=_pick_sb(F160 * K160))
             return words, bits, (jnp.sum(words[::31, ::17]) +
                                  jnp.sum(bits) +
                                  jnp.where(ok, 0, 1 << 30) + salt)
@@ -478,7 +494,6 @@ def main():
         want160 = [huffman_encode_frame(lv2_160[f]) for f in range(64)]
         assert got160 == want160, \
             "160x120 complete transcode != host re-encode payloads"
-        K160 = int(os.environ.get("AMV_BENCH_COMPLETE160_K", "8"))
         ordk160 = np.argsort(np.tile(lens160, K160), kind="stable")
         rows160_k = jax.device_put(jnp.asarray(
             np.tile(rows160, (K160, 1))[ordk160]))
@@ -607,21 +622,26 @@ def main():
                 jnp.int32(np.random.randint(1000)))[...]))
             # 1024-align with repeated (valid) shortest scans so pad
             # lanes terminate; zero rows would decode forever
-            FR = (FC + 1023) // 1024 * 1024
+            # stage configs mirror the headline chain, incl. its
+            # batch-scaled sublane width (ops/iter constants are per
+            # (8,128) tile, so wider tiles issue sb/8 of them per op)
+            fpc_r = sb_c * 128
+            FR = (FC + fpc_r - 1) // fpc_r * fpc_r
             rows_rf = np.tile(rows_c1, (KC, 1))[ord_k]
             rows_rf = np.concatenate(
                 [rows_rf, np.tile(rows_rf[:1], (FR - FC, 1))], axis=0)
             rw_rf = jax.device_put(jnp.asarray(rows_rf))
             jax.block_until_ready(rw_rf)
             t_dn = default_t_max_dense(nb_r, rows_rf.shape[1])
-            cb_r = FR // 1024
+            cb_r = FR // fpc_r
+            tile_r = sb_c // 8
 
             @jax.jit
             def dec_stage(rw, salt):
-                wl = scan_words_layout(rw)
+                wl = scan_words_layout(rw, sb=sb_c)
                 slab, ok, st = decode_scans_async_dense(
                     wl, nb_r, t_dn, win=64, unroll=8, pmax=8, press=64,
-                    return_status=True)
+                    return_status=True, sb=sb_c)
                 return slab, st, (jnp.sum(slab[:, ::7, ::5]
                                           .astype(jnp.int32)) + salt)
 
@@ -635,17 +655,18 @@ def main():
             roofline.append(StageRoofline(
                 "entropy_decode_async", t_ds,
                 rows_rf.nbytes + slab_bytes,
-                DECODE_ASYNC_OPS_PER_ITER * it_dec).report())
+                DECODE_ASYNC_OPS_PER_ITER * it_dec * tile_r).report())
 
             @jax.jit
             def tf_stage(slab, salt):
-                lvl = slab.reshape(cb_r, M, 6, 64, 8, 128)
+                lvl = slab.reshape(cb_r, M, 6, 64, sb_c, 128)
                 qdc_l = int(JT.SP5X_QUANT_LUMA_ZZ[0])
                 qdc_c = int(JT.SP5X_QUANT_CHROMA_ZZ[0])
                 d = lvl[:, :, :, 0].astype(jnp.int32)
-                dy = (jnp.cumsum(d[:, :, :4].reshape(cb_r, M * 4, 8, 128)
+                dy = (jnp.cumsum(d[:, :, :4].reshape(cb_r, M * 4, sb_c,
+                                                     128)
                                  * qdc_l, axis=1)
-                      .reshape(cb_r, M, 4, 8, 128) + 1024)
+                      .reshape(cb_r, M, 4, sb_c, 128) + 1024)
                 dcb = jnp.cumsum(d[:, :, 4] * qdc_c, axis=1) + 1024
                 dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
                 dc = jnp.concatenate(
@@ -661,14 +682,14 @@ def main():
                 - t_null, 1e-6)
             roofline.append(StageRoofline(
                 "transform_dequant_idct_fdct_quant", t_tf, 2 * slab_bytes,
-                cb_r * nb_r * TRANSCODE_OPS_PER_BLOCK).report())
+                cb_r * nb_r * TRANSCODE_OPS_PER_BLOCK * tile_r).report())
 
             t_en = default_t_max_enc(nb_r) * 2
 
             @jax.jit
             def enc_stage(lv2s, salt):
                 words, bits, ok, st = encode_layout_async_dense(
-                    lv2s.reshape(cb_r, nb_r, 64, 8, 128), 1024, t_en,
+                    lv2s.reshape(cb_r, nb_r, 64, sb_c, 128), 1024, t_en,
                     win_rows=64, unroll=8, pmax=8, return_status=True)
                 return st, (jnp.sum(words[:, ::31]) + jnp.sum(bits) + salt)
 
@@ -681,7 +702,7 @@ def main():
             roofline.append(StageRoofline(
                 "entropy_encode_async", t_es,
                 slab_bytes + FR * 1024 * 4,
-                ENCODE_OPS_PER_ITER * it_enc).report())
+                ENCODE_OPS_PER_ITER * it_enc * tile_r).report())
             roofline.append({
                 "dispatch_floor_ms": round(t_null * 1e3, 2),
                 "stage": "complete_chain",
