@@ -181,10 +181,15 @@ def sharded_complete_transcode_async(mesh: Mesh, n_mcu: int, qmat_key,
                                      interpret: bool = False,
                                      win_fetch: int = 64,
                                      win_emit: int = 64, segs: int = 1,
-                                     hbm_decode: bool | None = None):
+                                     hbm_decode: bool | None = None,
+                                     sb: int = 8):
     """The round-3 lane-async complete chain (dense async Huffman decode
     + in-layout transform + dense async Huffman encode), frames sharded
     over the whole mesh via shard_map.
+
+    sb: per-shard sublane width — size it with pipeline.transcode.pick_sb
+    on the PER-SHARD frame count (batch // n_devices), not the global
+    batch: each shard pads its local frames to sb*128 lanes.
 
     Returns (words, bits, ok_per_shard int32 [n_shards]): every shard
     entry must be 1, else some shard overflowed its iteration budget
@@ -196,7 +201,7 @@ def sharded_complete_transcode_async(mesh: Mesh, n_mcu: int, qmat_key,
         words, bits, ok = transcode_complete_async(
             scans, n_mcu=n_mcu, qmat_key=qmat_key, w_out=w_out,
             interpret=interpret, win_fetch=win_fetch, win_emit=win_emit,
-            segs=segs, enc="async", hbm_decode=hbm_decode)
+            segs=segs, enc="async", hbm_decode=hbm_decode, sb=sb)
         return words, bits, ok.astype(jnp.int32).reshape(1)
 
     spec = jax.sharding.PartitionSpec(("dp", "sp"))

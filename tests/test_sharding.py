@@ -149,6 +149,49 @@ def test_sharded_decode_scans_matches_single(mesh):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sharded_async_transcode_sb_matches_single(mesh):
+    """The lane-async bench-headline chain, sharded with a non-default
+    sublane width (sb=16), must equal the single-device async chain and
+    the host re-encode bytes.  sb sizes the PER-SHARD lane tile, so the
+    words/bits contract cannot depend on it."""
+    import jax.numpy as jnp
+    from amv_tpu.bitstream.entropy import (huffman_encode_frame,
+                                           huffman_decode_frames)
+    from amv_tpu.codecs.amv_video import (_encoder_quant_qmat_np,
+                                          _unescape_pack)
+    from amv_tpu.parallel.sharding import sharded_complete_transcode_async
+    from amv_tpu.pipeline.transcode import (transcode_complete_async,
+                                            transcode_levels_fused)
+
+    rng = np.random.default_rng(17)
+    F, M = 16, 2
+    lv = np.zeros((F, M, 6, 64), np.int16)
+    lv[..., 0] = rng.integers(-8, 48, (F, M, 6))
+    lv[..., 1] = rng.integers(-4, 4, (F, M, 6))
+    payloads = [huffman_encode_frame(lv[f]) for f in range(F)]
+    rows = _unescape_pack(payloads)
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+
+    fn = sharded_complete_transcode_async(mesh, M, qk, w_out=128,
+                                          interpret=True, sb=16)
+    words, bits, ok = fn(jnp.asarray(rows))
+    assert bool(np.all(np.asarray(ok) == 1))
+    w1, b1, ok1 = transcode_complete_async(jnp.asarray(rows), M, qk,
+                                           w_out=128, interpret=True,
+                                           win_fetch=64, win_emit=64,
+                                           enc="async", sb=16)
+    assert bool(ok1)
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(w1))
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(b1))
+
+    from amv_tpu.native import entropy_native as native
+    got = native.escape_frames(np.asarray(words), np.asarray(bits))
+    lvdec = huffman_decode_frames(payloads, M)
+    lv2 = np.asarray(transcode_levels_fused(jnp.asarray(lvdec), 2)[0])
+    want = [huffman_encode_frame(lv2[f]) for f in range(F)]
+    assert got == want
+
+
 def test_sharded_g729_encoder_matches_single(mesh):
     """The batched TPU G.729A encoder frame step sharded on dp must emit
     the same parameters (and state) as the unsharded step."""
