@@ -50,6 +50,35 @@ def best_time(fn, iters=3):
     return times_n(fn, iters)[0]
 
 
+def pipelined_fps(issue, work_per_call, depth=8, iters=3):
+    """Steady-state throughput with the relay dispatch RTT overlapped.
+
+    `issue(salt)` must enqueue ONE scalar-output jit call and return the
+    unfetched device result.  `depth` calls go out with distinct salts
+    before blocking on the last: dispatch N+1's ~22-32 ms relay RTT rides
+    under call N's device execution, so the RTT is paid ~once per depth
+    instead of once per call (measured: 160x120 complete chain 119.5K ->
+    176.8K fps at depth 8, scripts/measure_pipeline.py; depth-1 re-probe
+    after confirms no drift).  Scalar outputs only — queued calls each
+    materialize their jit outputs on device, and big output buffers abort
+    the relay runtime.  Distinct salts keep the relay from mis-timing
+    repeated identical dispatches.  Returns best-of-iters work units/s.
+    """
+    import jax
+    rng = np.random.default_rng(17)
+    best = 0.0
+    for _ in range(iters):
+        salts = rng.integers(0, 1 << 20, depth)
+        t0 = time.perf_counter()
+        hs = [issue(int(sv)) for sv in salts]
+        jax.block_until_ready(hs[-1])
+        dt = time.perf_counter() - t0
+        for hd in hs:            # drain: nothing queued leaks across trials
+            hd.block_until_ready()
+        best = max(best, work_per_call * depth / dt)
+    return best
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -365,6 +394,7 @@ def main():
     # encoder's payload bytes for every corpus frame.
     dev_complete_fps = None
     dev_complete_med_fps = None
+    dev_complete_pipe_fps = None
     dev_complete_lockstep_fps = None
     try:
         from amv_tpu.pipeline.transcode import (transcode_complete_layout,
@@ -420,13 +450,26 @@ def main():
         rows_ct = jax.device_put(jnp.asarray(
             np.tile(rows_c1, (KC, 1))[ord_k]))
         jax.block_until_ready(rows_ct)
-        complete_k = make_complete(sb_c)
-        _ = int(complete_k(rows_ct, jnp.int32(0))[3][...])
-        ts_c = times_n(lambda: int(complete_k(
-            rows_ct, jnp.int32(np.random.randint(1000)))[3][...]), iters=5)
+
+        # the timed big-batch program is scalar-output (checksum with the
+        # ok gate folded in): queued pipelined calls then hold no big
+        # device output buffers (the relay aborts on ~600MB jit outputs)
+        @jax.jit
+        def complete_t(rw, salt):
+            words, bits, ok = transcode_complete_async(
+                rw, M, qk, w_out=1024, win_fetch=64, win_emit=64,
+                enc="async", sb=sb_c)
+            return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) +
+                    jnp.where(ok, 0, 1 << 30) + salt)
+
+        _ = int(complete_t(rows_ct, jnp.int32(0))[...])
+        ts_c = times_n(lambda: int(complete_t(
+            rows_ct, jnp.int32(np.random.randint(1000)))[...]), iters=5)
         t_c = ts_c[0]
         dev_complete_fps = FC / t_c
         dev_complete_med_fps = FC / ts_c[len(ts_c) // 2]
+        dev_complete_pipe_fps = pipelined_fps(
+            lambda sv: complete_t(rows_ct, jnp.int32(sv)), FC)
 
         # round-2 lockstep chain (regression reference) on its own
         # K=64 batch: the lockstep module has never compiled above
@@ -464,8 +507,8 @@ def main():
         rows_cl = jax.device_put(jnp.asarray(
             np.tile(rows_c1, (KC, 1))[ord_cl]))
         jax.block_until_ready(rows_cl)
-        t_cl = best_time(lambda: int(complete_k(
-            rows_cl, jnp.int32(np.random.randint(1000)))[3][...]))
+        t_cl = best_time(lambda: int(complete_t(
+            rows_cl, jnp.int32(np.random.randint(1000)))[...]))
         dev_complete_clustered_fps = FC / t_cl
     except Exception as e:
         dev_complete_clustered_fps = None
@@ -478,6 +521,7 @@ def main():
     # (M=80) produced by the host encoder.  Gated: the chain's re-encoded
     # payloads for the first 1024-frame chunk must equal the host re-encode.
     dev_complete160_fps = None
+    dev_complete160_pipe_fps = None
     try:
         M160, F160 = 80, 1024                 # one frame-chunk, cb=1
         # 64 unique frames built from real corpus MCU levels (realistic
@@ -525,9 +569,26 @@ def main():
         rows160_k = jax.device_put(jnp.asarray(
             np.tile(rows160, (K160, 1))[ordk160]))
         jax.block_until_ready(rows160_k)
-        t_c160 = best_time(lambda: int(complete160(
-            rows160_k, jnp.int32(np.random.randint(1000)))[2][...]))
+
+        # timed big-batch jit is scalar-output (gate folded into the
+        # checksum) so depth-8 pipelined dispatch holds no big buffers;
+        # measured 119.5K -> 176.8K fps at depth 8 on this shape
+        # (scripts/measure_pipeline.py — each queued call's ~22-32 ms
+        # relay dispatch rides under the previous call's execution)
+        @jax.jit
+        def complete160_t(rw, salt):
+            words, bits, ok = transcode_complete_async(
+                rw, M160, qk, w_out=1664, win_fetch=64, win_emit=64,
+                enc="async", sb=_pick_sb(F160 * K160))
+            return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) +
+                    jnp.where(ok, 0, 1 << 30) + salt)
+
+        _ = int(complete160_t(rows160_k, jnp.int32(0))[...])
+        t_c160 = best_time(lambda: int(complete160_t(
+            rows160_k, jnp.int32(np.random.randint(1000)))[...]))
         dev_complete160_fps = F160 * K160 / t_c160
+        dev_complete160_pipe_fps = pipelined_fps(
+            lambda sv: complete160_t(rows160_k, jnp.int32(sv)), F160 * K160)
     except Exception as e:
         print(f"# complete 160x120 transcode section skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
@@ -540,6 +601,7 @@ def main():
     # Gated: the spliced bytes for the 64 unique frames must equal the
     # host re-encode.
     dev_complete320_fps = None
+    dev_complete320_pipe_fps = None
     try:
         from amv_tpu.pipeline.transcode import (transcode_complete_async,
                                                 transcode_levels_fused,
@@ -588,9 +650,25 @@ def main():
         want320 = [huffman_encode_frame(lv2_320[f]) for f in range(64)]
         assert got320 == want320, \
             "320x240 segmented complete transcode != host re-encode"
-        t_c320 = best_time(lambda: int(complete320(
-            rows320_d, jnp.int32(np.random.randint(1000)))[2][...]))
+
+        # scalar-output timing jit (same program, gate folded into the
+        # checksum): pipelined depth-8 dispatch can't hold the ~109MB
+        # words output per queued call, and the relay aborts on large
+        # jit outputs (CLAUDE.md relay quirks)
+        @jax.jit
+        def complete320_t(rw, salt):
+            words, bits, ok = transcode_complete_async(
+                rw, M320, qk, w_out=wout320, win_fetch=64, win_emit=64,
+                segs=segs320, enc="async", sb=sb320)
+            return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) +
+                    jnp.where(ok, 0, 1 << 30) + salt)
+
+        _ = int(complete320_t(rows320_d, jnp.int32(0))[...])
+        t_c320 = best_time(lambda: int(complete320_t(
+            rows320_d, jnp.int32(np.random.randint(1000)))[...]))
         dev_complete320_fps = F320 / t_c320
+        dev_complete320_pipe_fps = pipelined_fps(
+            lambda sv: complete320_t(rows320_d, jnp.int32(sv)), F320)
     except Exception as e:
         print(f"# complete 320x240 transcode section skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
@@ -768,6 +846,17 @@ def main():
             ord_s = ord_k
             inv_s = np.argsort(ord_s)
             rows_host = np.tile(rows_c1, (KC, 1))[ord_s]
+
+            # this section needs the real words/bits outputs (escaped back
+            # to bytes per batch), so it compiles its own full-output jit
+            # at the big shape — the timed headline jit above is
+            # scalar-only so pipelined calls hold no big buffers.  Warm it
+            # outside the timed loop (remote compile is 1-3 min).
+            complete_k = make_complete(sb_c)
+            warm = complete_k(jax.device_put(jnp.asarray(rows_host)),
+                              jnp.int32(0))
+            jax.block_until_ready(warm[0])
+            del warm
 
             def one_batch(dev_prev):
                 words, bits, _, _ = complete_k(jax.device_put(
@@ -1051,6 +1140,9 @@ def main():
                if dev_complete_fps else {}),
             **({"device_complete_median_fps": round(dev_complete_med_fps, 1)}
                if dev_complete_med_fps else {}),
+            **({"device_complete_pipelined_fps":
+                round(dev_complete_pipe_fps, 1)}
+               if dev_complete_pipe_fps else {}),
             **({"device_complete_lockstep_fps":
                 round(dev_complete_lockstep_fps, 1)}
                if dev_complete_lockstep_fps else {}),
@@ -1059,8 +1151,14 @@ def main():
                if dev_complete_clustered_fps else {}),
             **({"device_complete_160x120_fps": round(dev_complete160_fps, 1)}
                if dev_complete160_fps else {}),
+            **({"device_complete_160x120_pipelined_fps":
+                round(dev_complete160_pipe_fps, 1)}
+               if dev_complete160_pipe_fps else {}),
             **({"device_complete_320x240_fps": round(dev_complete320_fps, 1)}
                if dev_complete320_fps else {}),
+            **({"device_complete_320x240_pipelined_fps":
+                round(dev_complete320_pipe_fps, 1)}
+               if dev_complete320_pipe_fps else {}),
             **sustained,
             **({"device_complete_encode_fps": round(dev_completeenc_fps, 1)}
                if dev_completeenc_fps else {}),
@@ -1074,7 +1172,9 @@ def main():
             "adpcm_c1core_msamples": round(2 * int(alens.sum()) / tc_adpcm / 1e6, 1),
             "note": "device-resident timing amortizes the ~32ms axon relay "
                     "RTT and ~30MB/s tunnel of this dev environment; "
-                    "e2e_tunnel_* include them",
+                    "e2e_tunnel_* include them; *_pipelined_fps = depth-8 "
+                    "queued dispatch (steady-state serving: call N+1's "
+                    "relay RTT hides under call N's device execution)",
             "device": str(jax.devices()[0]),
             **({"roofline": roofline} if roofline else {}),
             **g729_detail,
