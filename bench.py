@@ -252,6 +252,10 @@ def main():
     t_dev = best_time(lambda: int(
         fused_roundtrip(cm_dev, jnp.int32(np.random.randint(1000)))[...]))
     dev_fps = FK / t_dev  # each frame decoded AND re-encoded
+    # steady-state: depth-8 queued dispatch hides the ~22-32 ms relay
+    # RTT of calls 2..8 under execution (same compiled program)
+    dev_pipe_fps = pipelined_fps(
+        lambda sv: fused_roundtrip(cm_dev, jnp.int32(sv)), FK)
 
     # ---------------- 160x120 north-star shape (BASELINE.md) -----------------
     # Same kernel, M=80 MCUs/frame; synthetic levels (throughput-only — the
@@ -1028,6 +1032,7 @@ def main():
         return jnp.sum(pcm.astype(jnp.int32)) + salt
 
     adpcm_kernel = "pallas"
+    adpcm_pipe_sps = None
     pa, pp, ps = (jax.device_put(jnp.asarray(x))
                   for x in (payload_a, pred, sidx))
     try:
@@ -1036,6 +1041,11 @@ def main():
             f"ADPCM pallas checksum {cs0} != C reference {exp_adpcm_cs}"
         t_adpcm = best_time(lambda: int(fused_adpcm_pallas(
             pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
+        # ~72 ms/call at 2.4 Gs/s: the relay RTT is ~30% of the blocking
+        # wall, so the queued steady state is the honest serving number
+        adpcm_pipe_sps = pipelined_fps(
+            lambda sv: fused_adpcm_pallas(pa, pp, ps, jnp.int32(sv)),
+            n_samples)
     except AssertionError:
         raise  # a bit-exactness violation must fail the bench, not fall back
     except Exception:
@@ -1083,6 +1093,9 @@ def main():
             t_g729 = min(t_g729, time.perf_counter() - t0)
         g729_detail = {
             "g729_tpu_frames_per_s": round(T_ * B / t_g729, 1),
+            "g729_tpu_pipelined_frames_per_s": round(pipelined_fps(
+                lambda sv: dec_device(parms_d, jnpg.int32(sv)),
+                T_ * B), 1),
             "g729_batch": f"{B} streams x {T_} frames",
         }
         # default on since the static-grid rewrite (54.8K fps at B=1024,
@@ -1113,6 +1126,20 @@ def main():
                 t_enc = min(t_enc, (time.perf_counter() - t0) / Te)
             g729_detail["g729_tpu_encode_frames_per_s"] = \
                 round(Be / t_enc, 1)
+            # chained steady state: the scan re-feeds its own carried
+            # state, so 8 calls queued without intermediate readbacks
+            # overlap each call's relay dispatch with the previous
+            # call's execution (16 frames/call at ~77 ms blocking wall,
+            # ~25 ms of it RTT)
+            D_ENC = 8
+            t0 = time.perf_counter()
+            ste2, hh2, pm2 = ste, hh, pm
+            for _ in range(D_ENC):
+                ste2, hh2, pm2 = encode_frames_scan(ste2, hh2, sig)
+            jax.block_until_ready(pm2)
+            t_pipe = (time.perf_counter() - t0) / (D_ENC * Te)
+            g729_detail["g729_tpu_encode_pipelined_frames_per_s"] = \
+                round(Be / t_pipe, 1)
 
     out = {
         "metric": "AMV decode+encode frames/sec/chip (bit-exact, device-resident batch)",
@@ -1123,6 +1150,8 @@ def main():
             "corpus": f"AMV1.amv x{K} = {FK} frames 128x96",
             "path": "fused Pallas transcode kernel (dequant+IDCT+FDCT+quant "
                     "in one VMEM pass), checksum-gated vs C-verified outputs",
+            **({"device_transform_pipelined_fps": round(dev_pipe_fps, 1)}
+               if dev_pipe_fps else {}),
             **({"fps_160x120": round(fps_160, 1)} if fps_160 else {}),
             **({"xla_two_stage_fps": round(t_xla, 1)} if t_xla else {}),
             "c1core_decode_fps": round(F / tc_dec, 1),
@@ -1169,6 +1198,8 @@ def main():
             "adpcm_kernel": adpcm_kernel,
             **({"adpcm_tpu_msamples": round(n_samples / t_adpcm / 1e6, 1)}
                if t_adpcm else {}),
+            **({"adpcm_tpu_pipelined_msamples": round(adpcm_pipe_sps / 1e6, 1)}
+               if adpcm_pipe_sps else {}),
             "adpcm_c1core_msamples": round(2 * int(alens.sum()) / tc_adpcm / 1e6, 1),
             "note": "device-resident timing amortizes the ~32ms axon relay "
                     "RTT and ~30MB/s tunnel of this dev environment; "
