@@ -13,6 +13,7 @@ shape of the benchmark's device-resident headline.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -482,6 +483,18 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     if mb_aligned and on_tpu and s.video_chunks and segs:
         from ..codecs.amv_video import _encoder_quant_qmat_np
         from ..native import entropy_native as native
+        # long inputs route through the fixed-shape serving path: one
+        # 4096-frame jit signature + depth-4 in-flight dispatch instead
+        # of a whole-file batch (a 30K-frame file exceeds the remote
+        # compile wall; see pipeline/serving.py)
+        serve_over = int(os.environ.get("AMV_SERVE_THRESHOLD", "8192"))
+        if len(s.video_chunks) > serve_over:
+            from .serving import AsyncTranscoder
+            tr = AsyncTranscoder(mb_w * mb_h, qscale=qscale)
+            vchunks = tr.transcode(s.video_chunks)
+            return riff.mux(vchunks, s.audio_chunks, width=w, height=h,
+                            fps=s.info.fps_num,
+                            sample_rate=s.info.sample_rate)
         rows, _ = native.unescape_frames(s.video_chunks)
         lens = np.array([len(p) for p in s.video_chunks])
         order = np.argsort(lens, kind="stable")

@@ -742,12 +742,21 @@ def main():
             # lanes terminate; zero rows would decode forever
             # stage configs mirror the headline chain, incl. its
             # batch-scaled sublane width (ops/iter constants are per
-            # (8,128) tile, so wider tiles issue sb/8 of them per op)
+            # (8,128) tile, so wider tiles issue sb/8 of them per op).
+            # Stage jits run on a KC<=64-equivalent batch: the
+            # STANDALONE enc_stage at >4 chunks exceeds the Mosaic
+            # scoped-vmem stack (AOT: 34.6M vs the 16M limit at KC=112,
+            # 2026-08-19 run) though the chained headline compiles;
+            # utilization percentages are batch-size-invariant
+            KR = min(KC, 64)
+            FCR = F * KR
+            ord_r = (ord_k if KR == KC
+                     else np.argsort(np.tile(lens_c1, KR), kind="stable"))
             fpc_r = sb_c * 128
-            FR = (FC + fpc_r - 1) // fpc_r * fpc_r
-            rows_rf = np.tile(rows_c1, (KC, 1))[ord_k]
+            FR = (FCR + fpc_r - 1) // fpc_r * fpc_r
+            rows_rf = np.tile(rows_c1, (KR, 1))[ord_r]
             rows_rf = np.concatenate(
-                [rows_rf, np.tile(rows_rf[:1], (FR - FC, 1))], axis=0)
+                [rows_rf, np.tile(rows_rf[:1], (FR - FCR, 1))], axis=0)
             rw_rf = jax.device_put(jnp.asarray(rows_rf))
             jax.block_until_ready(rw_rf)
             t_dn = default_t_max_dense(nb_r, rows_rf.shape[1])
@@ -824,7 +833,7 @@ def main():
             roofline.append({
                 "dispatch_floor_ms": round(t_null * 1e3, 2),
                 "stage": "complete_chain",
-                "ms": round(FC / dev_complete_fps * 1e3, 2),
+                "ms": round(FCR / dev_complete_fps * 1e3, 2),
                 "stage_sum_ms": round((t_ds + t_tf + t_es) * 1e3, 2),
                 "dec_iters": it_dec, "enc_iters": it_enc,
                 "note": "all three device stages are compute(VPU)-bound "
