@@ -105,13 +105,19 @@ static DecTable dt_dc_l, dt_dc_c, dt_ac_l, dt_ac_c;
 static EncTable et_dc_l, et_dc_c, et_ac_l, et_ac_c;
 static int tables_ready = 0;
 
-static void build_tables_one(DecTable *dt, EncTable *et,
-                             const uint8_t *bits, const uint8_t *vals) {
+/* Returns 0, or -1 for an infeasible table (code counts violating the
+ * Kraft bound, or more than 256 values).  Untrusted DHT data reaches
+ * this through amv_decode_scans_custom: without the `code >= 1<<L`
+ * check a non-canonical bits[] walks `prefix + t` past the 65536-entry
+ * LUT — a heap overflow (found by tests/test_fuzz_parsers.py). */
+static int build_tables_one(DecTable *dt, EncTable *et,
+                            const uint8_t *bits, const uint8_t *vals) {
     memset(dt->len, 0, sizeof(dt->len));
     memset(et->size, 0, sizeof(et->size));
     uint32_t code = 0; int k = 0;
     for (int L = 1; L <= 16; L++) {
         for (int j = 0; j < bits[L]; j++) {
+            if (k >= 256 || code >= (1u << L)) return -1;
             int sym = vals[k++];
             et->code[sym] = (uint16_t)code;
             et->size[sym] = (uint8_t)L;
@@ -125,14 +131,16 @@ static void build_tables_one(DecTable *dt, EncTable *et,
         }
         code <<= 1;
     }
+    return 0;
 }
 
 static void ensure_tables(void) {
     if (tables_ready) return;
-    build_tables_one(&dt_dc_l, &et_dc_l, bits_dc_l, vals_dc);
-    build_tables_one(&dt_dc_c, &et_dc_c, bits_dc_c, vals_dc);
-    build_tables_one(&dt_ac_l, &et_ac_l, bits_ac_l, vals_ac_l);
-    build_tables_one(&dt_ac_c, &et_ac_c, bits_ac_c, vals_ac_c);
+    /* spec constants — always feasible */
+    (void)build_tables_one(&dt_dc_l, &et_dc_l, bits_dc_l, vals_dc);
+    (void)build_tables_one(&dt_dc_c, &et_dc_c, bits_dc_c, vals_dc);
+    (void)build_tables_one(&dt_ac_l, &et_ac_l, bits_ac_l, vals_ac_l);
+    (void)build_tables_one(&dt_ac_c, &et_ac_c, bits_ac_c, vals_ac_c);
     tables_ready = 1;
 }
 
@@ -408,8 +416,17 @@ API int amv_decode_scans_custom(const uint8_t *scan_blob,
     DecTable *tabs = (DecTable *)malloc(8 * sizeof(DecTable));
     if (!tabs) return -1000000;
     EncTable scratch;
+    int bad[8];
     for (int t = 0; t < 8; t++)
-        build_tables_one(&tabs[t], &scratch, bits8 + t * 17, vals8 + t * 256);
+        bad[t] = build_tables_one(&tabs[t], &scratch,
+                                  bits8 + t * 17, vals8 + t * 256) != 0;
+    for (int b = 0; b < n_blk; b++) {
+        int di = tab_ids[b * 2], ai = tab_ids[b * 2 + 1];
+        if (di > 7 || ai > 7 || bad[di] || bad[ai]) {
+            free(tabs);
+            return -7000000 - b;   /* malformed or unusable table */
+        }
+    }
     size_t max_sz = 0;
     for (int f = 0; f < n_frames; f++)
         if ((size_t)sizes[f] > max_sz) max_sz = (size_t)sizes[f];
@@ -438,6 +455,10 @@ API int amv_decode_scans_custom(const uint8_t *scan_blob,
                 int len = dc->len[peek];
                 if (!len) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
                 int sym = dc->sym[peek];
+                /* custom tables may map any 0..255 value here, but a DC
+                 * size > 15 is malformed (and would shift-overflow the
+                 * 64-bit xbits read) — mjpegdec.c rejects it the same */
+                if (sym > 15) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
                 br_skip(&br, len);
                 blk[0] = sym ? (int16_t)br_get_xbits(&br, sym) : 0;
                 int i = 0;
@@ -1020,6 +1041,13 @@ static void ph_build(PHuff *h, const uint8_t *t) {
         k += t[l];
         h->maxcode[l] = code - 1;        /* < mincode when empty */
         code <<= 1;
+    }
+    if (k > 256) {
+        /* infeasible DHT (more values than vals[] holds): poison the
+         * table so ph_vlc's vals[] index stays in bounds and lookups
+         * fail cleanly with -1 (fuzz-found OOB read otherwise) */
+        for (l = 1; l <= 16; l++) { h->mincode[l] = 0; h->maxcode[l] = -1; }
+        k = 0;
     }
     memcpy(h->vals, t + 17, 256);
     h->ok = k > 0;

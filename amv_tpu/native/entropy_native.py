@@ -205,11 +205,22 @@ def decode_scans_custom(scans: list[bytes], n_mcu: int,
     bits8 = np.zeros((8, 17), np.uint8)
     vals8 = np.zeros((8, 256), np.uint8)
     for (cls, tid), (bits, vals) in huff.items():
+        # untrusted DHT data: bound-check before the C LUT build (which
+        # also validates the canonical Kraft bound itself)
+        if cls not in (0, 1) or not 0 <= tid <= 3:
+            raise ValueError(f"bad Huffman table id ({cls},{tid})")
+        if len(bits) != 17 or len(vals) > 256 or \
+                int(np.sum(bits[1:])) != len(vals):
+            raise ValueError(f"inconsistent DHT ({cls},{tid}): "
+                             f"{int(np.sum(bits[1:]))} codes, "
+                             f"{len(vals)} values")
         slot = cls * 4 + tid
         bits8[slot, :len(bits)] = bits
         vals8[slot, :len(vals)] = vals
     tab_ids = np.zeros((n_blk, 2), np.uint8)
     for b, (dc_id, ac_id) in enumerate(tab_pairs):
+        if not (0 <= dc_id <= 3 and 0 <= ac_id <= 3):
+            raise ValueError(f"bad scan table selector ({dc_id},{ac_id})")
         tab_ids[b] = (dc_id, 4 + ac_id)
     blob = b"".join(scans)
     offsets = np.zeros(len(scans), dtype=np.int64)

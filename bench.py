@@ -1005,7 +1005,12 @@ def main():
     payload_a = np.zeros((len(achunks), maxlen), np.uint8)
     for i, c in enumerate(achunks):
         payload_a[i, :alens[i]] = np.frombuffer(c, np.uint8)[8:]
-    KA_T = int(os.environ.get("AMV_BENCH_ADPCM_K", "256"))
+    # tile-factor sweep (scripts/measure_adpcm_k.py, 2026-08-19, all
+    # checksum-OK): 256 -> 2.58 Gs/s, 512 -> 3.98, 1024 -> 5.32,
+    # 2048 -> 6.28, 4096 -> 7.18 blocking — the ~22-32 ms relay dispatch
+    # was ~40% of the wall at 256; the marginal device rate is ~8.4 Gs/s.
+    # 4096 stages ~3.6 GB of nibbles+PCM (16 GB chip).
+    KA_T = int(os.environ.get("AMV_BENCH_ADPCM_K", "4096"))
     n_samples = int(2 * alens.sum()) * KA_T
 
     # expected checksum from the single-core C reference over the padded
@@ -1050,8 +1055,8 @@ def main():
             f"ADPCM pallas checksum {cs0} != C reference {exp_adpcm_cs}"
         t_adpcm = best_time(lambda: int(fused_adpcm_pallas(
             pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
-        # ~72 ms/call at 2.4 Gs/s: the relay RTT is ~30% of the blocking
-        # wall, so the queued steady state is the honest serving number
+        # ~192 ms/call at KA_T=4096: the relay RTT is ~12% of the
+        # blocking wall; the queued steady state is the serving number
         adpcm_pipe_sps = pipelined_fps(
             lambda sv: fused_adpcm_pallas(pa, pp, ps, jnp.int32(sv)),
             n_samples)

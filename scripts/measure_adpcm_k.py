@@ -1,12 +1,18 @@
 """TPU probe: ADPCM decode blocking throughput vs tile factor KA_T.
 
-bench.py's ADPCM section tiles the corpus audio x256 (~88M samples,
+bench.py's ADPCM section tiled the corpus audio x256 (~88M samples,
 ~37 ms/call) — at that size the ~22-32 ms relay dispatch is still
 ~40% of the blocking wall (pipelined reads 6.26 Gs/s vs 2.34
-blocking).  Probe 512/1024 to amortize it; checksum-gated against the
-C reference at every point (the checksum scales linearly with the
-tile factor).  HBM check: KA_T=1024 stages ~0.9 GB of nibbles + PCM —
+blocking).  Probe larger tiles to amortize it; checksum-gated against
+the C reference at every point (the checksum scales linearly with the
+tile factor).  HBM check: KA_T=4096 stages ~3.6 GB of nibbles + PCM —
 well under the 16 GB chip.
+
+RESULTS (2026-08-19, all OK): 256 -> 33.3 ms = 2.58 Gs/s,
+512 -> 43.2 = 3.98, 1024 -> 64.7 = 5.32, 2048 -> 109.7 = 6.28,
+4096 -> 191.9 = 7.18.  Marginal device rate (2048->4096 delta) is
+~8.4 Gs/s — the remaining dispatch share at 4096 is ~12%.  bench.py
+now defaults AMV_BENCH_ADPCM_K=4096.
 """
 import json
 import os

@@ -123,6 +123,107 @@ def test_fuzz_c_huffman_decoder(sample_amv_bytes):
     assert survived > 0
 
 
+def test_fuzz_progressive_decode():
+    """Progressive (SOF2) marker walk + the C per-scan coefficient pass
+    (native/entropy.c:amv_progressive_scan) on mutated encodings."""
+    from amv_tpu.bitstream.jpeg_progressive import (decode_progressive,
+                                                    encode_progressive)
+    rng = np.random.default_rng(0x50F2)
+    lv = np.zeros((4, 1, 64), np.int16)
+    lv[:, :, 0] = rng.integers(-40, 41, (4, 1))
+    lv[:, :, 1:] = np.where(rng.random((4, 1, 63)) < 0.2,
+                            rng.integers(-80, 81, (4, 1, 63)), 0)
+    data = encode_progressive(lv, (16, 16), layout="gray")
+    from amv_tpu.bitstream.jpeg_progressive import _Scans
+    survived = 0
+    for mut in _mutations(data, rng, 200):
+        try:
+            f = _Scans(mut).frame  # parse_jpeg rejects SOF2 outright
+            if f.width * f.height > 1 << 22:
+                continue  # scribbled SOF dims: don't size a giant grid
+            decode_progressive(mut)
+            survived += 1
+        except Exception:
+            pass
+    assert survived > 0
+
+
+def test_fuzz_lossless_decode():
+    """Lossless (SOF3) predictors on mutated encodings.  The row loop is
+    pure Python, so mutants with scribbled SOF dims are skipped."""
+    from amv_tpu.bitstream.jpeg_lossless import (decode_lossless,
+                                                 encode_lossless)
+    rng = np.random.default_rng(0x50F3)
+    y = rng.integers(0, 256, (16, 16), np.uint8).astype(np.uint8)
+    c = rng.integers(0, 256, (8, 8), np.uint8).astype(np.uint8)
+    data = encode_lossless([y, c, c], predictor=4, restart_interval=2)
+    survived = 0
+    for mut in _mutations(data, rng, 200):
+        try:
+            fr = parse_jpeg(mut, allow_lossless=True)
+            if fr.width * fr.height > 1 << 14:
+                continue
+            decode_lossless(mut)
+            survived += 1
+        except Exception:
+            pass
+    assert survived > 0
+
+
+def test_fuzz_c_custom_table_decoder(sample_amv_bytes):
+    """parse_jpeg -> native.decode_scans_custom (the generic-table C
+    scan decoder, native/entropy.c) with mutated tables and scan data —
+    the restart-interval seed keeps frames off the stock-K.3 fast path
+    that test_fuzz_c_huffman_decoder already covers."""
+    from amv_tpu.codecs.mjpeg import encode_mjpeg_frames
+    rng = np.random.default_rng(0xCC57)
+    y = rng.integers(0, 256, (1, 32, 32), np.uint8).astype(np.uint8)
+    cb = rng.integers(0, 256, (1, 16, 16), np.uint8).astype(np.uint8)
+    cr = rng.integers(0, 256, (1, 16, 16), np.uint8).astype(np.uint8)
+    data = encode_mjpeg_frames(y, cb, cr, restart_interval=2)[0]
+    survived = 0
+    for mut in _mutations(data, rng, 300):
+        try:
+            f = parse_jpeg(mut)
+            mcu_w = 16 if any(h > 1 or v > 1
+                              for (_, h, v, _) in f.components) else 8
+            n_mcu = (((f.width + mcu_w - 1) // mcu_w) *
+                     ((f.height + mcu_w - 1) // mcu_w))
+            if not 0 < n_mcu <= 4096:
+                continue
+            pairs = [(dc_id, ac_id)
+                     for (_, dc_id, ac_id, _) in f.mcu_blocks()]
+            got = native.decode_scans_custom(
+                [f.scan], n_mcu, f.huff, pairs,
+                restart_interval=f.restart_interval)
+            assert got.shape[0] == 1
+            survived += 1
+        except Exception:
+            pass
+    assert survived > 0
+
+
+def test_fuzz_wav_reader(tmp_path):
+    """Minimal WAV reader on mutated chunk/length structure."""
+    from amv_tpu.containers import wav
+    rng = np.random.default_rng(0x3A5E)
+    pcm = rng.integers(-3000, 3000, 500).astype(np.int16)
+    p = tmp_path / "seed.wav"
+    wav.write_pcm(str(p), pcm, 16000)
+    data = p.read_bytes()
+    mp = tmp_path / "mut.wav"
+    survived = 0
+    for mut in _mutations(data, rng, 250):
+        mp.write_bytes(mut)
+        try:
+            got, rate = wav.read_pcm(str(mp))
+            assert got.dtype == np.int16
+            survived += 1
+        except Exception:
+            pass
+    assert survived > 0
+
+
 def test_fuzz_c_escape_roundtrip():
     """escape_frames/unescape_frames on adversarial word patterns: all-FF
     words (maximum escape expansion), zero bit counts, ragged lengths."""
