@@ -106,6 +106,9 @@ class _Scans:
         # (scan_components, Ss, Se, Ah, Al, scan_bytes, huff_snapshot,
         #  restart_interval)
         self.scans = []
+        # concatenated header segments (DQT/DHT/SOF/DRI/SOS params, in
+        # order, scan data excluded): same key == same decode plan
+        key_parts = []
         while pos + 4 <= n:
             if data[pos] != 0xFF:
                 pos += 1
@@ -118,6 +121,8 @@ class _Scans:
                 break
             seglen = struct.unpack_from(">H", data, pos + 2)[0]
             body = data[pos + 4:pos + 2 + seglen]
+            if marker in (0xDB, 0xC4, 0xC2, 0xDD, 0xDA):
+                key_parts.append(data[pos:pos + 2 + seglen])
             if marker == 0xDB:
                 b = 0
                 while b < len(body):
@@ -161,14 +166,20 @@ class _Scans:
                                if comp[0] == cs)
                     comps.append((idx, tt >> 4, tt & 0xF))
                 ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
-                # scan data runs to the next non-RST marker
+                # scan data runs to the next non-RST marker (find()
+                # jumps FF to FF instead of walking every byte)
                 sp = pos + 2 + seglen
                 ep = sp
-                while ep + 1 < n:
-                    if data[ep] == 0xFF and data[ep + 1] != 0 and not \
-                            (0xD0 <= data[ep + 1] <= 0xD7):
+                while True:
+                    idx = data.find(b"\xFF", ep)
+                    if idx < 0 or idx + 1 >= n:
+                        ep = max(n - 1, sp)
                         break
-                    ep += 1
+                    if data[idx + 1] != 0 and not \
+                            (0xD0 <= data[idx + 1] <= 0xD7):
+                        ep = idx
+                        break
+                    ep = idx + 1
                 self.scans.append((comps, ss, se, ahal >> 4, ahal & 0xF,
                                    data[sp:ep], dict(f.huff),
                                    f.restart_interval))
@@ -176,18 +187,17 @@ class _Scans:
                 continue
             pos += 2 + seglen
         self.frame = f
+        self.plan_key = b"".join(key_parts)
         if not f.components or not self.scans:
             raise ValueError("no progressive scans found")
 
 
-def _scan_native(nat, coef_flat, f, maps, grids, slot_base, M, nb,
-                 comps, ss, se, ah, al, scan, huff, ri):
-    """Decode one scan with native/entropy.c:amv_progressive_scan.
-
-    The Python driver stays responsible for marker parsing and block
-    geometry: it flattens the scan's block visit order (and per-block
-    table/predictor slots) into index arrays so the C side is pure
-    entropy work.  Semantics are the Python scan loop's, 1:1."""
+def _scan_arrays(f, maps, grids, slot_base, M, nb,
+                 comps, ss, se, huff):
+    """Flatten one scan's block visit order (and per-block table /
+    predictor slots) into the index arrays the C entropy pass consumes
+    (blk, tabsel, cisel, bpu, htabs).  Semantics are the Python scan
+    loop's, 1:1."""
     slots = []
 
     def slot_of(tc, tid):
@@ -226,10 +236,56 @@ def _scan_native(nat, coef_flat, f, maps, grids, slot_base, M, nb,
         bits, vals = huff[key]
         htabs[i, :17] = bits.astype(np.uint8)
         htabs[i, 17:17 + len(vals)] = vals.astype(np.uint8)
-    nat.progressive_scan(bytes(scan), coef_flat, blk,
-                         np.asarray(tsel, np.uint8),
-                         np.asarray(csel, np.uint8), bpu, htabs,
-                         ss, se, ah, al, ri)
+    return (np.asarray(blk, np.int64), np.asarray(tsel, np.uint8),
+            np.asarray(csel, np.uint8), bpu, htabs)
+
+
+def _scan_native(nat, coef_flat, f, maps, grids, slot_base, M, nb,
+                 comps, ss, se, ah, al, scan, huff, ri):
+    """Decode one scan with native/entropy.c:amv_progressive_scan."""
+    blk, tsel, csel, bpu, htabs = _scan_arrays(
+        f, maps, grids, slot_base, M, nb, comps, ss, se, huff)
+    nat.progressive_scan(bytes(scan), coef_flat, blk, tsel, csel, bpu,
+                         htabs, ss, se, ah, al, ri)
+
+
+# prepacked decode plans keyed by the frame's header bytes: a stream of
+# same-header frames (the normal MJPEG case) packs its block maps /
+# table snapshots once (small LRU-ish cap; keys are ~1 KB)
+_PLAN_CACHE = {}
+_PLAN_CACHE_MAX = 16
+
+
+def _frame_plan(nat, f, M, nb, scans):
+    """Build the prepacked amv_progressive_frame plan for one header
+    (block visit orders, table selectors, Huffman snapshots, scan
+    parameter rows) — everything except the scan bytes themselves."""
+    maps = _block_index_maps(f)
+    grids = _comp_grids(f)
+    slot_base = np.cumsum([0] + [h * v for (_, h, v, _) in f.components])
+    blks, tsels, csels, htabs_l, metas = [], [], [], [], []
+    for comps, ss, se, ah, al, scan, huff, ri in scans:
+        blk, tsel, csel, bpu, htabs = _scan_arrays(
+            f, maps, grids, slot_base, M, nb, comps, ss, se, huff)
+        blks.append(blk)
+        tsels.append(tsel)
+        csels.append(csel)
+        htabs_l.append(htabs)
+        metas.append((ss, se, ah, al, ri, bpu))
+    return nat.ProgressivePlan(blks, tsels, csels, htabs_l, metas)
+
+
+def _frame_native(nat, coef_flat, f, M, nb, scans, plan_key):
+    """Decode every scan of one frame in a single C call
+    (native/entropy.c:amv_progressive_frame) — the per-scan ctypes
+    crossing was ~0.15 ms against ~10 us of C entropy work."""
+    plan = _PLAN_CACHE.get(plan_key)
+    if plan is None or plan.n != len(scans):
+        plan = _frame_plan(nat, f, M, nb, scans)
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[plan_key] = plan
+    nat.progressive_frame([bytes(s[5]) for s in scans], coef_flat, plan)
 
 
 
@@ -243,11 +299,7 @@ def decode_progressive(data: bytes):
     nb = sum(h * v for (_, h, v, _) in f.components)
     M = mb_w * mb_h
     coef = np.zeros((M, nb, 64), np.int32)
-    maps = _block_index_maps(f)
-    grids = _comp_grids(f)
     table_cache = {}  # keyed by table CONTENT: redefinitions miss
-
-    slot_base = np.cumsum([0] + [h * v for (_, h, v, _) in f.components])
 
     use_native = os.environ.get("AMV_PROGRESSIVE_PY") != "1"
     nat = None
@@ -258,19 +310,26 @@ def decode_progressive(data: bytes):
             use_native = False
     coef_flat = coef.reshape(M * nb, 64)
 
-    for comps, ss, se, ah, al, scan, huff, ri in ps.scans:
-        if use_native:
-            # C fast path (native/entropy.c:amv_progressive_scan);
-            # snapshot first so a mid-scan failure can retry the whole
-            # scan with the Python decoder on clean state
-            snap = coef.copy()
-            try:
-                _scan_native(nat, coef_flat, f, maps, grids, slot_base,
-                             M, nb, comps, ss, se, ah, al, scan, huff, ri)
-                continue
-            except Exception:
-                coef[...] = snap
+    if use_native:
+        # C fast path: the whole frame's scan loop in one call
+        # (native/entropy.c:amv_progressive_frame) with the prepacked
+        # plan cached per header; on any failure the Python decoder
+        # below restarts from clean state and reports the precise
+        # position
+        try:
+            _frame_native(nat, coef_flat, f, M, nb, ps.scans,
+                          ps.plan_key)
+        except Exception:
+            coef[...] = 0
+            use_native = False
 
+    if use_native:
+        return coef.astype(np.int16), f
+
+    maps = _block_index_maps(f)
+    grids = _comp_grids(f)
+    slot_base = np.cumsum([0] + [h * v for (_, h, v, _) in f.components])
+    for comps, ss, se, ah, al, scan, huff, ri in ps.scans:
         def lut(tc, tid, _huff=huff):
             bits, vals = _huff[(tc, tid)]
             key = (bits.tobytes(), vals.tobytes())

@@ -1071,7 +1071,7 @@ static void pb_refine_tail(PBits *b, int32_t *bk, int k, int se,
         }
 }
 
-API int amv_progressive_scan(
+static int prog_scan_one(
     const uint8_t *scan, long scan_len,
     int32_t *coef,               /* [nblocks_total * 64], zigzag */
     const int64_t *blk,          /* [units*bpu] block index or -1 */
@@ -1083,6 +1083,8 @@ API int amv_progressive_scan(
     PBits b = {scan, scan_len, 0, 0, 0};
     PHuff ph[4];
     int i;
+    for (i = 0; i < bpu; i++)
+        if (tabsel[i] > 3 || cisel[i] > 3) return -6;
     for (i = 0; i < 4; i++)
         ph_build(&ph[i], htabs + i * (17 + 256));
 
@@ -1195,6 +1197,50 @@ API int amv_progressive_scan(
                     pb_refine_tail(&b, bk, k, se, p1, m1);
             }
         }
+    }
+    return 0;
+}
+
+API int amv_progressive_scan(
+    const uint8_t *scan, long scan_len, int32_t *coef,
+    const int64_t *blk, const uint8_t *tabsel, const uint8_t *cisel,
+    long units, int bpu, const uint8_t *htabs,
+    int ss, int se, int ah, int al, int ri) {
+    return prog_scan_one(scan, scan_len, coef, blk, tabsel, cisel,
+                         units, bpu, htabs, ss, se, ah, al, ri);
+}
+
+/* Whole-frame progressive driver: every scan in ONE call.  The
+ * per-scan ctypes round-trip dominated the progressive host path
+ * (~0.15 ms of Python marshalling per scan vs ~10 us of C entropy
+ * work at 128x96); batching the scan loop here removes it.
+ * meta[s*6 .. s*6+5] = ss, se, ah, al, ri, bpu; per-scan block maps
+ * are concatenated in blk_all with fence offsets blk_off[n_scans+1];
+ * tabsel/cisel rows are padded to stride 16.  Returns 0 or
+ * -(scan_index*1000) + prog_scan_one's negative code. */
+API int amv_progressive_frame(
+    const uint8_t *scan_blob,
+    const int64_t *scan_off, const int64_t *scan_len, int n_scans,
+    const int32_t *meta      /* [n_scans][6] */,
+    const int64_t *blk_all, const int64_t *blk_off /* [n_scans+1] */,
+    const uint8_t *tabsel_all /* [n_scans][16] */,
+    const uint8_t *cisel_all  /* [n_scans][16] */,
+    const uint8_t *htabs_all  /* [n_scans][4][273] */,
+    int32_t *coef) {
+    for (int s = 0; s < n_scans; s++) {
+        const int32_t *mt = meta + s * 6;
+        int bpu = mt[5];
+        if (bpu <= 0 || bpu > 16) return -(s * 1000) - 9;
+        long nblk = (long)(blk_off[s + 1] - blk_off[s]);
+        if (nblk < 0) return -(s * 1000) - 9;
+        int rc = prog_scan_one(scan_blob + scan_off[s], (long)scan_len[s],
+                               coef, blk_all + blk_off[s],
+                               tabsel_all + (size_t)s * 16,
+                               cisel_all + (size_t)s * 16,
+                               nblk / bpu, bpu,
+                               htabs_all + (size_t)s * 4 * 273,
+                               mt[0], mt[1], mt[2], mt[3], mt[4]);
+        if (rc) return -(s * 1000) + rc;
     }
     return 0;
 }

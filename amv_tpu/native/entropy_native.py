@@ -320,6 +320,71 @@ _lib.amv_progressive_scan.argtypes = [
     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
 
 
+_lib.amv_progressive_frame.restype = ctypes.c_int
+_lib.amv_progressive_frame.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+
+
+class ProgressivePlan:
+    """Prepacked per-header arrays for amv_progressive_frame.  All of
+    this depends only on the frame's header metadata (tables, SOF, SOS
+    parameters), so a stream of same-header frames packs once."""
+    __slots__ = ("n", "blk_all", "blk_off", "tab16", "cis16", "ht",
+                 "meta")
+
+    def __init__(self, blks, tabsels, cisels, htabs_list, metas):
+        n = self.n = len(metas)
+        blks = [np.ascontiguousarray(b, np.int64) for b in blks]
+        self.blk_off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(b) for b in blks], out=self.blk_off[1:])
+        self.blk_all = (np.concatenate(blks) if blks else
+                        np.zeros(0, np.int64))
+        self.tab16 = np.zeros((n, 16), np.uint8)
+        self.cis16 = np.zeros((n, 16), np.uint8)
+        for s in range(n):
+            self.tab16[s, :len(tabsels[s])] = tabsels[s]
+            self.cis16[s, :len(cisels[s])] = cisels[s]
+        self.ht = np.ascontiguousarray(np.stack(htabs_list), np.uint8)
+        assert self.ht.shape == (n, 4, 273)
+        self.meta = np.ascontiguousarray(
+            np.asarray(metas, np.int32).reshape(n, 6))
+
+
+def progressive_frame(scans: list, coef: np.ndarray,
+                      plan: ProgressivePlan) -> None:
+    """All progressive scans of one frame in a single C call
+    (amv_progressive_frame; the per-scan ctypes crossing dominated the
+    host path).  scans[s] = that scan's escaped bytes; plan carries the
+    prepacked header-derived arrays (block maps, table selectors,
+    Huffman snapshots, (ss, se, ah, al, ri, bpu) rows).  coef int32
+    [NB_total, 64] is modified in place; raises on malformed scans
+    (the caller restarts with the Python scan decoder)."""
+    assert coef.dtype == np.int32 and coef.flags.c_contiguous
+    n = plan.n
+    assert len(scans) == n
+    blob = b"".join(scans)
+    off = np.zeros(n, np.int64)
+    lens = np.array([len(s) for s in scans], np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    p8 = ctypes.POINTER(ctypes.c_uint8)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    rc = _lib.amv_progressive_frame(
+        blob, off.ctypes.data_as(p64), lens.ctypes.data_as(p64), n,
+        plan.meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        plan.blk_all.ctypes.data_as(p64),
+        plan.blk_off.ctypes.data_as(p64),
+        plan.tab16.ctypes.data_as(p8), plan.cis16.ctypes.data_as(p8),
+        plan.ht.ctypes.data_as(p8),
+        coef.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise ValueError(f"progressive frame decode failed (rc={rc})")
+
+
 def progressive_scan(scan: bytes, coef: np.ndarray, blk: np.ndarray,
                      tabsel: np.ndarray, cisel: np.ndarray, bpu: int,
                      htabs: np.ndarray, ss: int, se: int, ah: int,
