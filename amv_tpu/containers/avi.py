@@ -41,6 +41,8 @@ class AviStream:
     index: list = field(default_factory=list)
     # pal8: BGRX RGBQUAD palette from strf (BITMAPINFOHEADER tail)
     palette: object = None
+    # BI_BITFIELDS: (r, g, b) channel masks (e.g. RGB565) from strf
+    bitmasks: object = None
 
 
 def _walk_list(data, pos, end, handler):
@@ -156,7 +158,16 @@ def demux(data: bytes, use_index: bool = True):
                             st.palette = np.frombuffer(
                                 data, np.uint8, 4 * ncol,
                                 body + 40).reshape(ncol, 4).copy()
-                    if compr.strip(b"\x00") and compr != b"\x00\x00\x00\x00":
+                    if compr == b"\x03\x00\x00\x00":
+                        # BI_BITFIELDS: three DWORD channel masks follow
+                        # the 40-byte BITMAPINFOHEADER (this is how real
+                        # RGB565 DIBs are declared — avidec.c defers to
+                        # raw.c/avcodec_get_pix_fmt via the masks)
+                        if size >= 52:
+                            st.bitmasks = struct.unpack_from(
+                                "<III", data, body + 40)
+                        st.codec = b"DIB "
+                    elif compr.strip(b"\x00") and compr != b"\x00\x00\x00\x00":
                         st.codec = compr
                     elif not st.codec.strip(b"\x00"):
                         st.codec = b"DIB "
@@ -365,15 +376,23 @@ def extract_yuv420(st: AviStream):
                     np.ascontiguousarray(rgb)[None]))
         elif st.bits == 16 and (tag.startswith(b"DIB") or
                                 not tag.strip(b"\x00")):
-            # RGB555 bottom-up DIB (BI_RGB 16-bit default)
+            # 16-bit bottom-up DIB: RGB555 for BI_RGB (the 16-bit
+            # default), or the BI_BITFIELDS channel masks from strf
+            # (RGB565 in practice — raw.c pix_fmt selection by masks)
             row = (w * 2 + 3) & ~3
             px = buf[:row * h].reshape(h, row)[:, :w * 2]
             v = px.view("<u2").reshape(h, w)[::-1]
-            r5 = ((v >> 10) & 31).astype(np.uint8)
-            g5 = ((v >> 5) & 31).astype(np.uint8)
-            b5 = (v & 31).astype(np.uint8)
-            rgb = np.stack([(r5 << 3) | (r5 >> 2), (g5 << 3) | (g5 >> 2),
-                            (b5 << 3) | (b5 >> 2)], axis=-1)
+            masks = getattr(st, "bitmasks", None) or (0x7C00, 0x3E0, 0x1F)
+            chans = []
+            for m in masks:
+                shift = (m & -m).bit_length() - 1 if m else 0
+                width = max(1, int(m >> shift).bit_length())
+                c = ((v >> shift) & (m >> shift)).astype(np.uint8)
+                # expand to 8 bits by bit replication (5->8: <<3 | >>2)
+                c8 = (c.astype(np.uint16) << (8 - width)) | \
+                     (c >> max(0, 2 * width - 8))
+                chans.append(c8.astype(np.uint8))
+            rgb = np.stack(chans, axis=-1)
             y[i], cb[i], cr[i] = (a[0] for a in rgb_frames_to_yuv(rgb[None]))
         elif st.bits == 32 and (tag.startswith(b"DIB") or
                                 not tag.strip(b"\x00")):

@@ -258,6 +258,59 @@ def test_cli_vcodec_copy(tmp_path, sample_amv_bytes):
     np.testing.assert_array_equal(y, ya[:, ::-1])
 
 
+def _expand(v, width):
+    """Bit-replicate a `width`-bit channel to 8 bits (5->8: <<3 | >>2)."""
+    v = v.astype(np.uint16)
+    return ((v << (8 - width)) | (v >> max(0, 2 * width - 8))).astype(np.uint8)
+
+
+def test_avi_rgb16_bitfields_565():
+    """BI_BITFIELDS 16-bit DIB with 565 masks (how real RGB565 AVIs are
+    declared — avidec.c passes the strf masks to raw.c pix_fmt
+    selection): demux parses the masks, extract decodes 565; a plain
+    BI_RGB 16-bit stream stays RGB555."""
+    import struct as _s
+    rng = np.random.default_rng(11)
+    h, w = 8, 12
+    v = rng.integers(0, 1 << 16, (h, w)).astype("<u2")
+    row = (w * 2 + 3) & ~3
+    dib = np.zeros((h, row), np.uint8)
+    dib[:, :w * 2] = v[::-1].view(np.uint8).reshape(h, w * 2)  # bottom-up
+    payload = dib.tobytes()
+
+    def chunk(tag, body):
+        return tag + _s.pack("<I", len(body)) + body + (b"\0" * (len(body) & 1))
+
+    strh = (b"vids" + b"\0" * 16 + _s.pack("<II", 1, 10) + b"\0" * 28)
+    bmih = _s.pack("<IiiHH4sIiiII", 40, w, h, 1, 16, b"\x03\0\0\0",
+                   len(payload), 0, 0, 0, 0)
+    strf = bmih + _s.pack("<III", 0xF800, 0x07E0, 0x001F)
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"LIST", strl)
+    movi = b"movi" + chunk(b"00db", payload)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    data = b"RIFF" + _s.pack("<I", len(body)) + body
+
+    (st,) = avi.demux(data)
+    assert st.bitmasks == (0xF800, 0x07E0, 0x001F)
+    assert st.bits == 16 and st.codec == b"DIB "
+    yg, _, _ = avi.extract_yuv420(st)
+    from amv_tpu.kernels.color import rgb_to_yuv420_bt601
+    rgb = np.stack([_expand((v >> 11) & 31, 5), _expand((v >> 5) & 63, 6),
+                    _expand(v & 31, 5)], axis=-1)
+    yw, _, _ = rgb_to_yuv420_bt601(rgb[None])
+    np.testing.assert_array_equal(yg[0], np.asarray(yw)[0])
+
+    # BI_RGB 16-bit default stays 555
+    st555 = avi.AviStream("video", codec=b"DIB ", width=w, height=h,
+                          bits=16, chunks=[payload])
+    y5, _, _ = avi.extract_yuv420(st555)
+    rgb5 = np.stack([_expand((v >> 10) & 31, 5), _expand((v >> 5) & 31, 5),
+                     _expand(v & 31, 5)], axis=-1)
+    yw5, _, _ = rgb_to_yuv420_bt601(rgb5[None])
+    np.testing.assert_array_equal(y5[0], np.asarray(yw5)[0])
+
+
 def test_avi_pal8_palette_input():
     """pal8 bottom-up DIB (swscale.c pal8 input): indices go through the
     BGRX RGBQUAD palette; an identity-gray palette stays the luma fast
