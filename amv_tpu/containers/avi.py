@@ -43,6 +43,8 @@ class AviStream:
     palette: object = None
     # BI_BITFIELDS: (r, g, b) channel masks (e.g. RGB565) from strf
     bitmasks: object = None
+    # audio: nBlockAlign from strf (ADPCM block size)
+    block_align: int = 0
 
 
 def _walk_list(data, pos, end, handler):
@@ -172,10 +174,11 @@ def demux(data: bytes, use_index: bool = True):
                     elif not st.codec.strip(b"\x00"):
                         st.codec = b"DIB "
                 else:
-                    fmt, ch, rate_, _, _, bits = struct.unpack_from(
+                    fmt, ch, rate_, _, balign, bits = struct.unpack_from(
                         "<HHIIHH", data, body)
                     st.codec = struct.pack("<H", fmt)
                     st.channels, st.sample_rate, st.bits = ch, rate_, bits
+                    st.block_align = balign
             p = body + size + (size & 1)
         if st is not None:
             streams.append(st)
@@ -412,10 +415,23 @@ def extract_yuv420(st: AviStream):
 
 
 def extract_pcm(st: AviStream) -> np.ndarray:
+    """Audio stream -> mono int16 PCM.
+
+    Accepts the WAVE formats the reference ingests: PCM u8/s16/s24/s32,
+    A-law/mu-law, IMA-ADPCM-WAV (0x11), MS-ADPCM (0x02) — decoded via
+    `codecs/wav_audio.py`; multi-channel input downmixes by mean."""
     data = b"".join(st.chunks)
-    pcm = np.frombuffer(data, "<i2")
-    if st.channels > 1:
-        pcm = pcm.reshape(-1, st.channels).mean(axis=1).astype(np.int16)
+    fmt = struct.unpack("<H", (st.codec or b"\x01\x00")[:2])[0]
+    ch = max(st.channels, 1)
+    if fmt == 1 and st.bits in (0, 16):
+        pcm = np.frombuffer(data[:len(data) & ~1], "<i2")
+        pcm = pcm[:len(pcm) // ch * ch]
+    else:
+        from ..codecs.wav_audio import decode_pcm_bytes
+        pcm = decode_pcm_bytes(data, fmt, st.bits, ch,
+                               getattr(st, "block_align", 0))
+    if ch > 1:
+        pcm = pcm.reshape(-1, ch).mean(axis=1).astype(np.int16)
     return pcm
 
 

@@ -40,7 +40,12 @@ def write_adpcm_raw(path: str, chunks: list[bytes], sample_rate: int,
 
 
 def read_pcm(path: str):
-    """Minimal PCM s16 WAV reader -> (pcm int16 [n] or [n, ch], rate)."""
+    """WAV reader -> (pcm int16 [n] or [n, ch], rate).
+
+    Decodes the audio formats the reference's WAV/AVI ingest accepts:
+    PCM u8/s16/s24/s32, A-law, mu-law (pcm.c:380-470), IMA-ADPCM-WAV
+    (tag 0x11) and MS-ADPCM (tag 0x02) blocks (adpcm.c:983-1106) via
+    `codecs/wav_audio.py` (batched TPU block decode)."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -59,10 +64,16 @@ def read_pcm(path: str):
         pos += 8 + size + (size & 1)
     if fmt is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
-    audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise ValueError("only PCM s16 WAV supported")
-    samples = np.frombuffer(pcm, dtype="<i2")
-    if channels > 1:
-        samples = samples.reshape(-1, channels)
-    return samples, rate
+    audio_fmt, channels, rate, _, block_align, bits = fmt
+    if channels < 1:
+        raise ValueError("WAV fmt declares zero channels")
+    if audio_fmt == 1 and bits == 16:
+        samples = np.frombuffer(pcm[:len(pcm) & ~1], dtype="<i2")
+        n = len(samples) // channels * channels
+        samples = samples[:n]
+        if channels > 1:
+            samples = samples.reshape(-1, channels)
+        return samples, rate
+    from ..codecs.wav_audio import decode_pcm_bytes
+    return decode_pcm_bytes(pcm, audio_fmt, bits, channels,
+                            block_align), rate

@@ -206,3 +206,45 @@ def nibbles_to_bytes(nibbles: np.ndarray) -> np.ndarray:
     hi = nibbles[..., 0::2]
     lo = nibbles[..., 1::2]
     return ((hi << 4) | (lo & 0xF)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# MS-ADPCM block decode (adpcm.c:743-756 expand, :1041-1106 layout): the
+# per-block 7-byte channel headers make blocks independent, so the batch
+# axis is (blocks x channels) lanes and the scan walks each lane's nibble
+# stream (2 nibbles/byte mono, 1/byte per channel stereo).
+# ---------------------------------------------------------------------------
+
+from ..verify.ref_wav_audio import (MS_ADAPTATION_TABLE, MS_ADAPT_COEFF1,
+                                    MS_ADAPT_COEFF2)
+
+_MS_ADAPT = jnp.asarray(MS_ADAPTATION_TABLE, dtype=jnp.int32)
+
+
+@jax.jit
+def decode_ms_nibbles(nibbles: jnp.ndarray, coeff1: jnp.ndarray,
+                      coeff2: jnp.ndarray, idelta: jnp.ndarray,
+                      sample1: jnp.ndarray, sample2: jnp.ndarray):
+    """Decode MS-ADPCM nibble streams, lane-parallel.
+
+    nibbles: int32 [B, n] in emit order; state vectors int32 [B] from the
+    block headers. Returns int16 [B, n] (the header's sample1/sample2 are
+    emitted by the caller, not here). The C `/ 256` truncates toward
+    zero and `>> 8` floors — both reproduced exactly.
+    """
+    def step(carry, nib):
+        s1, s2, idl = carry
+        pred = s1 * coeff1.astype(jnp.int32) + s2 * coeff2.astype(jnp.int32)
+        # C / 256 truncates toward zero (bias-then-floor form is exact
+        # even at INT32_MIN, where negating would wrap)
+        pred = (pred + ((pred >> 31) & 255)) >> 8
+        signed = jnp.where((nib & 8) != 0, nib - 0x10, nib)
+        pred = pred + signed * idl
+        s1n = jnp.clip(pred, -32768, 32767)
+        idl2 = jnp.maximum((jnp.take(_MS_ADAPT, nib) * idl) >> 8, 16)
+        return (s1n, s1, idl2), s1n.astype(jnp.int16)
+
+    (_, _, _), out = jax.lax.scan(
+        step, (sample1.astype(jnp.int32), sample2.astype(jnp.int32),
+               idelta.astype(jnp.int32)), nibbles.T)
+    return out.T

@@ -239,3 +239,47 @@ def test_fuzz_c_escape_roundtrip():
         payloads = native.escape_frames(words, bits)
         rows, lens = native.unescape_frames(payloads)
         assert len(payloads) == F and np.asarray(rows).shape[0] == F
+
+
+def test_fuzz_wav_adpcm_formats(tmp_path):
+    """WAV reader over mutated IMA-WAV / MS-ADPCM files: the block-layout
+    parsers (header split, block_align walk, nibble reorder) must reject
+    or decode, never crash/hang.  Mutation count is modest because
+    block_align flips change decode shapes (each costs an XLA compile on
+    the CPU mesh)."""
+    import struct
+    from amv_tpu.containers import wav
+    rng = np.random.default_rng(0xADCC)
+
+    def wav_bytes(fmt, block_align, payload):
+        hdr = b"fmt " + struct.pack("<IHHIIHH", 16, fmt, 1, 8000,
+                                    8000, block_align, 4)
+        hdr += b"data" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(hdr)) + b"WAVE" + hdr
+
+    seeds = []
+    ima = b"".join(
+        struct.pack("<hBB", int(rng.integers(-32768, 32768)),
+                    int(rng.integers(0, 89)), 0) +
+        bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+        for _ in range(3))
+    seeds.append(wav_bytes(0x11, 20, ima))
+    ms = b"".join(
+        bytes([int(rng.integers(0, 7))]) +
+        struct.pack("<hhh", 16, 0, 0) +
+        bytes(rng.integers(0, 256, 13, dtype=np.uint8))
+        for _ in range(3))
+    seeds.append(wav_bytes(0x02, 20, ms))
+
+    mp = tmp_path / "mut.wav"
+    survived = 0
+    for seed in seeds:
+        for mut in _mutations(seed, rng, 40):
+            mp.write_bytes(mut)
+            try:
+                got, rate = wav.read_pcm(str(mp))
+                assert got.dtype == np.int16
+                survived += 1
+            except Exception:
+                pass
+    assert survived > 0
