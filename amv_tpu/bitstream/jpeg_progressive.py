@@ -6,10 +6,13 @@ G.2 and libjpeg's jdphuff.c semantics: multi-scan spectral selection
 AC-non-interleaved scans, EOBn run codes, and refinement correction
 bits.  The vendored reference's `mjpegdec.c:432 decode_block_progressive`
 covers only the first-scan (Ah == 0) subset with no refinement path;
-this module goes to the standard for the rest.  Pure host-side Python:
-progressive inputs are rare for MJPEG-in-AVI material, so this path
-favors clarity over speed; the recovered coefficient planes feed the
-same device dequant/IDCT as the baseline path.
+this module goes to the standard for the rest.  The hot path is native:
+`native/entropy.c:amv_progressive_frame` runs every scan of a frame in
+one ctypes call against a per-header prepacked plan (`_PLAN_CACHE`
+below); the pure-Python scan loop is kept as the differential fallback
+(AMV_PROGRESSIVE_PY=1) and correctness oracle.  The recovered
+coefficient planes feed the same device dequant/IDCT as the baseline
+path.
 
 A matching minimal progressive *encoder* lives here too — the reference
 never encodes progressive, but round-tripping our own scans against the
