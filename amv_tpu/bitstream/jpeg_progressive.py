@@ -169,6 +169,18 @@ class _Scans:
                                if comp[0] == cs)
                     comps.append((idx, tt >> 4, tt & 0xF))
                 ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0xF
+                # T.81 B.2.3: Ss/Se index the 64-entry zigzag block,
+                # Ah/Al are successive-approximation bit positions
+                # <= 13; AC scans are single-component.  (Fuzz-found:
+                # Ss=246 walked the C decoder past the block.)
+                if not (0 <= ss <= 63 and ss <= se <= 63
+                        and ah <= 13 and al <= 13):
+                    raise ValueError(
+                        f"invalid SOS spectral params Ss={ss} Se={se} "
+                        f"Ah={ah} Al={al}")
+                if ss > 0 and ns != 1:
+                    raise ValueError("progressive AC scan with ns != 1")
                 # scan data runs to the next non-RST marker (find()
                 # jumps FF to FF instead of walking every byte)
                 sp = pos + 2 + seglen

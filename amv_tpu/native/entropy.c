@@ -1083,6 +1083,11 @@ static int prog_scan_one(
     PBits b = {scan, scan_len, 0, 0, 0};
     PHuff ph[4];
     int i;
+    /* T.81 B.2.3 bounds: Ss/Se index a 64-entry zigzag block and Ah/Al
+     * are bit positions <= 13; a scribbled SOS (fuzz-found Ss=246)
+     * would otherwise walk bk[ss..se] past the block (heap overflow) */
+    if (ss < 0 || ss > 63 || se < ss || se > 63 ||
+        ah < 0 || ah > 13 || al < 0 || al > 13) return -7;
     for (i = 0; i < bpu; i++)
         if (tabsel[i] > 3 || cisel[i] > 3) return -6;
     for (i = 0; i < 4; i++)

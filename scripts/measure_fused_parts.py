@@ -45,12 +45,12 @@ def best_time(fn, n=5):
 
 
 def main():
-    hdr, video, _audio = riff.demux(open(REF_AMV, "rb").read())
-    w, h = hdr["width"], hdr["height"]
+    s = riff.read(REF_AMV)
+    w, h = s.info.width, s.info.height
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     M = mb_w * mb_h
     F = 64
-    payloads = [bytes(v[2:-2]) for v in video[:F]]
+    payloads = s.video_chunks[:F]
     K = 128
     FT = F * K
 
