@@ -239,6 +239,63 @@ def transcode_zz(lv_cm: jnp.ndarray, dc: jnp.ndarray, qmat_key,
     return pix.reshape(64, n), lv.reshape(64, n)
 
 
+@partial(jax.jit, static_argnames=("qmat_key", "repeat", "interpret", "tile"))
+def transcode_zz_wrap(lv_base: jnp.ndarray, dc: jnp.ndarray, qmat_key,
+                      repeat: int, interpret: bool = False, tile: int = 512):
+    """transcode_zz over a *logically* repeat-times lane-tiled input,
+    without materializing the big slab in HBM.
+
+    Semantics: bit-identical to
+        x3 = lv_base.reshape(64, 8, nm_base)
+        transcode_zz(jnp.tile(x3, (1, 1, repeat)).reshape(64, -1), dc, ...)
+    i.e. output element (k, s, m) is computed from base element
+    (k, s, m % nm_base) — but the kernel reads the small base slab
+    through a wrapping BlockSpec index map instead of a tiled copy.
+    HBM input reads stay at full batch volume (each grid step fetches a
+    complete (64, 8, tile) block); only the redundant tiled-slab WRITE
+    (+ its read-back) disappears.  Benchmark harnesses use this to stop
+    paying for corpus replication they only need logically (bench.py's
+    fused-transform sections); the per-block transform work, the
+    full-size dc input and the full-size outputs are unchanged.
+
+    Constraints (asserted): nm_base % 6 == 0 so a block's Q60 table
+    choice ((s*nm + m) % 6, see transcode_zz) is replica-invariant, and
+    repeat % pf == 0 where pf pre-tiles the base inside the kernel call
+    so the wrap period is a whole number of lane tiles.
+    """
+    n_base = lv_base.shape[1]
+    nm_base = n_base // 8
+    if n_base % 8 != 0 or nm_base % 6 != 0:
+        raise ValueError(f"transcode_zz_wrap: n_base={n_base} needs "
+                         "8 | n_base and 6 | n_base/8")
+    pf = tile // int(np.gcd(nm_base, tile))   # wrap period alignment
+    if repeat % pf != 0:
+        raise ValueError(f"transcode_zz_wrap: repeat={repeat} must be a "
+                         f"multiple of the alignment pretile pf={pf}")
+    nm_full = nm_base * repeat
+    if dc.shape != (nm_full * 8,):
+        raise ValueError(f"transcode_zz_wrap: dc shape {dc.shape} != "
+                         f"({nm_full * 8},)")
+    x = lv_base.reshape(64, 8, nm_base)
+    if pf > 1:
+        x = jnp.tile(x, (1, 1, pf))           # small: pf * base bytes
+    btp = (nm_base * pf) // tile
+    d = dc.reshape(8, nm_full)
+    kernel = _make_kernel_zz(qmat_key, nm_full, tile)
+    pix, lv = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((64, 8, nm_full), jnp.uint8),
+                   jax.ShapeDtypeStruct((64, 8, nm_full), jnp.int16)),
+        grid=(nm_full // tile,),
+        in_specs=[pl.BlockSpec((64, 8, tile), lambda i: (0, 0, i % btp)),
+                  pl.BlockSpec((8, tile), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((64, 8, tile), lambda i: (0, 0, i)),
+                   pl.BlockSpec((64, 8, tile), lambda i: (0, 0, i))),
+        interpret=interpret,
+    )(x, d)
+    return pix.reshape(64, 8 * nm_full), lv.reshape(64, 8 * nm_full)
+
+
 @partial(jax.jit, static_argnames=("qmat_key", "interpret"))
 def transcode_soa(deq_cm: jnp.ndarray, qmat_key, interpret: bool = False):
     """deq int16 [64, N] (dequantized blocks, raster, N%512==0) ->

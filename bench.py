@@ -159,11 +159,11 @@ def main():
     # its checksum (re-encoded levels + decoded pixels on strided subsets)
     # must equal the host-computed expectation from the C-verified outputs.
     K = int(os.environ.get("AMV_BENCH_PALLAS_K", "512"))
-    FK = F * K
     M = mb_w * mb_h
 
     from amv_tpu.codecs.amv_video import _encoder_quant_qmat_np
-    from amv_tpu.kernels.transcode_pallas import transcode_zz
+    from amv_tpu.kernels.transcode_pallas import (transcode_zz,
+                                                  transcode_zz_wrap)
     from amv_tpu.bitstream import jpeg_tables as T
 
     qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
@@ -171,10 +171,27 @@ def main():
     qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
 
     def make_fused(n_frames, kt, mw, mh, fw, fh):
-        """Fused transcode program over a kt-times tiled [64, n*M*6] SoA
-        input; returns an int32 checksum of the re-encoded levels + the
-        decoded planes of frames f % 97 == 0 (assembled in XLA —
-        selecting frames *before* assembly keeps the transpose small).
+        """Fused transcode program over a kt-times *logically* tiled
+        [64, n*M*6] SoA input; returns an int32 checksum of the
+        re-encoded levels + the decoded planes of frames f % 97 == 0
+        (assembled in XLA — selecting frames *before* assembly keeps the
+        transpose small).
+
+        The corpus replication is logical: transcode_zz_wrap reads the
+        small base slab through a wrapping BlockSpec index map, so the
+        ~300 MB/subtile tiled-slab write + read-back that
+        scripts/measure_fused_parts3.py measured at ~3.9 of 13.7 ms
+        never happens (A/B: scripts/measure_wrap.py, 13.99 -> 11.47
+        ms/subtile, byte-equal on device).  Everything per-frame is
+        still real work at full batch volume: the DC-prediction cumsum
+        runs over all n*kt frames, the kernel fetches full (64,8,tile)
+        input blocks (full input-read bandwidth), and both outputs are
+        materialized full-size.  The logical slab is the LANE-tiled
+        replication (base viewed (64, 8, nm) tiled along lanes); its
+        flat layout is still a frame-major sequence of whole frames —
+        base frames [0..F/8-1]*kt, then [F/8..2F/8-1]*kt, ... — and the
+        host expectation below maps checksum positions through that
+        order.
 
         Tiles larger than KT_INNER corpus copies run as a fori_loop over
         KT_INNER-sized subtiles so peak HBM stays bounded — this is what
@@ -186,18 +203,24 @@ def main():
         kt_inner = kt if kt <= 128 else 128
         assert kt % kt_inner == 0, (kt, kt_inner)
         kt_outer = kt // kt_inner
+        nm_base = (n_frames * mm * 6) // 8
+        # frame-major flat layout + replica-invariant Q60 table choice
+        assert n_frames % 8 == 0 and nm_base % 6 == 0, (n_frames, nm_base)
 
         def subtile_checksum(cm0, salt):
-            cm = jnp.tile(cm0, (1, kt_inner)) + salt.astype(jnp.int16) * 0
             FT = n_frames * kt_inner
-            dcd = cm[0].astype(jnp.int32).reshape(FT, mm, 6)
+            row0 = jnp.tile(cm0[0].reshape(8, nm_base),
+                            (1, kt_inner)).reshape(-1)
+            dcd = (row0.astype(jnp.int32) +
+                   salt.astype(jnp.int32) * 0).reshape(FT, mm, 6)
             dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(FT, mm * 4) * qdc_l,
                                axis=1).reshape(FT, mm, 4) + 1024)
             dc_cb = jnp.cumsum(dcd[:, :, 4] * qdc_c, axis=1) + 1024
             dc_cr = jnp.cumsum(dcd[:, :, 5] * qdc_c, axis=1) + 1024
             dc = jnp.concatenate([dc_y, dc_cb[..., None], dc_cr[..., None]],
                                  axis=-1)
-            pix, lv2 = transcode_zz(cm, dc.reshape(FT * mm * 6), qk)
+            pix, lv2 = transcode_zz_wrap(cm0, dc.reshape(FT * mm * 6), qk,
+                                         repeat=kt_inner)
             fsel = jnp.arange(0, FT, 97)
             Fs = fsel.shape[0]
             pf = pix.reshape(64, FT, mm * 6)[:, fsel]
@@ -226,24 +249,43 @@ def main():
 
         return fused, kt_inner, kt_outer
 
-    fused_roundtrip, kt_inner, kt_outer = make_fused(F, K, mb_w, mb_h, w, h)
+    # The wrap layout needs 8 | frames; pad the 252-frame corpus base with
+    # 4 replica frames (immaterial among K-times replication — every padded
+    # frame is full per-frame work like any other replica, and F8=256 makes
+    # the wrap period exactly tile-aligned: nm_base=9216 = 18*512, pf=1).
+    F8 = (F + 7) // 8 * 8
+    FK8 = F8 * K
+    fused_roundtrip, kt_inner, kt_outer = make_fused(F8, K, mb_w, mb_h, w, h)
 
     # host-side expected checksum from the C-gated outputs above
-    # (per-subtile strides x kt_outer subtiles)
-    FK_in = F * kt_inner
+    # (per-subtile strides x kt_outer subtiles).  Positions map through
+    # the LANE-tiled logical layout (see make_fused): flat column c holds
+    # base column (c // nm_full)*nm_base + c % nm_base, and logical frame
+    # g is base frame (g // (F8/8 * kt_inner)) * F8/8 + g % (F8/8).
+    FK_in = F8 * kt_inner
     lv2_np = lv_enc.astype(np.int64)          # re-encode of the decode output
     block_sums = lv2_np.sum(axis=-1).reshape(F * M * 6)
+    block_sums8 = np.concatenate(
+        [block_sums, block_sums[:(F8 - F) * M * 6]])
+    yh8 = np.concatenate([yh, yh[:F8 - F]])
     n_sub = FK_in * M * 6
-    sel = np.arange(0, n_sub, 37) % (F * M * 6)
-    cs_levels = int(block_sums[sel].sum())
-    fsel_np = np.arange(0, FK_in, 97) % F
-    cs_pixels = int(yh[fsel_np, ::13, ::17].astype(np.int64).sum())
+    nm_b = (F8 * M * 6) // 8
+    nm_f = n_sub // 8
+    cols = np.arange(0, n_sub, 37)
+    sel = (cols // nm_f) * nm_b + cols % nm_b
+    cs_levels = int(block_sums8[sel].sum())
+    fpe = F8 // 8                             # frames per lane-eighth
+    fsel_np = np.arange(0, FK_in, 97)
+    fsel_base = (fsel_np // (fpe * kt_inner)) * fpe + fsel_np % fpe
+    cs_pixels = int(yh8[fsel_base, ::13, ::17].astype(np.int64).sum())
     expected = ((kt_outer * (cs_levels + cs_pixels) + 2**31) % 2**32) \
         - 2**31  # two's-complement int32 wrap
 
     from amv_tpu.bitstream.entropy import huffman_decode_frames_soa
     cm_host = huffman_decode_frames_soa(payloads, M)
-    cm_dev = jax.device_put(jnp.asarray(cm_host))
+    cm_host8 = np.concatenate(
+        [cm_host, cm_host[:, :(F8 - F) * M * 6]], axis=1)
+    cm_dev = jax.device_put(jnp.asarray(cm_host8))
     levels_dev = jax.device_put(jnp.asarray(levels))
     jax.block_until_ready((cm_dev, levels_dev))
     got = int(fused_roundtrip(cm_dev, jnp.int32(0))[...])  # compile+warm
@@ -251,11 +293,11 @@ def main():
         f"fused transcode checksum mismatch: {got} != {int(expected)}"
     t_dev = best_time(lambda: int(
         fused_roundtrip(cm_dev, jnp.int32(np.random.randint(1000)))[...]))
-    dev_fps = FK / t_dev  # each frame decoded AND re-encoded
+    dev_fps = FK8 / t_dev  # each frame decoded AND re-encoded
     # steady-state: depth-8 queued dispatch hides the ~22-32 ms relay
     # RTT of calls 2..8 under execution (same compiled program)
     dev_pipe_fps = pipelined_fps(
-        lambda sv: fused_roundtrip(cm_dev, jnp.int32(sv)), FK)
+        lambda sv: fused_roundtrip(cm_dev, jnp.int32(sv)), FK8)
 
     # ---------------- 160x120 north-star shape (BASELINE.md) -----------------
     # Same kernel, M=80 MCUs/frame; synthetic levels (throughput-only — the
@@ -1161,7 +1203,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(dev_fps / fps_c, 2),
         "detail": {
-            "corpus": f"AMV1.amv x{K} = {FK} frames 128x96",
+            "corpus": f"AMV1.amv (252+4 pad) x{K} = {FK8} frames 128x96",
             "path": "fused Pallas transcode kernel (dequant+IDCT+FDCT+quant "
                     "in one VMEM pass), checksum-gated vs C-verified outputs",
             **({"device_transform_pipelined_fps": round(dev_pipe_fps, 1)}

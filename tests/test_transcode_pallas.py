@@ -102,3 +102,42 @@ def test_transcode_zz_rejects_unpadded():
     dc = jnp.zeros((n,), jnp.int32)
     with pytest.raises(ValueError, match="multiple of 8\\*tile"):
         transcode_zz(lv, dc, qk, interpret=True)
+
+
+def test_transcode_zz_wrap_matches_materialized():
+    """transcode_zz_wrap(base, dc, repeat) is bit-identical to transcode_zz
+    on the materialized lane-tiled slab (the wrap's documented contract),
+    including the pf>1 alignment-pretile path (nm_base=192, tile=128 ->
+    pf=2)."""
+    from amv_tpu.kernels.transcode_pallas import transcode_zz_wrap
+
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    rng = np.random.default_rng(7)
+    nm_base, repeat, tile = 192, 4, 128
+    n_base = 8 * nm_base
+    base = rng.integers(-64, 64, (64, n_base)).astype(np.int16)
+    nm_full = nm_base * repeat
+    dc = rng.integers(-2048, 2048, (8 * nm_full,)).astype(np.int32)
+
+    tiled = np.tile(base.reshape(64, 8, nm_base),
+                    (1, 1, repeat)).reshape(64, -1)
+    p_ref, l_ref = transcode_zz(jnp.asarray(tiled), jnp.asarray(dc), qk,
+                                interpret=True, tile=tile)
+    p_w, l_w = transcode_zz_wrap(jnp.asarray(base), jnp.asarray(dc), qk,
+                                 repeat=repeat, interpret=True, tile=tile)
+    assert np.array_equal(np.asarray(p_ref), np.asarray(p_w))
+    assert np.array_equal(np.asarray(l_ref), np.asarray(l_w))
+
+
+def test_transcode_zz_wrap_rejects_bad_geometry():
+    from amv_tpu.kernels.transcode_pallas import transcode_zz_wrap
+
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+    lv = jnp.zeros((64, 8 * 64), jnp.int16)  # nm_base=64, 6 does not divide
+    dc = jnp.zeros((8 * 64 * 2,), jnp.int32)
+    with pytest.raises(ValueError, match="6 \\| n_base/8"):
+        transcode_zz_wrap(lv, dc, qk, repeat=2, interpret=True, tile=128)
+    lv2 = jnp.zeros((64, 8 * 192), jnp.int16)  # pf=2 at tile=128
+    dc2 = jnp.zeros((8 * 192 * 3,), jnp.int32)
+    with pytest.raises(ValueError, match="multiple of the alignment"):
+        transcode_zz_wrap(lv2, dc2, qk, repeat=3, interpret=True, tile=128)
