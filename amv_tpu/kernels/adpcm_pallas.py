@@ -108,6 +108,41 @@ def decode_layout(bts, pred, sidx, interpret: bool = False):
     )(bts, pred, sidx)
 
 
+@partial(jax.jit, static_argnames=("repeat", "interpret"))
+def decode_layout_wrap(bts, pred, sidx, repeat: int, interpret: bool = False):
+    """decode_layout over a *logically* repeat-times chunk-block-tiled
+    input, without materializing the tiled slab.
+
+    Bit-identical to
+        decode_layout(jnp.tile(bts, (repeat, 1, 1, 1)),
+                      jnp.tile(pred, (repeat, 1, 1)),
+                      jnp.tile(sidx, (repeat, 1, 1)))
+    but the input BlockSpec index maps wrap (i % cb), so the replicated
+    nibble planes are fetched from the small base instead of a tiled HBM
+    copy (full input-read volume per grid step; only the tile write +
+    its read-back disappear).  Benchmark harnesses use this for corpus
+    replication they only need logically (bench.py ADPCM section); the
+    per-sample recurrence work and the full-size PCM output are
+    unchanged."""
+    cb, nb = bts.shape[0], bts.shape[1]
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((cb * repeat, 2 * nb, SB, 128),
+                                       jnp.int16),
+        grid=(cb * repeat, nb // T_BLOCK),
+        in_specs=[
+            pl.BlockSpec((1, T_BLOCK, SB, 128), lambda i, j: (i % cb, j, 0, 0)),
+            pl.BlockSpec((1, SB, 128), lambda i, j: (i % cb, 0, 0)),
+            pl.BlockSpec((1, SB, 128), lambda i, j: (i % cb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * T_BLOCK, SB, 128),
+                               lambda i, j: (i, j, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((SB, 128), jnp.int32),
+                        pltpu.VMEM((SB, 128), jnp.int32)],
+        interpret=interpret,
+    )(bts, pred, sidx)
+
+
 def _pad(n, m):
     return (n + m - 1) // m * m
 

@@ -1070,11 +1070,15 @@ def main():
     def fused_adpcm_pallas(pl, pr, si, salt):
         # checksum over the valid region only, computed in packed layout
         # (total minus the nbytes-padding tail) — no transpose back.
-        pl2 = jnp.tile(pl, (KA_T, 1))
-        pr2 = jnp.tile(pr, (KA_T,)) + salt * 0
-        si2 = jnp.tile(si, (KA_T,))
-        bts, prl, sil = KPA.to_layout(pl2, pr2, si2)
-        out = KPA.decode_layout(bts, prl, sil)
+        # The KA_T-times replication is logical: decode_layout_wrap
+        # fetches the base nibble planes through wrapping index maps
+        # (kernels/adpcm_pallas.py), so the ~0.7 GB tiled input slab +
+        # its to_layout transpose never materialize; per-sample work,
+        # input-read volume and the full-size PCM output are unchanged.
+        # exp_adpcm_cs is layout-invariant (sums; zero pad rows decode
+        # to zero PCM in both layouts).
+        bts, prl, sil = KPA.to_layout(pl, pr + salt * 0, si)
+        out = KPA.decode_layout_wrap(bts, prl, sil, repeat=KA_T)
         s_all = jnp.sum(out.astype(jnp.int32))
         s_pad = jnp.sum(out[:, nb_valid:].astype(jnp.int32))
         return s_all - s_pad + salt

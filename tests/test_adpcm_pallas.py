@@ -62,3 +62,21 @@ def test_pallas_corpus_chunks(sample_amv_path):
         jnp.asarray(payload), jnp.asarray(pred), jnp.asarray(sidx),
         interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_layout_wrap_matches_tiled():
+    """decode_layout_wrap(base, repeat) is bit-identical to decode_layout
+    on the materialized chunk-block-tiled input (its documented
+    contract)."""
+    rng = np.random.default_rng(11)
+    payload, pred, sidx = _random_case(rng, 7, 256)
+    bts, pr, si = KP.to_layout(
+        jnp.asarray(payload), jnp.asarray(pred), jnp.asarray(sidx),
+        interpret=True)
+    rep = 3
+    ref = np.asarray(KP.decode_layout(
+        jnp.tile(bts, (rep, 1, 1, 1)), jnp.tile(pr, (rep, 1, 1)),
+        jnp.tile(si, (rep, 1, 1)), interpret=True))
+    got = np.asarray(KP.decode_layout_wrap(bts, pr, si, repeat=rep,
+                                           interpret=True))
+    np.testing.assert_array_equal(got, ref)
