@@ -1070,15 +1070,26 @@ def main():
     def fused_adpcm_pallas(pl, pr, si, salt):
         # checksum over the valid region only, computed in packed layout
         # (total minus the nbytes-padding tail) — no transpose back.
-        # The KA_T-times replication is logical: decode_layout_wrap
-        # fetches the base nibble planes through wrapping index maps
-        # (kernels/adpcm_pallas.py), so the ~0.7 GB tiled input slab +
-        # its to_layout transpose never materialize; per-sample work,
-        # input-read volume and the full-size PCM output are unchanged.
-        # exp_adpcm_cs is layout-invariant (sums; zero pad rows decode
-        # to zero PCM in both layouts).
-        bts, prl, sil = KPA.to_layout(pl, pr + salt * 0, si)
-        out = KPA.decode_layout_wrap(bts, prl, sil, repeat=KA_T)
+        # The KA_T-times replication is split two ways: a small pre-tile
+        # r_pre brings the chunk count to an exact SB*128 lane-block
+        # multiple (252 -> 252*512 = 63 full blocks, zero pad lanes),
+        # and decode_layout_wrap supplies the remaining KA_T/r_pre
+        # copies through wrapping chunk-block index maps — so the bulk
+        # of the tiled input slab never materializes while the lockstep
+        # grid still runs exactly 252*KA_T real chunk decodes (the
+        # r4 ADVICE fix: wrapping the 2048-lane PADDED base ran 8.1x
+        # the work and a ~24 GB output).  exp_adpcm_cs is
+        # layout-invariant (sums; zero pad rows decode to zero PCM).
+        lanes = KPA.SB * 128
+        r_pre = lanes // int(np.gcd(pl.shape[0], lanes))
+        rep = KA_T // r_pre if KA_T % r_pre == 0 else 1
+        if rep == 1:
+            r_pre = KA_T
+        pl2 = jnp.tile(pl, (r_pre, 1))
+        pr2 = jnp.tile(pr, (r_pre,)) + salt * 0
+        si2 = jnp.tile(si, (r_pre,))
+        bts, prl, sil = KPA.to_layout(pl2, pr2, si2)
+        out = KPA.decode_layout_wrap(bts, prl, sil, repeat=rep)
         s_all = jnp.sum(out.astype(jnp.int32))
         s_pad = jnp.sum(out[:, nb_valid:].astype(jnp.int32))
         return s_all - s_pad + salt

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from amv_tpu.containers import riff
 from amv_tpu.kernels import adpcm_pallas as KPA
-from amv_tpu import native
+from amv_tpu.native import entropy_native as native
 
 REF_AMV = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
 KA_T = int(os.environ.get("AMV_BENCH_ADPCM_K", "4096"))
@@ -63,8 +63,18 @@ def main():
 
     @jax.jit
     def body_new(pl, pr, si, salt):
-        bts, prl, sil = KPA.to_layout(pl, pr + salt * 0, si)
-        out = KPA.decode_layout_wrap(bts, prl, sil, repeat=KA_T)
+        # pre-tile to an exact SB*128 lane-block multiple, wrap the rest
+        # (mirrors bench.py's fused_adpcm_pallas after the r4 ADVICE fix)
+        lanes = KPA.SB * 128
+        r_pre = lanes // int(np.gcd(pl.shape[0], lanes))
+        rep = KA_T // r_pre if KA_T % r_pre == 0 else 1
+        if rep == 1:
+            r_pre = KA_T
+        pl2 = jnp.tile(pl, (r_pre, 1))
+        pr2 = jnp.tile(pr, (r_pre,)) + salt * 0
+        si2 = jnp.tile(si, (r_pre,))
+        bts, prl, sil = KPA.to_layout(pl2, pr2, si2)
+        out = KPA.decode_layout_wrap(bts, prl, sil, repeat=rep)
         return (jnp.sum(out.astype(jnp.int32)) -
                 jnp.sum(out[:, nb_valid:].astype(jnp.int32)) + salt)
 

@@ -80,3 +80,24 @@ def test_decode_layout_wrap_matches_tiled():
     got = np.asarray(KP.decode_layout_wrap(bts, pr, si, repeat=rep,
                                            interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_layout_wrap_multiblock_base():
+    """cb >= 2: the wrapping index map `i % cb` must cycle through
+    DISTINCT chunk-blocks (r4 ADVICE: the cb=1 case above degenerates to
+    a constant map, so any index map would pass it).  2*SB*128 chunks
+    with distinct payload/pred/sidx per block, short streams to keep
+    interpret-mode cost down."""
+    rng = np.random.default_rng(23)
+    payload, pred, sidx = _random_case(rng, 2 * KP.SB * 128, KP.T_BLOCK)
+    bts, pr, si = KP.to_layout(
+        jnp.asarray(payload), jnp.asarray(pred), jnp.asarray(sidx),
+        interpret=True)
+    assert bts.shape[0] == 2          # the wrap period under test
+    rep = 2
+    ref = np.asarray(KP.decode_layout(
+        jnp.tile(bts, (rep, 1, 1, 1)), jnp.tile(pr, (rep, 1, 1)),
+        jnp.tile(si, (rep, 1, 1)), interpret=True))
+    got = np.asarray(KP.decode_layout_wrap(bts, pr, si, repeat=rep,
+                                           interpret=True))
+    np.testing.assert_array_equal(got, ref)
