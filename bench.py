@@ -1,20 +1,42 @@
 #!/usr/bin/env python
 """Benchmark harness: TPU AMV codec vs single-core C reference.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints the bench JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
+INCREMENTALLY: the line is re-printed (and mirrored to BENCH_partial.json)
+after every completed section, so a timeout or crash still yields every
+section that finished — the LAST line on stdout is always the most
+complete result (r3 verdict item 1: the all-or-nothing bench lost a full
+round of numbers to a 30-min driver window).
+
+Two modes:
+* default (budget): one jit signature per section, headline-first order,
+  targeted at < 25 min cold on the axon remote-compile path (1-3 min per
+  new Pallas signature, no persistent cache — measured 2026-08-20: the
+  JAX_COMPILATION_CACHE_DIR knobs write nothing on this PJRT plugin).
+  Sections: C anchors + bit-exact gates, wrap-transform headline,
+  complete transcode (KC batch, byte-gated at the same signature),
+  160x120 complete, 320x240 complete, ADPCM, G.729A decode+encode,
+  progressive ingest.
+* AMV_BENCH_FULL=1 adds the expensive extras (scalar pipelined-dispatch
+  jits, lockstep regression chain, roofline stage decomposition,
+  sustained e2e, complete encode, full-device decode/transcode, 160x120
+  transform) — each its own cold compile; run these from a shell, not
+  the driver.
 
 Measurement design notes (see BASELINE.md):
 * the reference publishes no numbers; the anchor is the single-core C
-  implementation of the same algorithms (amv_tpu/native/entropy.c), per
-  BASELINE.md's instruction;
-* this environment reaches the TPU through a relay with a ~32 ms dispatch
-  round-trip and ~30 MB/s host<->device bandwidth, so per-chip throughput
-  is measured on device-resident batches (corpus tiled KX on device, one
-  fused dispatch, scalar checksum readback to force completion); raw
-  end-to-end numbers including the tunnel are reported in `detail`;
-* bit-exactness is gated before timing: TPU decode+encode outputs must
-  equal the C reference on the full corpus.
+  implementation of the same algorithms (amv_tpu/native/entropy.c);
+* this environment reaches the TPU through a relay with a ~22-32 ms
+  dispatch round-trip and ~30 MB/s host<->device bandwidth, so per-chip
+  throughput is measured on device-resident batches (one fused dispatch,
+  scalar checksum readback); *_pipelined_fps keys are depth-8 queued
+  dispatch (steady-state serving);
+* bit-exactness is gated before timing in every section.
+* transform headline uses the harness lane-tiled wrap input layout
+  (kernels/transcode_pallas.py:transcode_zz_wrap); the complete_* keys
+  are the PRODUCT path (pipeline/transcode.py, same chain the CLI and
+  serving module run) — r3 verdict item 7.
 """
 
 import json
@@ -24,17 +46,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# persistent XLA compilation cache: the axon remote-compile service takes
-# 1-3 min per new computation; warm runs skip it entirely
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
 import numpy as np
 
 TILE = int(os.environ.get("AMV_BENCH_TILE", "32"))
+FULL = os.environ.get("AMV_BENCH_FULL", "0") == "1"
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def times_n(fn, iters=3):
@@ -82,15 +98,65 @@ def pipelined_fps(issue, work_per_call, depth=8, iters=3):
 def main():
     import jax
     import jax.numpy as jnp
-    from functools import partial
+    from contextlib import contextmanager
     from amv_tpu.containers import riff
-    from amv_tpu.codecs import amv_audio
     from amv_tpu.codecs.amv_video import decode_transform, encode_transform
     from amv_tpu.bitstream.entropy import (huffman_decode_frames,
                                            huffman_encode_frame)
     from amv_tpu.kernels import adpcm as KA
     from amv_tpu.kernels import adpcm_pallas as KPA
 
+    t_wall0 = time.perf_counter()
+    detail = {"mode": "full" if FULL else "budget",
+              "sections_done": [], "section_seconds": {}}
+    out = {
+        "metric": "AMV decode+encode frames/sec/chip (bit-exact, "
+                  "device-resident batch)",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "detail": detail,
+    }
+
+    def emit():
+        detail["bench_wall_seconds"] = round(time.perf_counter() - t_wall0, 1)
+        line = json.dumps(out)
+        # stdout only carries lines with a real headline value, so ANY
+        # parse rule (first line, last line, single line) reads a real
+        # number; the sidecar always has the newest partial state
+        if out["value"]:
+            print(line, flush=True)
+        else:
+            print(f"# partial (no headline yet): {line[:160]}...",
+                  file=sys.stderr, flush=True)
+        try:
+            with open(os.path.join(_REPO, "BENCH_partial.json"), "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+
+    @contextmanager
+    def sect(name):
+        t0 = time.perf_counter()
+        print(f"# [{time.strftime('%H:%M:%S')}] section {name} ...",
+              file=sys.stderr, flush=True)
+        try:
+            yield
+            detail["sections_done"].append(name)
+        except AssertionError:
+            raise  # a bit-exactness violation must fail the bench
+        except Exception as e:
+            print(f"# section {name} skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+        finally:
+            dt = time.perf_counter() - t0
+            detail["section_seconds"][name] = round(dt, 1)
+            print(f"# [{time.strftime('%H:%M:%S')}] section {name} "
+                  f"done in {dt:.1f}s", file=sys.stderr, flush=True)
+            emit()
+
+    # ================= corpus + single-core C anchors + gates ===============
+    # (no sect() wrapper: if this fails there is nothing to report at all)
     sample = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
     s = riff.read(sample)
     w, h = s.info.width, s.info.height
@@ -98,14 +164,12 @@ def main():
     payloads = s.video_chunks
     F = len(payloads)
 
-    # ---------------- host entropy (C) --------------------------------------
     t0 = time.perf_counter()
     levels = huffman_decode_frames(payloads, mb_w * mb_h)
     t_entropy_dec = time.perf_counter() - t0
 
-    # ---------------- single-core C anchors (FIRST: cold CPU) ---------------
-    # the remote-compile helper competes for this host's single core, so the
-    # 1x anchor must be measured before any TPU dispatch/compilation starts
+    # single-core C anchors FIRST (cold CPU): the remote-compile helper
+    # competes for this host's single core once TPU dispatch starts
     from amv_tpu.native import entropy_native as native
     import struct
     achunks = s.audio_chunks
@@ -139,25 +203,40 @@ def main():
 
     tc_adpcm = best_time(c_adpcm, iters=2)
 
-    # ---------------- bit-exactness gates (one corpus pass) -----------------
-    y, cb, cr = decode_transform(jnp.asarray(levels), mb_w, mb_h, w, h)
-    assert np.array_equal(np.asarray(y), yh) \
-        and np.array_equal(np.asarray(cb), cbh) \
-        and np.array_equal(np.asarray(cr), crh), "TPU decode != C reference"
+    detail["c1core_decode_fps"] = round(F / tc_dec, 1)
+    detail["c1core_encode_fps"] = round(F / tc_enc, 1)
+    detail["host_entropy_decode_fps"] = round(F / t_entropy_dec, 1)
+    detail["adpcm_c1core_msamples"] = round(
+        2 * int(alens.sum()) / tc_adpcm / 1e6, 1)
+    detail["note"] = (
+        "device-resident timing amortizes the ~32ms axon relay RTT and "
+        "~30MB/s tunnel of this dev environment; *_pipelined_fps = depth-8 "
+        "queued dispatch (steady-state serving).  Transform headline runs "
+        "the harness wrap input layout; complete_* keys are the product "
+        "chain (pipeline/transcode.py).  Budget mode: one jit signature "
+        "per section; AMV_BENCH_FULL=1 adds roofline/sustained/lockstep/"
+        "pipelined-complete extras.")
+    emit()
+
+    # bit-exactness gates (one corpus pass; also compiles the two small
+    # transform jits reused by the e2e timings below)
+    with sect("gates"):
+        y, cb, cr = decode_transform(jnp.asarray(levels), mb_w, mb_h, w, h)
+        assert np.array_equal(np.asarray(y), yh) \
+            and np.array_equal(np.asarray(cb), cbh) \
+            and np.array_equal(np.asarray(cr), crh), "TPU decode != C ref"
+        detail["device"] = str(jax.devices()[0])
     lv_enc = np.asarray(encode_transform(jnp.asarray(yh), jnp.asarray(cbh),
                                          jnp.asarray(crh), mb_w, mb_h, 2))
-    t0 = time.perf_counter()
     tpu_payload0 = huffman_encode_frame(lv_enc[0])
-    t_entropy_enc1 = time.perf_counter() - t0
     assert tpu_payload0 == native.ref_encode_frame(yh[0], cbh[0], crh[0], 2), \
         "TPU encode != C reference"
 
-    # ---------------- device-resident pipeline throughput --------------------
-    # Headline: the fused Pallas transcode kernel (dequant + zigzag + IDCT +
-    # FDCT + requant in one VMEM pass, kernels/transcode_pallas.py) over a
-    # K-times tiled corpus.  The whole device program is gated bit-exactly:
-    # its checksum (re-encoded levels + decoded pixels on strided subsets)
-    # must equal the host-computed expectation from the C-verified outputs.
+    # ================= headline: fused wrap transform =======================
+    # Fused Pallas transcode kernel (dequant + zigzag + IDCT + FDCT + requant
+    # in one VMEM pass) over a K-times LOGICALLY tiled corpus; the whole
+    # device program is gated bit-exactly (checksum vs the C-verified
+    # outputs).
     K = int(os.environ.get("AMV_BENCH_PALLAS_K", "512"))
     M = mb_w * mb_h
 
@@ -249,361 +328,190 @@ def main():
 
         return fused, kt_inner, kt_outer
 
-    # The wrap layout needs 8 | frames; pad the 252-frame corpus base with
-    # 4 replica frames (immaterial among K-times replication — every padded
-    # frame is full per-frame work like any other replica, and F8=256 makes
-    # the wrap period exactly tile-aligned: nm_base=9216 = 18*512, pf=1).
-    F8 = (F + 7) // 8 * 8
-    FK8 = F8 * K
-    fused_roundtrip, kt_inner, kt_outer = make_fused(F8, K, mb_w, mb_h, w, h)
+    with sect("transform"):
+        # The wrap layout needs 8 | frames; pad the 252-frame corpus base
+        # with 4 replica frames (immaterial among K-times replication —
+        # every padded frame is full per-frame work like any other replica,
+        # and F8=256 makes the wrap period exactly tile-aligned:
+        # nm_base=9216 = 18*512, pf=1).
+        F8 = (F + 7) // 8 * 8
+        FK8 = F8 * K
+        fused_roundtrip, kt_inner, kt_outer = make_fused(
+            F8, K, mb_w, mb_h, w, h)
 
-    # host-side expected checksum from the C-gated outputs above
-    # (per-subtile strides x kt_outer subtiles).  Positions map through
-    # the LANE-tiled logical layout (see make_fused): flat column c holds
-    # base column (c // nm_full)*nm_base + c % nm_base, and logical frame
-    # g is base frame (g // (F8/8 * kt_inner)) * F8/8 + g % (F8/8).
-    FK_in = F8 * kt_inner
-    lv2_np = lv_enc.astype(np.int64)          # re-encode of the decode output
-    block_sums = lv2_np.sum(axis=-1).reshape(F * M * 6)
-    block_sums8 = np.concatenate(
-        [block_sums, block_sums[:(F8 - F) * M * 6]])
-    yh8 = np.concatenate([yh, yh[:F8 - F]])
-    n_sub = FK_in * M * 6
-    nm_b = (F8 * M * 6) // 8
-    nm_f = n_sub // 8
-    cols = np.arange(0, n_sub, 37)
-    sel = (cols // nm_f) * nm_b + cols % nm_b
-    cs_levels = int(block_sums8[sel].sum())
-    fpe = F8 // 8                             # frames per lane-eighth
-    fsel_np = np.arange(0, FK_in, 97)
-    fsel_base = (fsel_np // (fpe * kt_inner)) * fpe + fsel_np % fpe
-    cs_pixels = int(yh8[fsel_base, ::13, ::17].astype(np.int64).sum())
-    expected = ((kt_outer * (cs_levels + cs_pixels) + 2**31) % 2**32) \
-        - 2**31  # two's-complement int32 wrap
+        # host-side expected checksum from the C-gated outputs above
+        # (per-subtile strides x kt_outer subtiles).  Positions map through
+        # the LANE-tiled logical layout (see make_fused): flat column c
+        # holds base column (c // nm_full)*nm_base + c % nm_base, and
+        # logical frame g is base frame
+        # (g // (F8/8 * kt_inner)) * F8/8 + g % (F8/8).
+        FK_in = F8 * kt_inner
+        lv2_np = lv_enc.astype(np.int64)      # re-encode of decode output
+        block_sums = lv2_np.sum(axis=-1).reshape(F * M * 6)
+        block_sums8 = np.concatenate(
+            [block_sums, block_sums[:(F8 - F) * M * 6]])
+        yh8 = np.concatenate([yh, yh[:F8 - F]])
+        n_sub = FK_in * M * 6
+        nm_b = (F8 * M * 6) // 8
+        nm_f = n_sub // 8
+        cols = np.arange(0, n_sub, 37)
+        sel = (cols // nm_f) * nm_b + cols % nm_b
+        cs_levels = int(block_sums8[sel].sum())
+        fpe = F8 // 8                         # frames per lane-eighth
+        fsel_np = np.arange(0, FK_in, 97)
+        fsel_base = (fsel_np // (fpe * kt_inner)) * fpe + fsel_np % fpe
+        cs_pixels = int(yh8[fsel_base, ::13, ::17].astype(np.int64).sum())
+        expected = ((kt_outer * (cs_levels + cs_pixels) + 2**31) % 2**32) \
+            - 2**31  # two's-complement int32 wrap
 
-    from amv_tpu.bitstream.entropy import huffman_decode_frames_soa
-    cm_host = huffman_decode_frames_soa(payloads, M)
-    cm_host8 = np.concatenate(
-        [cm_host, cm_host[:, :(F8 - F) * M * 6]], axis=1)
-    cm_dev = jax.device_put(jnp.asarray(cm_host8))
-    levels_dev = jax.device_put(jnp.asarray(levels))
-    jax.block_until_ready((cm_dev, levels_dev))
-    got = int(fused_roundtrip(cm_dev, jnp.int32(0))[...])  # compile+warm
-    assert got == int(expected), \
-        f"fused transcode checksum mismatch: {got} != {int(expected)}"
-    t_dev = best_time(lambda: int(
-        fused_roundtrip(cm_dev, jnp.int32(np.random.randint(1000)))[...]))
-    dev_fps = FK8 / t_dev  # each frame decoded AND re-encoded
-    # steady-state: depth-8 queued dispatch hides the ~22-32 ms relay
-    # RTT of calls 2..8 under execution (same compiled program)
-    dev_pipe_fps = pipelined_fps(
-        lambda sv: fused_roundtrip(cm_dev, jnp.int32(sv)), FK8)
+        from amv_tpu.bitstream.entropy import huffman_decode_frames_soa
+        cm_host = huffman_decode_frames_soa(payloads, M)
+        cm_host8 = np.concatenate(
+            [cm_host, cm_host[:, :(F8 - F) * M * 6]], axis=1)
+        cm_dev = jax.device_put(jnp.asarray(cm_host8))
+        jax.block_until_ready(cm_dev)
+        got = int(fused_roundtrip(cm_dev, jnp.int32(0))[...])  # compile+warm
+        assert got == int(expected), \
+            f"fused transcode checksum mismatch: {got} != {int(expected)}"
+        t_dev = best_time(lambda: int(
+            fused_roundtrip(cm_dev, jnp.int32(np.random.randint(1000)))[...]))
+        dev_fps = FK8 / t_dev  # each frame decoded AND re-encoded
+        out["value"] = round(dev_fps, 1)
+        out["vs_baseline"] = round(dev_fps / fps_c, 2)
+        detail["corpus"] = f"AMV1.amv (252+4 pad) x{K} = {FK8} frames 128x96"
+        detail["path"] = ("fused Pallas transcode kernel (dequant+IDCT+FDCT+"
+                          "quant in one VMEM pass), checksum-gated vs "
+                          "C-verified outputs; harness wrap input layout")
+        # steady-state: depth-8 queued dispatch hides the ~22-32 ms relay
+        # RTT of calls 2..8 under execution (same compiled program)
+        detail["device_transform_pipelined_fps"] = round(pipelined_fps(
+            lambda sv: fused_roundtrip(cm_dev, jnp.int32(sv)), FK8), 1)
 
-    # ---------------- 160x120 north-star shape (BASELINE.md) -----------------
-    # Same kernel, M=80 MCUs/frame; synthetic levels (throughput-only — the
-    # kernel's bit-exactness is shape-independent and enforced by tests +
-    # the corpus checksum gate above).
-    fps_160 = None
-    try:
-        F2, K2 = 128, 256                     # N2 = 128*256*480, % 4096 == 0
-        rng = np.random.default_rng(0)
-        lv160 = rng.integers(-64, 64, (F2, 80, 6, 64)).astype(np.int16)
-        cm160 = jax.device_put(jnp.asarray(
-            np.ascontiguousarray(lv160.reshape(-1, 64).T)))
-        jax.block_until_ready(cm160)
-        fused160, _, _ = make_fused(F2, K2, 10, 8, 160, 120)
-        _ = int(fused160(cm160, jnp.int32(0))[...])
-        t160 = best_time(lambda: int(
-            fused160(cm160, jnp.int32(np.random.randint(1000)))[...]))
-        fps_160 = F2 * K2 / t160
-    except Exception as e:
-        print(f"# 160x120 section skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    # ---------------- full-device decode (entropy + transform on device) ----
-    # The Pallas block-synchronized Huffman kernel + the decode transform in
-    # one device program: only raw unescaped scan bytes cross the link.
-    dev_fulldec_fps = None
-    unescape_fps = None
-    try:
-        t0 = time.perf_counter()
-        rows, _ = native.unescape_frames(payloads)
-        unescape_fps = F / (time.perf_counter() - t0)
-        from amv_tpu.kernels.entropy_decode_pallas import decode_scans_pallas
-        KE = int(os.environ.get("AMV_BENCH_ENTROPY_K", "32"))
-        FE = F * KE
-        lens_e = np.array([len(p) for p in payloads])
-        ids_e = np.tile(np.arange(F), KE)[
-            np.argsort(np.tile(lens_e, KE), kind="stable")]
-        rows_t = np.tile(rows, (KE, 1))[ids_e]  # length-sorted batch
-
-        from amv_tpu.pipeline.transcode import decode_scans_layout
-        from amv_tpu.codecs.amv_video import assemble_planes
-
-        @jax.jit
-        def fused_full_decode(rw, salt):
-            pix = decode_scans_layout(rw, M, win_fetch=64)
-            yy, ccb, ccr = assemble_planes(pix, mb_w, mb_h, w, h)
-            return (jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)) +
-                    jnp.sum(ccb[::53, ::7, ::11].astype(jnp.int32)) +
-                    jnp.sum(ccr[::53, ::7, ::11].astype(jnp.int32)) + salt)
-
-        exp_full = ((int(yh[ids_e[np.arange(0, FE, 97)], ::13, ::17]
-                         .astype(np.int64).sum()) +
-                     int(cbh[ids_e[np.arange(0, FE, 53)], ::7, ::11]
-                         .astype(np.int64).sum()) +
-                     int(crh[ids_e[np.arange(0, FE, 53)], ::7, ::11]
-                         .astype(np.int64).sum()) + 2**31) % 2**32 - 2**31)
-        rows_dev = jax.device_put(jnp.asarray(rows_t))
-        jax.block_until_ready(rows_dev)
-        got_full = int(fused_full_decode(rows_dev, jnp.int32(0))[...])
-        assert got_full == exp_full, \
-            f"full-device decode checksum mismatch: {got_full} != {exp_full}"
-        t_fulldec = best_time(lambda: int(fused_full_decode(
-            rows_dev, jnp.int32(np.random.randint(1000)))[...]))
-        dev_fulldec_fps = FE / t_fulldec
-    except Exception as e:
-        print(f"# full-device decode section skipped: "
-              f"{type(e).__name__}: {e}", file=sys.stderr)
-
-    # ---------------- full-device transcode (entropy in the loop) -----------
-    # Huffman decode (Pallas) + dequant/IDCT/FDCT/requant (fused Pallas) in
-    # one device program: the sustained AMV->AMV rate with no host C stage.
-    dev_fulltrans_fps = None
-    try:
-        from amv_tpu.kernels.entropy_decode_pallas import decode_scans_pallas
-        rows_ft, _ = native.unescape_frames(payloads)
-        KT = int(os.environ.get("AMV_BENCH_FULLTRANS_K", "64"))
-        FT2 = F * KT
-        lens_ft = np.array([len(p) for p in payloads])
-        ids_ft = np.tile(np.arange(F), KT)[
-            np.argsort(np.tile(lens_ft, KT), kind="stable")]
-        rows_ft_t = np.tile(rows_ft, (KT, 1))[ids_ft]  # length-sorted
-
-        n_ft = FT2 * M * 6
-        n_ftp = (n_ft + 4095) // 4096 * 4096  # transcode tile multiple
-
-        @jax.jit
-        def full_transcode(rw, salt):
-            lv = decode_scans_pallas(rw, M, win=64)
-            cmx = lv.reshape(n_ft, 64).T
-            dcd = cmx[0].astype(jnp.int32).reshape(FT2, M, 6)
-            dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(FT2, M * 4) * qdc_l,
-                               axis=1).reshape(FT2, M, 4) + 1024)
-            dc_cb = jnp.cumsum(dcd[:, :, 4] * qdc_c, axis=1) + 1024
-            dc_cr = jnp.cumsum(dcd[:, :, 5] * qdc_c, axis=1) + 1024
-            dcx = jnp.concatenate(
-                [dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
-            pix, lv2 = transcode_zz(
-                jnp.pad(cmx, ((0, 0), (0, n_ftp - n_ft))),
-                jnp.pad(dcx.reshape(n_ft), (0, n_ftp - n_ft)), qk)
-            pix = pix[:, :n_ft]
-            lv2 = lv2[:, :n_ft]
-            fsel = jnp.arange(0, FT2, 97)
-            Fs = fsel.shape[0]
-            pf = pix.reshape(64, FT2, M * 6)[:, fsel]
-            p = pf.reshape(8, 8, Fs, mb_h, mb_w, 6)
-            yp = p[:, :, :, :, :, :4].reshape(8, 8, Fs, mb_h, mb_w, 2, 2)
-            ycoded = yp.transpose(2, 3, 5, 0, 4, 6, 1).reshape(
-                Fs, 16 * mb_h, 16 * mb_w)
-            yv = ycoded[:, h - 1::-1, :w]
-            return (jnp.sum(lv2[:, ::37].astype(jnp.int32)) +
-                    jnp.sum(yv[:, ::13, ::17].astype(jnp.int32)) + salt)
-
-        bs_sorted = block_sums.reshape(F, M * 6)[ids_ft].reshape(-1)
-        sel_ft = np.arange(0, FT2 * M * 6, 37)
-        exp_ft = (((int(bs_sorted[sel_ft].sum()) +
-                    int(yh[ids_ft[np.arange(0, FT2, 97)], ::13, ::17]
-                        .astype(np.int64).sum())) & 0xFFFFFFFF)
-                  ^ 0x80000000) - 0x80000000
-        rw_dev = jax.device_put(jnp.asarray(rows_ft_t))
-        jax.block_until_ready(rw_dev)
-        got_ft = int(full_transcode(rw_dev, jnp.int32(0))[...])
-        assert got_ft == exp_ft, \
-            f"full-device transcode checksum mismatch: {got_ft} != {exp_ft}"
-        t_ft = best_time(lambda: int(full_transcode(
-            rw_dev, jnp.int32(np.random.randint(1000)))[...]))
-        dev_fulltrans_fps = FT2 / t_ft
-    except Exception as e:
-        print(f"# full-device transcode section skipped: "
-              f"{type(e).__name__}: {e}", file=sys.stderr)
-
-    # ---------------- COMPLETE device transcode (both entropy stages) -------
-    # Pallas Huffman decode + layout-native fused transcode + Pallas Huffman
-    # encode in one program, all three stages chained in the entropy kernels'
-    # slab layout (zero level-plane relayout; pipeline/transcode.py).  The
-    # batch is length-sorted so per-lane stream/output cursors cluster: the
-    # lockstep AC loops run ~1.4x fewer straggler iterations and the
-    # fetch/emit windows shrink to 64 rows (measured 39.8K -> 71.9K fps).
-    # Gated end-to-end at K=1: the emitted words (unsorted back to frame
-    # order) run through the C framing pass and must equal the host
-    # encoder's payload bytes for every corpus frame.
+    # ================= COMPLETE device transcode (product path) ============
+    # Pallas lane-async Huffman decode + layout-native fused transform +
+    # Pallas lane-async Huffman encode in one program (pipeline/
+    # transcode.py:transcode_complete_async — the same chain the CLI and
+    # serving module run).  Budget mode compiles ONE full-output jit at the
+    # timed KC batch shape and uses it for BOTH the byte gate (frames of
+    # the first corpus replica, unsorted back to frame order, C-framed,
+    # must equal the host re-encode bytes) and the blocking timing (scalar
+    # checksum readback; the big outputs stay on device).
     dev_complete_fps = None
-    dev_complete_med_fps = None
-    dev_complete_pipe_fps = None
-    dev_complete_lockstep_fps = None
-    try:
-        from amv_tpu.pipeline.transcode import (transcode_complete_layout,
-                                                transcode_complete_async)
-
-        # headline chain: lane-async dense decoder + lane-async dense
-        # encoder (round-3 kernels; 1.06x-mean iteration counts vs the
-        # lockstep pair's 1.93x/2.29x per-block-max tax), ok-gated.
-        # Sublane width scales with the batch (pick_sb): wide lane
-        # tiles merge kernel chunks and cut the latency-bound token
-        # cycles' iteration totals (112.6 -> 93.8 ms at sb=32 on the
-        # K=64 corpus, byte-exact — scripts/measure_sb_chain.py).
-        from amv_tpu.pipeline.transcode import pick_sb
-
-        def make_complete(sb):
-            @jax.jit
-            def complete(rw, salt):
-                words, bits, ok = transcode_complete_async(
-                    rw, M, qk, w_out=1024, win_fetch=64, win_emit=64,
-                    enc="async", sb=sb)
-                return words, bits, ok, (jnp.sum(words[::31, ::17]) +
-                                         jnp.sum(bits) + salt)
-            return complete
+    rows_c1 = lens_c1 = None
+    with sect("complete"):
+        from amv_tpu.pipeline.transcode import (transcode_complete_async,
+                                                pick_sb)
 
         # KC=112 is the measured optimum (scripts/measure_sb_chain.py,
         # byte-exact + ok-gated at every point): 172.0K fps at KC=64,
         # 196.7K at KC=96, 207.7K at KC=112 — the bigger device-resident
         # batch amortizes the ~22-32 ms relay dispatch over more frames.
-        # KC=128 crashes the remote compile helper (HTTP 500) at sb=32
-        # and sb=64; the wall sits between 28224 and 32256 frames at
-        # M=48 (same wall as the 320x240 section's F=8192).
+        # KC=128 crashes the remote compile helper (HTTP 500); the wall
+        # sits between 28224 and 32256 frames at M=48.
         KC = int(os.environ.get("AMV_BENCH_COMPLETE_K", "112"))
         sb_c = pick_sb(F * KC)
-
-        # end-to-end byte gate at K=1 (sorted in, unsorted out) — run at
-        # the SAME sublane width as the timed batch so the headline
-        # kernel configuration itself is what gets byte-gated
         rows_c1, _ = native.unescape_frames(payloads)
         lens_c1 = np.array([len(p) for p in payloads])
-        ord1 = np.argsort(lens_c1, kind="stable")
-        inv1 = np.argsort(ord1)
-        wds1, bts1, ok1, _ = make_complete(sb_c)(
-            jax.device_put(jnp.asarray(rows_c1[ord1])), jnp.int32(0))
-        assert bool(ok1[...]), "async complete chain tripped its ok gate"
-        got_payloads = native.escape_frames(np.asarray(wds1)[inv1],
-                                            np.asarray(bts1)[inv1])
-        want_payloads = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
-        assert got_payloads == want_payloads, \
-            "complete device transcode != host re-encode payloads"
-
         FC = F * KC
         ord_k = np.argsort(np.tile(lens_c1, KC), kind="stable")
         rows_ct = jax.device_put(jnp.asarray(
             np.tile(rows_c1, (KC, 1))[ord_k]))
         jax.block_until_ready(rows_ct)
 
-        # the timed big-batch program is scalar-output (checksum with the
-        # ok gate folded in): queued pipelined calls then hold no big
-        # device output buffers (the relay aborts on ~600MB jit outputs)
         @jax.jit
-        def complete_t(rw, salt):
+        def complete_full(rw, salt):
             words, bits, ok = transcode_complete_async(
                 rw, M, qk, w_out=1024, win_fetch=64, win_emit=64,
                 enc="async", sb=sb_c)
-            return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) +
-                    jnp.where(ok, 0, 1 << 30) + salt)
+            return words, bits, ok, (jnp.sum(words[::31, ::17]) +
+                                     jnp.sum(bits) +
+                                     jnp.where(ok, 0, 1 << 30) + salt)
 
-        _ = int(complete_t(rows_ct, jnp.int32(0))[...])
-        ts_c = times_n(lambda: int(complete_t(
-            rows_ct, jnp.int32(np.random.randint(1000)))[...]), iters=5)
-        t_c = ts_c[0]
-        dev_complete_fps = FC / t_c
-        dev_complete_med_fps = FC / ts_c[len(ts_c) // 2]
-        dev_complete_pipe_fps = pipelined_fps(
-            lambda sv: complete_t(rows_ct, jnp.int32(sv)), FC)
+        w0, b0, ok0, cs0 = complete_full(rows_ct, jnp.int32(0))  # compile
+        assert bool(ok0[...]), "async complete chain tripped its ok gate"
+        # byte gate at the timed signature: batch row p holds corpus frame
+        # ord_k[p] % F (np.tile stacking); the first occurrence of each
+        # frame is one full replica — identical inputs give identical
+        # emitted words, so any replica gates all of them
+        frame_of = ord_k % F
+        uf, up = np.unique(frame_of, return_index=True)
+        assert np.array_equal(uf, np.arange(F))
+        got_payloads = native.escape_frames(
+            np.asarray(w0[jnp.asarray(up)]), np.asarray(b0[jnp.asarray(up)]))
+        want_payloads = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
+        assert got_payloads == want_payloads, \
+            "complete device transcode != host re-encode payloads"
+        del w0, b0, ok0, cs0
 
-        # round-2 lockstep chain (regression reference) on its own
-        # K=64 batch: the lockstep module has never compiled above
-        # 16128 frames and the async chain's KC=112 batch sits next to
-        # the remote-compile wall, so keep the reference at the shape
-        # it has always run at (comparable to the round-2 numbers) and
-        # never let its failure void the headline
-        try:
-            KL = min(KC, 64)
-            rows_lk = (rows_ct if KL == KC else jax.device_put(jnp.asarray(
-                np.tile(rows_c1, (KL, 1))[np.argsort(
-                    np.tile(lens_c1, KL), kind="stable")])))
-            jax.block_until_ready(rows_lk)
-
-            @jax.jit
-            def complete_lock(rw, salt):
-                words, bits = transcode_complete_layout(
-                    rw, M, qk, w_out=1024, win_fetch=64, win_emit=64)
-                return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) + salt)
-
-            _ = int(complete_lock(rows_lk, jnp.int32(0))[...])
-            dev_complete_lockstep_fps = F * KL / best_time(lambda: int(
-                complete_lock(rows_lk,
-                              jnp.int32(np.random.randint(1000)))[...]))
-        except Exception as e:
-            print(f"# lockstep reference chain skipped: "
-                  f"{type(e).__name__}: {e}", file=sys.stderr)
+        ts_c = times_n(lambda: int(complete_full(
+            rows_ct, jnp.int32(np.random.randint(1000)))[3][...]), iters=5)
+        dev_complete_fps = FC / ts_c[0]
+        detail["device_complete_transcode_fps"] = round(dev_complete_fps, 1)
+        if not out["value"]:
+            # transform section failed: carry the product-chain number as
+            # the headline so every emitted line has a real value
+            out["value"] = round(dev_complete_fps, 1)
+            out["vs_baseline"] = round(dev_complete_fps / fps_c, 2)
+            out["metric"] = ("AMV complete transcode frames/sec/chip "
+                             "(bit-exact, device-resident batch)")
+        detail["device_complete_median_fps"] = round(
+            FC / ts_c[len(ts_c) // 2], 1)
 
         # content-clustered ordering (same program, different input
-        # permutation): sort by (length, content id) so identical
-        # streams share lanes — measures the scheduling headroom a
-        # dedup-aware batcher gets on repetitive material
+        # permutation): sort by (length, content id) so identical streams
+        # share lanes — the scheduling headroom of a dedup-aware batcher
         ord_cl = np.lexsort((np.tile(np.arange(F), KC),
                              np.tile(lens_c1, KC)))
         rows_cl = jax.device_put(jnp.asarray(
             np.tile(rows_c1, (KC, 1))[ord_cl]))
         jax.block_until_ready(rows_cl)
-        t_cl = best_time(lambda: int(complete_t(
-            rows_cl, jnp.int32(np.random.randint(1000)))[...]))
-        dev_complete_clustered_fps = FC / t_cl
-    except Exception as e:
-        dev_complete_clustered_fps = None
-        print(f"# complete device transcode section skipped: "
-              f"{type(e).__name__}: {e}", file=sys.stderr)
+        t_cl = best_time(lambda: int(complete_full(
+            rows_cl, jnp.int32(np.random.randint(1000)))[3][...]))
+        detail["device_complete_clustered_fps"] = round(FC / t_cl, 1)
+        del rows_cl
 
-    # ---------------- COMPLETE transcode at the 160x120 north-star shape ----
+    # ================= COMPLETE transcode, 160x120 north star ===============
     # BASELINE.json frames "160x120 decode+encode, bit-exact" as the metric;
-    # this section runs the same complete chain on synthetic 160x120 streams
-    # (M=80) produced by the host encoder.  Gated: the chain's re-encoded
-    # payloads for the first 1024-frame chunk must equal the host re-encode.
-    dev_complete160_fps = None
-    dev_complete160_pipe_fps = None
-    try:
-        M160, F160 = 80, 1024                 # one frame-chunk, cb=1
-        # 64 unique frames built from real corpus MCU levels (realistic
-        # coefficient spectra -> realistic re-encode sizes)
+    # same complete chain on synthetic 160x120 streams (M=80) built from
+    # real corpus MCU levels.  One jit at the timed batch shape; byte gate
+    # for each of the 64 unique frames from their first batch occurrence.
+    with sect("complete160"):
+        M160, F160 = 80, 1024
         rng160 = np.random.default_rng(7)
         lv_pool = np.asarray(levels).reshape(F * M, 6, 64)
         lv160c = lv_pool[rng160.integers(0, F * M, (64, M160))]
         pay160 = [huffman_encode_frame(lv160c[f]) for f in range(64)]
         rows160, _ = native.unescape_frames(pay160 * (F160 // 64))
         lens160 = np.array([len(p) for p in pay160] * (F160 // 64))
-        ord160 = np.argsort(lens160, kind="stable")
-        inv160 = np.argsort(ord160)
         # batch-scaled sublane width (pick_sb): K160=8 -> 8192 frames ->
-        # sb=32 (A/B: 84.9 -> 69.1 ms, scripts/measure_sb_sections.py);
-        # the byte gate runs at the same width as the timed batch.
+        # sb=32 (A/B: 84.9 -> 69.1 ms, scripts/measure_sb_sections.py).
         # K160=12/16 deterministically crash the remote compile helper
-        # (HTTP 500, scripts/measure_160_k.py) — the wall is lower here
-        # than the headline chain's 28224 frames (the 80-MCU scans are
-        # ~1.7x longer), so 8192 frames is the ceiling for this shape
+        # (HTTP 500, scripts/measure_160_k.py) — the 80-MCU scans are
+        # ~1.7x longer, so 8192 frames is the ceiling for this shape.
         K160 = int(os.environ.get("AMV_BENCH_COMPLETE160_K", "8"))
         from amv_tpu.pipeline.transcode import pick_sb as _pick_sb
+        FB160 = F160 * K160
+        ordk160 = np.argsort(np.tile(lens160, K160), kind="stable")
+        rows160_k = jax.device_put(jnp.asarray(
+            np.tile(rows160, (K160, 1))[ordk160]))
+        jax.block_until_ready(rows160_k)
 
         @jax.jit
-        def complete160(rw, salt):
+        def complete160_full(rw, salt):
             words, bits, ok = transcode_complete_async(
                 rw, M160, qk, w_out=1664, win_fetch=64, win_emit=64,
-                enc="async", sb=_pick_sb(F160 * K160))
+                enc="async", sb=_pick_sb(FB160))
             return words, bits, (jnp.sum(words[::31, ::17]) +
                                  jnp.sum(bits) +
                                  jnp.where(ok, 0, 1 << 30) + salt)
 
-        rows160_d = jax.device_put(jnp.asarray(rows160[ord160]))
-        jax.block_until_ready(rows160_d)
-        w160, b160, _ = complete160(rows160_d, jnp.int32(0))
-        got160 = native.escape_frames(np.asarray(w160)[inv160][:64],
-                                      np.asarray(b160)[inv160][:64])
+        w160, b160, _ = complete160_full(rows160_k, jnp.int32(0))
+        # batch row p holds unique frame ordk160[p] % 64 (rows160 is 16
+        # copies of the 64 uniques, tiled K160 times; 64 | 1024)
+        uf160, up160 = np.unique(ordk160 % 64, return_index=True)
+        assert np.array_equal(uf160, np.arange(64))
+        got160 = native.escape_frames(np.asarray(w160[jnp.asarray(up160)]),
+                                      np.asarray(b160[jnp.asarray(up160)]))
         lvdec160 = np.asarray(huffman_decode_frames(pay160, M160))
         from amv_tpu.pipeline.transcode import transcode_levels_fused
         lv2_160 = np.asarray(transcode_levels_fused(
@@ -611,54 +519,23 @@ def main():
         want160 = [huffman_encode_frame(lv2_160[f]) for f in range(64)]
         assert got160 == want160, \
             "160x120 complete transcode != host re-encode payloads"
-        ordk160 = np.argsort(np.tile(lens160, K160), kind="stable")
-        rows160_k = jax.device_put(jnp.asarray(
-            np.tile(rows160, (K160, 1))[ordk160]))
-        jax.block_until_ready(rows160_k)
+        del w160, b160
 
-        # timed big-batch jit is scalar-output (gate folded into the
-        # checksum) so depth-8 pipelined dispatch holds no big buffers;
-        # measured 119.5K -> 176.8K fps at depth 8 on this shape
-        # (scripts/measure_pipeline.py — each queued call's ~22-32 ms
-        # relay dispatch rides under the previous call's execution)
-        @jax.jit
-        def complete160_t(rw, salt):
-            words, bits, ok = transcode_complete_async(
-                rw, M160, qk, w_out=1664, win_fetch=64, win_emit=64,
-                enc="async", sb=_pick_sb(F160 * K160))
-            return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) +
-                    jnp.where(ok, 0, 1 << 30) + salt)
+        t_c160 = best_time(lambda: int(complete160_full(
+            rows160_k, jnp.int32(np.random.randint(1000)))[2][...]))
+        detail["device_complete_160x120_fps"] = round(FB160 / t_c160, 1)
 
-        _ = int(complete160_t(rows160_k, jnp.int32(0))[...])
-        t_c160 = best_time(lambda: int(complete160_t(
-            rows160_k, jnp.int32(np.random.randint(1000)))[...]))
-        dev_complete160_fps = F160 * K160 / t_c160
-        dev_complete160_pipe_fps = pipelined_fps(
-            lambda sv: complete160_t(rows160_k, jnp.int32(sv)), F160 * K160)
-    except Exception as e:
-        print(f"# complete 160x120 transcode section skipped: "
-              f"{type(e).__name__}: {e}", file=sys.stderr)
-
-    # ---------------- COMPLETE transcode at 320x240 (big-frame path) --------
-    # Frames > 80 MCUs used to fall off the device path entirely (host
-    # entropy at ~14K fps).  Now the decoder streams long scans from HBM
-    # (DMA-windowed fetch) and the re-encode splits each frame into
-    # lane-parallel segments spliced by native.concat_escape_frames.
-    # Gated: the spliced bytes for the 64 unique frames must equal the
-    # host re-encode.
-    dev_complete320_fps = None
-    dev_complete320_pipe_fps = None
-    try:
-        from amv_tpu.pipeline.transcode import (transcode_complete_async,
-                                                transcode_levels_fused,
+    # ================= COMPLETE transcode at 320x240 (big-frame path) =======
+    # Long scans stream from HBM (DMA-windowed fetch); the re-encode splits
+    # each frame into lane-parallel segments spliced by
+    # native.concat_escape_frames.  One jit; gate on the 64 unique frames.
+    with sect("complete320"):
+        from amv_tpu.pipeline.transcode import (transcode_levels_fused,
                                                 pick_segments)
         # F=4096 + sb=32 is the measured optimum (scripts/
         # measure_320_sweep.py, byte-exact at every point): 15.2K fps at
-        # the old F=1024/sb=8, 25.4K at F=4096/sb=16, 30.5K at
-        # F=4096/sb=32 — bigger batches amortize the ~22-32 ms relay
-        # dispatch and wide tiles merge the latency-bound token chunks.
-        # F=8192 crashes the remote compile helper (HTTP 500) at either
-        # width — same wall as the headline chain above K=96 corpora.
+        # the old F=1024/sb=8, 25.4K at F=4096/sb=16, 30.5K at sb=32.
+        # F=8192 crashes the remote compile helper (HTTP 500).
         M320 = 300                        # 320x240 = 20x15 MCUs
         F320 = int(os.environ.get("AMV_BENCH_320_F", "4096"))
         segs320 = pick_segments(M320)     # 4 x 75-MCU segments
@@ -669,13 +546,13 @@ def main():
         rows320, _ = native.unescape_frames(pay320 * (F320 // 64))
         lens320 = np.array([len(p) for p in pay320] * (F320 // 64))
         ord320 = np.lexsort((np.tile(np.arange(64), F320 // 64), lens320))
-        inv320 = np.argsort(ord320)
         ms320 = M320 // segs320
         wout320 = min(1664, 1024 * ((ms320 + 47) // 48))
-        sb320 = pick_sb(F320)
+        from amv_tpu.pipeline.transcode import pick_sb as _pick_sb320
+        sb320 = _pick_sb320(F320)
 
         @jax.jit
-        def complete320(rw, salt):
+        def complete320_full(rw, salt):
             words, bits, ok = transcode_complete_async(
                 rw, M320, qk, w_out=wout320, win_fetch=64, win_emit=64,
                 segs=segs320, enc="async", sb=sb320)
@@ -685,46 +562,198 @@ def main():
 
         rows320_d = jax.device_put(jnp.asarray(rows320[ord320]))
         jax.block_until_ready(rows320_d)
-        w320, b320, _ = complete320(rows320_d, jnp.int32(0))
-        w320n = np.asarray(w320).reshape(F320, segs320, -1)[inv320][:64]
-        b320n = np.asarray(b320).reshape(F320, segs320)[inv320][:64]
+        w320, b320, _ = complete320_full(rows320_d, jnp.int32(0))
+        # batch row p holds unique frame ord320[p] % 64
+        uf320, up320 = np.unique(ord320 % 64, return_index=True)
+        assert np.array_equal(uf320, np.arange(64))
+        w320u = np.asarray(w320.reshape(F320, segs320, -1)
+                           [jnp.asarray(up320)])
+        b320u = np.asarray(b320.reshape(F320, segs320)[jnp.asarray(up320)])
         got320 = native.concat_escape_frames(
-            w320n.reshape(-1, w320n.shape[2]), b320n.reshape(-1), segs320)
+            w320u.reshape(-1, w320u.shape[2]), b320u.reshape(-1), segs320)
         lvdec320 = np.asarray(huffman_decode_frames(pay320, M320))
         lv2_320 = np.asarray(transcode_levels_fused(
             jnp.asarray(lvdec320), 2)[0])
         want320 = [huffman_encode_frame(lv2_320[f]) for f in range(64)]
         assert got320 == want320, \
             "320x240 segmented complete transcode != host re-encode"
+        del w320, b320
 
-        # scalar-output timing jit (same program, gate folded into the
-        # checksum): pipelined depth-8 dispatch can't hold the ~109MB
-        # words output per queued call, and the relay aborts on large
-        # jit outputs (CLAUDE.md relay quirks)
+        t_c320 = best_time(lambda: int(complete320_full(
+            rows320_d, jnp.int32(np.random.randint(1000)))[2][...]))
+        detail["device_complete_320x240_fps"] = round(F320 / t_c320, 1)
+
+    # ================= ADPCM ================================================
+    with sect("adpcm"):
+        maxlen = int(alens.max())
+        payload_a = np.zeros((len(achunks), maxlen), np.uint8)
+        for i, c in enumerate(achunks):
+            payload_a[i, :alens[i]] = np.frombuffer(c, np.uint8)[8:]
+        # tile-factor sweep (scripts/measure_adpcm_k.py, 2026-08-19, all
+        # checksum-OK): 256 -> 2.58 Gs/s, 512 -> 3.98, 1024 -> 5.32,
+        # 2048 -> 6.28, 4096 -> 7.18 blocking — the ~22-32 ms relay
+        # dispatch was ~40% of the wall at 256; marginal device rate
+        # ~8.4 Gs/s.  4096 stages ~3.6 GB of nibbles+PCM (16 GB chip).
+        KA_T = int(os.environ.get("AMV_BENCH_ADPCM_K", "4096"))
+        n_samples = int(2 * alens.sum()) * KA_T
+
+        # expected checksum from the single-core C reference over the
+        # padded payload rows (the device decodes the zero pad up to
+        # maxlen too, so the C expectation must as well)
+        csum_host = 0
+        for i in range(len(achunks)):
+            pcm_i = native.ref_adpcm_decode(payload_a[i].tobytes(),
+                                            int(pred[i]), int(sidx[i]))
+            csum_host += int(pcm_i.astype(np.int64).sum())
+        exp_adpcm_cs = ((csum_host * KA_T) + 2**31) % 2**32 - 2**31
+        nb_valid = 2 * payload_a.shape[1]
+
         @jax.jit
-        def complete320_t(rw, salt):
-            words, bits, ok = transcode_complete_async(
-                rw, M320, qk, w_out=wout320, win_fetch=64, win_emit=64,
-                segs=segs320, enc="async", sb=sb320)
-            return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) +
-                    jnp.where(ok, 0, 1 << 30) + salt)
+        def fused_adpcm_pallas(pl, pr, si, salt):
+            # checksum over the valid region only, computed in packed
+            # layout (total minus the nbytes-padding tail) — no transpose
+            # back.  The KA_T-times replication is split two ways: a small
+            # pre-tile r_pre brings the chunk count to an exact SB*128
+            # lane-block multiple (252 -> 252*512 = 63 full blocks, zero
+            # pad lanes), and decode_layout_wrap supplies the remaining
+            # KA_T/r_pre copies through wrapping chunk-block index maps —
+            # the bulk of the tiled input slab never materializes while
+            # the lockstep grid still runs exactly 252*KA_T real chunk
+            # decodes (the r4 ADVICE fix: wrapping the 2048-lane PADDED
+            # base ran 8.1x the work and a ~24 GB output).  exp_adpcm_cs
+            # is layout-invariant (sums; zero pad rows decode to zero).
+            lanes = KPA.SB * 128
+            r_pre = lanes // int(np.gcd(pl.shape[0], lanes))
+            rep = KA_T // r_pre if KA_T % r_pre == 0 else 1
+            if rep == 1:
+                r_pre = KA_T
+            pl2 = jnp.tile(pl, (r_pre, 1))
+            pr2 = jnp.tile(pr, (r_pre,)) + salt * 0
+            si2 = jnp.tile(si, (r_pre,))
+            bts, prl, sil = KPA.to_layout(pl2, pr2, si2)
+            outp = KPA.decode_layout_wrap(bts, prl, sil, repeat=rep)
+            s_all = jnp.sum(outp.astype(jnp.int32))
+            s_pad = jnp.sum(outp[:, nb_valid:].astype(jnp.int32))
+            return s_all - s_pad + salt
 
-        _ = int(complete320_t(rows320_d, jnp.int32(0))[...])
-        t_c320 = best_time(lambda: int(complete320_t(
-            rows320_d, jnp.int32(np.random.randint(1000)))[...]))
-        dev_complete320_fps = F320 / t_c320
-        dev_complete320_pipe_fps = pipelined_fps(
-            lambda sv: complete320_t(rows320_d, jnp.int32(sv)), F320)
-    except Exception as e:
-        print(f"# complete 320x240 transcode section skipped: "
-              f"{type(e).__name__}: {e}", file=sys.stderr)
+        @jax.jit
+        def fused_adpcm_xla(pl, pr, si, salt):
+            pl2 = jnp.tile(pl, (KA_T, 1))
+            pr2 = jnp.tile(pr, (KA_T,)) + salt * 0
+            si2 = jnp.tile(si, (KA_T,))
+            pcm = KA.decode_chunks(pl2, pr2, si2)
+            return jnp.sum(pcm.astype(jnp.int32)) + salt
 
-    # ---------------- progressive JPEG ingest (host C scan decoder) ---------
-    # Round-3: the per-scan progressive decoder moved to native/entropy.c
-    # (amv_progressive_scan); this logs coefficient-recovery throughput
-    # on synthetic 128x96-class streams for the VERDICT item-9 contract.
-    prog_fps = None
-    try:
+        adpcm_kernel = "pallas"
+        pa, pp, ps = (jax.device_put(jnp.asarray(x))
+                      for x in (payload_a, pred, sidx))
+        t_adpcm = None
+        try:
+            cs0 = int(fused_adpcm_pallas(pa, pp, ps, jnp.int32(0))[...])
+            assert cs0 == exp_adpcm_cs, \
+                f"ADPCM pallas checksum {cs0} != C reference {exp_adpcm_cs}"
+            t_adpcm = best_time(lambda: int(fused_adpcm_pallas(
+                pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
+            detail["adpcm_tpu_msamples"] = round(
+                n_samples / t_adpcm / 1e6, 1)
+            detail["adpcm_kernel"] = adpcm_kernel
+            # ~190 ms/call at KA_T=4096: the relay RTT is ~12% of the
+            # blocking wall; the queued steady state is the serving number
+            detail["adpcm_tpu_pipelined_msamples"] = round(pipelined_fps(
+                lambda sv: fused_adpcm_pallas(pa, pp, ps, jnp.int32(sv)),
+                n_samples) / 1e6, 1)
+        except AssertionError:
+            raise  # bit-exactness violation fails the bench, no fallback
+        except Exception as e:
+            print(f"# adpcm pallas fell back to xla-scan: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            adpcm_kernel = "xla-scan"
+            _ = int(fused_adpcm_xla(pa, pp, ps, jnp.int32(0))[...])
+            t_adpcm = best_time(lambda: int(fused_adpcm_xla(
+                pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
+            detail["adpcm_tpu_msamples"] = round(
+                n_samples / t_adpcm / 1e6, 1)
+            detail["adpcm_kernel"] = adpcm_kernel
+
+    # ================= G.729A (default on; AMV_BENCH_G729=0 disables) =======
+    if os.environ.get("AMV_BENCH_G729", "1") != "0":
+        with sect("g729_decode"):
+            from amv_tpu.codecs import g729a
+            rng = np.random.default_rng(0)
+            # batch scaling is the decoder's lever (measured 138.6K
+            # @B=1024, 150.9K @B=4096 / T=32); 1024 is the steady-state
+            # serving configuration
+            T_, B = 64, int(os.environ.get("AMV_BENCH_G729_B", "1024"))
+            frames = rng.integers(0, 256, (T_, B, 10), dtype=np.uint8)
+            # valid pitch range + parity so no erasure path dominates
+            frames[..., 2] = 0x40
+            pcm = g729a.decode_streams(frames)  # compile+warm + API check
+            # device-resident timing: decode_streams' np.asarray return
+            # moves 10.5MB back through the 30MB/s relay INSIDE the old
+            # loop — pcm stays on device here, scalar checksum only
+            parms_d = jax.device_put(jnp.asarray(g729a.unpack_frames(
+                frames)))
+
+            @jax.jit
+            def dec_device(parms_all, salt):
+                st = g729a.init_state(B)
+                p = parms_all.at[0, :, 13].set(
+                    (parms_all[0, :, 13] + salt) % 16)   # vary GB index
+                _, pcm_ = g729a.decode_frames_scan(st, p)
+                return jnp.sum(pcm_[:, :, ::17].astype(jnp.int32))
+
+            _ = int(dec_device(parms_d, jnp.int32(0))[...])
+            t_g729 = np.inf
+            for it in range(4):
+                t0 = time.perf_counter()
+                _ = int(dec_device(parms_d, jnp.int32(it + 1))[...])
+                t_g729 = min(t_g729, time.perf_counter() - t0)
+            detail["g729_tpu_frames_per_s"] = round(T_ * B / t_g729, 1)
+            detail["g729_batch"] = f"{B} streams x {T_} frames"
+            detail["g729_tpu_pipelined_frames_per_s"] = round(
+                pipelined_fps(lambda sv: dec_device(parms_d, jnp.int32(sv)),
+                              T_ * B), 1)
+
+        if os.environ.get("AMV_BENCH_G729ENC", "1") != "0":
+            with sect("g729_encode"):
+                from amv_tpu.codecs import g729a
+                from amv_tpu.codecs.g729a_encoder_tpu import \
+                    encode_frames_scan
+                Be = int(os.environ.get("AMV_BENCH_G729ENC_B", "1024"))
+                Te = 16
+                rng2 = np.random.default_rng(1)
+                # device-resident [T, B, 80] frame stack: the old
+                # per-frame staging moved 328KB/frame through the 30MB/s
+                # tunnel and hid the true device time (measured 213K f/s
+                # clean with the lax.scan chain)
+                sig = jnp.asarray((3000 * rng2.standard_normal(
+                    (Te, Be, 80))).astype(np.float32))
+                ste = g729a.init_state(Be)
+                hh = jnp.zeros((Be, 160))
+                ste, hh, pm = encode_frames_scan(ste, hh, sig)
+                _ = np.asarray(pm[-1])
+                t_enc = np.inf
+                for rep in range(4):
+                    t0 = time.perf_counter()
+                    ste, hh, pm = encode_frames_scan(ste, hh, sig)
+                    _ = np.asarray(pm[-1, :, 0])
+                    t_enc = min(t_enc, (time.perf_counter() - t0) / Te)
+                detail["g729_tpu_encode_frames_per_s"] = round(Be / t_enc, 1)
+                # chained steady state: the scan re-feeds its own carried
+                # state, so 8 queued calls overlap each call's relay
+                # dispatch with the previous call's execution
+                D_ENC = 8
+                t0 = time.perf_counter()
+                ste2, hh2, pm2 = ste, hh, pm
+                for _ in range(D_ENC):
+                    ste2, hh2, pm2 = encode_frames_scan(ste2, hh2, sig)
+                jax.block_until_ready(pm2)
+                t_pipe = (time.perf_counter() - t0) / (D_ENC * Te)
+                detail["g729_tpu_encode_pipelined_frames_per_s"] = round(
+                    Be / t_pipe, 1)
+
+    # ================= progressive JPEG ingest (host C) =====================
+    with sect("progressive"):
         from amv_tpu.bitstream.jpeg_progressive import (decode_progressive,
                                                         encode_progressive)
         rngp = np.random.default_rng(5)
@@ -739,21 +768,202 @@ def main():
         t0 = time.perf_counter()
         for _ in range(NPROG):
             decode_progressive(datap)
-        prog_fps = NPROG / (time.perf_counter() - t0)
-    except Exception as e:
-        print(f"# progressive section skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
+        detail["progressive_host_fps"] = round(
+            NPROG / (time.perf_counter() - t0), 1)
 
-    # ---------------- roofline / utilization accounting ---------------------
-    # VERDICT r2 item 2: per-stage bytes-touched, issued-vector-op
-    # estimates and % of the v5e-1 HBM/VPU ceilings, so the remaining
-    # entropy headroom is quantified instead of guessed.  Iteration
-    # counts are EXACT (read back from the async kernels' status rows,
-    # stalls included); ops/iteration are static counts documented in
-    # utils/roofline.py.
-    roofline = []
-    try:
-        if dev_complete_fps:
+    # ================= host entropy + link: end-to-end ======================
+    with sect("e2e_tunnel"):
+        def e2e_decode():
+            lv = huffman_decode_frames(payloads, mb_w * mb_h)
+            o = decode_transform(jnp.asarray(lv), mb_w, mb_h, w, h)
+            return [np.asarray(x) for x in o]
+
+        detail["e2e_tunnel_decode_fps"] = round(
+            F / best_time(e2e_decode, iters=2), 1)
+
+        def e2e_encode():
+            lv = np.asarray(encode_transform(
+                jnp.asarray(yh), jnp.asarray(cbh), jnp.asarray(crh),
+                mb_w, mb_h, 2))
+            return [huffman_encode_frame(lv[f]) for f in range(F)]
+
+        detail["e2e_tunnel_encode_fps"] = round(
+            F / best_time(e2e_encode, iters=2), 1)
+
+    # ======================================================================
+    # FULL-mode extras: each is its own cold compile (1-3 min on the
+    # remote-compile path) — too expensive for the driver's window, so
+    # they only run with AMV_BENCH_FULL=1 from a shell (VERDICT r3 item 1:
+    # sweeps and decompositions stay out of the budget run).
+    # ======================================================================
+    if FULL:
+        # ---- pipelined complete chains (scalar-output jits) ----------------
+        with sect("full_pipelined_complete"):
+            from amv_tpu.pipeline.transcode import transcode_complete_async
+
+            KC = int(os.environ.get("AMV_BENCH_COMPLETE_K", "112"))
+            from amv_tpu.pipeline.transcode import pick_sb
+            sb_c = pick_sb(F * KC)
+            FC = F * KC
+            ord_k = np.argsort(np.tile(lens_c1, KC), kind="stable")
+            rows_ct = jax.device_put(jnp.asarray(
+                np.tile(rows_c1, (KC, 1))[ord_k]))
+            jax.block_until_ready(rows_ct)
+
+            @jax.jit
+            def complete_t(rw, salt):
+                words, bits, ok = transcode_complete_async(
+                    rw, M, qk, w_out=1024, win_fetch=64, win_emit=64,
+                    enc="async", sb=sb_c)
+                return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) +
+                        jnp.where(ok, 0, 1 << 30) + salt)
+
+            _ = int(complete_t(rows_ct, jnp.int32(0))[...])
+            detail["device_complete_pipelined_fps"] = round(pipelined_fps(
+                lambda sv: complete_t(rows_ct, jnp.int32(sv)), FC), 1)
+
+        # ---- round-2 lockstep chain (regression reference), K=64 -----------
+        with sect("full_lockstep"):
+            from amv_tpu.pipeline.transcode import transcode_complete_layout
+            KL = 64
+            rows_lk = jax.device_put(jnp.asarray(
+                np.tile(rows_c1, (KL, 1))[np.argsort(
+                    np.tile(lens_c1, KL), kind="stable")]))
+            jax.block_until_ready(rows_lk)
+
+            @jax.jit
+            def complete_lock(rw, salt):
+                words, bits = transcode_complete_layout(
+                    rw, M, qk, w_out=1024, win_fetch=64, win_emit=64)
+                return (jnp.sum(words[::31, ::17]) + jnp.sum(bits) + salt)
+
+            _ = int(complete_lock(rows_lk, jnp.int32(0))[...])
+            detail["device_complete_lockstep_fps"] = round(
+                F * KL / best_time(lambda: int(complete_lock(
+                    rows_lk, jnp.int32(np.random.randint(1000)))[...])), 1)
+
+        # ---- 160x120 transform (synthetic levels, wrap kernel) -------------
+        with sect("full_transform160"):
+            F2, K2 = 128, 256                 # N2 = 128*256*480, % 4096 == 0
+            rng = np.random.default_rng(0)
+            lv160 = rng.integers(-64, 64, (F2, 80, 6, 64)).astype(np.int16)
+            cm160 = jax.device_put(jnp.asarray(
+                np.ascontiguousarray(lv160.reshape(-1, 64).T)))
+            jax.block_until_ready(cm160)
+            fused160, _, _ = make_fused(F2, K2, 10, 8, 160, 120)
+            _ = int(fused160(cm160, jnp.int32(0))[...])
+            t160 = best_time(lambda: int(
+                fused160(cm160, jnp.int32(np.random.randint(1000)))[...]))
+            detail["fps_160x120"] = round(F2 * K2 / t160, 1)
+
+        # ---- full-device decode (entropy + transform on device) ------------
+        with sect("full_device_decode"):
+            t0 = time.perf_counter()
+            rows, _ = native.unescape_frames(payloads)
+            detail["host_unescape_fps"] = round(
+                F / (time.perf_counter() - t0), 1)
+            KE = int(os.environ.get("AMV_BENCH_ENTROPY_K", "32"))
+            FE = F * KE
+            lens_e = np.array([len(p) for p in payloads])
+            ids_e = np.tile(np.arange(F), KE)[
+                np.argsort(np.tile(lens_e, KE), kind="stable")]
+            rows_t = np.tile(rows, (KE, 1))[ids_e]  # length-sorted batch
+
+            from amv_tpu.pipeline.transcode import decode_scans_layout
+            from amv_tpu.codecs.amv_video import assemble_planes
+
+            @jax.jit
+            def fused_full_decode(rw, salt):
+                pix = decode_scans_layout(rw, M, win_fetch=64)
+                yy, ccb, ccr = assemble_planes(pix, mb_w, mb_h, w, h)
+                return (jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)) +
+                        jnp.sum(ccb[::53, ::7, ::11].astype(jnp.int32)) +
+                        jnp.sum(ccr[::53, ::7, ::11].astype(jnp.int32)) +
+                        salt)
+
+            exp_full = ((int(yh[ids_e[np.arange(0, FE, 97)], ::13, ::17]
+                             .astype(np.int64).sum()) +
+                         int(cbh[ids_e[np.arange(0, FE, 53)], ::7, ::11]
+                             .astype(np.int64).sum()) +
+                         int(crh[ids_e[np.arange(0, FE, 53)], ::7, ::11]
+                             .astype(np.int64).sum()) + 2**31)
+                        % 2**32 - 2**31)
+            rows_dev = jax.device_put(jnp.asarray(rows_t))
+            jax.block_until_ready(rows_dev)
+            got_full = int(fused_full_decode(rows_dev, jnp.int32(0))[...])
+            assert got_full == exp_full, \
+                f"full-device decode checksum: {got_full} != {exp_full}"
+            t_fulldec = best_time(lambda: int(fused_full_decode(
+                rows_dev, jnp.int32(np.random.randint(1000)))[...]))
+            detail["device_full_decode_fps"] = round(FE / t_fulldec, 1)
+
+        # ---- full-device transcode (lockstep decode + fused transform) -----
+        with sect("full_device_transcode"):
+            from amv_tpu.kernels.entropy_decode_pallas import \
+                decode_scans_pallas
+            rows_ft, _ = native.unescape_frames(payloads)
+            KT = int(os.environ.get("AMV_BENCH_FULLTRANS_K", "64"))
+            FT2 = F * KT
+            lens_ft = np.array([len(p) for p in payloads])
+            ids_ft = np.tile(np.arange(F), KT)[
+                np.argsort(np.tile(lens_ft, KT), kind="stable")]
+            rows_ft_t = np.tile(rows_ft, (KT, 1))[ids_ft]  # length-sorted
+
+            n_ft = FT2 * M * 6
+            n_ftp = (n_ft + 4095) // 4096 * 4096  # transcode tile multiple
+
+            @jax.jit
+            def full_transcode(rw, salt):
+                lv = decode_scans_pallas(rw, M, win=64)
+                cmx = lv.reshape(n_ft, 64).T
+                dcd = cmx[0].astype(jnp.int32).reshape(FT2, M, 6)
+                dc_y = (jnp.cumsum(dcd[:, :, :4].reshape(FT2, M * 4)
+                                   * qdc_l, axis=1)
+                        .reshape(FT2, M, 4) + 1024)
+                dc_cb = jnp.cumsum(dcd[:, :, 4] * qdc_c, axis=1) + 1024
+                dc_cr = jnp.cumsum(dcd[:, :, 5] * qdc_c, axis=1) + 1024
+                dcx = jnp.concatenate(
+                    [dc_y, dc_cb[..., None], dc_cr[..., None]], axis=-1)
+                pix, lv2 = transcode_zz(
+                    jnp.pad(cmx, ((0, 0), (0, n_ftp - n_ft))),
+                    jnp.pad(dcx.reshape(n_ft), (0, n_ftp - n_ft)), qk)
+                pix = pix[:, :n_ft]
+                lv2 = lv2[:, :n_ft]
+                fsel = jnp.arange(0, FT2, 97)
+                Fs = fsel.shape[0]
+                pf = pix.reshape(64, FT2, M * 6)[:, fsel]
+                p = pf.reshape(8, 8, Fs, mb_h, mb_w, 6)
+                yp = p[:, :, :, :, :, :4].reshape(8, 8, Fs, mb_h, mb_w,
+                                                  2, 2)
+                ycoded = yp.transpose(2, 3, 5, 0, 4, 6, 1).reshape(
+                    Fs, 16 * mb_h, 16 * mb_w)
+                yv = ycoded[:, h - 1::-1, :w]
+                return (jnp.sum(lv2[:, ::37].astype(jnp.int32)) +
+                        jnp.sum(yv[:, ::13, ::17].astype(jnp.int32)) + salt)
+
+            block_sums = lv_enc.astype(np.int64).sum(axis=-1).reshape(
+                F * M * 6)
+            bs_sorted = block_sums.reshape(F, M * 6)[ids_ft].reshape(-1)
+            sel_ft = np.arange(0, FT2 * M * 6, 37)
+            exp_ft = (((int(bs_sorted[sel_ft].sum()) +
+                        int(yh[ids_ft[np.arange(0, FT2, 97)], ::13, ::17]
+                            .astype(np.int64).sum())) & 0xFFFFFFFF)
+                      ^ 0x80000000) - 0x80000000
+            rw_dev = jax.device_put(jnp.asarray(rows_ft_t))
+            jax.block_until_ready(rw_dev)
+            got_ft = int(full_transcode(rw_dev, jnp.int32(0))[...])
+            assert got_ft == exp_ft, \
+                f"full-device transcode checksum: {got_ft} != {exp_ft}"
+            t_ft = best_time(lambda: int(full_transcode(
+                rw_dev, jnp.int32(np.random.randint(1000)))[...]))
+            detail["device_full_transcode_fps"] = round(FT2 / t_ft, 1)
+
+        # ---- roofline / utilization accounting -----------------------------
+        # Per-stage bytes-touched, issued-vector-op estimates and % of the
+        # v5e-1 HBM/VPU ceilings; iteration counts are EXACT (read back
+        # from the async kernels' status rows, stalls included).
+        with sect("full_roofline"):
+            roofline = []
             from amv_tpu.utils.roofline import (
                 StageRoofline, DECODE_ASYNC_OPS_PER_ITER,
                 ENCODE_OPS_PER_ITER, TRANSCODE_OPS_PER_BLOCK)
@@ -766,13 +976,15 @@ def main():
             from amv_tpu.kernels.transcode_layout_pallas import \
                 transcode_mcu_layout
             from amv_tpu.bitstream import jpeg_tables as JT
+            from amv_tpu.pipeline.transcode import pick_sb
 
+            KC = int(os.environ.get("AMV_BENCH_COMPLETE_K", "112"))
+            sb_c = pick_sb(F * KC)
             nb_r = M * 6
-            # single-call stage timings carry the axon relay's dispatch
-            # floor (~22 ms measured: a trivial jit round-trip costs
-            # that much); subtract it so the roofline reflects device
-            # time, not link latency (the chained bench sections pay it
-            # once per batch, not per stage)
+            # single-call stage timings carry the relay's ~22 ms dispatch
+            # floor; subtract a measured null dispatch so the roofline
+            # reflects device time, not link latency
+
             @jax.jit
             def _null(salt):
                 return salt + 1
@@ -780,20 +992,13 @@ def main():
             _ = int(_null(jnp.int32(0))[...])
             t_null = best_time(lambda: int(_null(
                 jnp.int32(np.random.randint(1000)))[...]))
-            # 1024-align with repeated (valid) shortest scans so pad
-            # lanes terminate; zero rows would decode forever
-            # stage configs mirror the headline chain, incl. its
-            # batch-scaled sublane width (ops/iter constants are per
-            # (8,128) tile, so wider tiles issue sb/8 of them per op).
-            # Stage jits run on a KC<=64-equivalent batch: the
-            # STANDALONE enc_stage at >4 chunks exceeds the Mosaic
-            # scoped-vmem stack (AOT: 34.6M vs the 16M limit at KC=112,
-            # 2026-08-19 run) though the chained headline compiles;
-            # utilization percentages are batch-size-invariant
+            # Stage jits run on a KC<=64-equivalent batch: the STANDALONE
+            # enc_stage at >4 chunks exceeds the Mosaic scoped-vmem stack
+            # (AOT: 34.6M vs the 16M limit at KC=112) though the chained
+            # headline compiles; utilization %s are batch-size-invariant
             KR = min(KC, 64)
             FCR = F * KR
-            ord_r = (ord_k if KR == KC
-                     else np.argsort(np.tile(lens_c1, KR), kind="stable"))
+            ord_r = np.argsort(np.tile(lens_c1, KR), kind="stable")
             fpc_r = sb_c * 128
             FR = (FCR + fpc_r - 1) // fpc_r * fpc_r
             rows_rf = np.tile(rows_c1, (KR, 1))[ord_r]
@@ -829,15 +1034,17 @@ def main():
             @jax.jit
             def tf_stage(slab, salt):
                 lvl = slab.reshape(cb_r, M, 6, 64, sb_c, 128)
-                qdc_l = int(JT.SP5X_QUANT_LUMA_ZZ[0])
-                qdc_c = int(JT.SP5X_QUANT_CHROMA_ZZ[0])
                 d = lvl[:, :, :, 0].astype(jnp.int32)
                 dy = (jnp.cumsum(d[:, :, :4].reshape(cb_r, M * 4, sb_c,
                                                      128)
-                                 * qdc_l, axis=1)
+                                 * int(JT.SP5X_QUANT_LUMA_ZZ[0]), axis=1)
                       .reshape(cb_r, M, 4, sb_c, 128) + 1024)
-                dcb = jnp.cumsum(d[:, :, 4] * qdc_c, axis=1) + 1024
-                dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
+                dcb = jnp.cumsum(
+                    d[:, :, 4] * int(JT.SP5X_QUANT_CHROMA_ZZ[0]),
+                    axis=1) + 1024
+                dcr = jnp.cumsum(
+                    d[:, :, 5] * int(JT.SP5X_QUANT_CHROMA_ZZ[0]),
+                    axis=1) + 1024
                 dc = jnp.concatenate(
                     [dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
                 lv2s = transcode_mcu_layout(lvl, dc, qk)
@@ -875,46 +1082,42 @@ def main():
             roofline.append({
                 "dispatch_floor_ms": round(t_null * 1e3, 2),
                 "stage": "complete_chain",
-                "ms": round(FCR / dev_complete_fps * 1e3, 2),
+                "ms": (round(FCR / dev_complete_fps * 1e3, 2)
+                       if dev_complete_fps else None),
                 "stage_sum_ms": round((t_ds + t_tf + t_es) * 1e3, 2),
                 "dec_iters": it_dec, "enc_iters": it_enc,
                 "note": "all three device stages are compute(VPU)-bound "
                         "far below HBM limits; the entropy kernels' "
                         "ceiling is per-token vector work, not bandwidth",
             })
-    except Exception as e:
-        print(f"# roofline section skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
+            detail["roofline"] = roofline
 
-    # ---------------- sustained end-to-end (bytes -> bytes, pipelined) ------
-    # Steady-state AMV->AMV rate with the host C stages in the loop:
-    # unescape (C) -> complete device chain -> escape (C).  JAX dispatch
-    # is async, so a single thread overlaps batch i's device compute
-    # with batch i+1's unescape and batch i-1's escape.  In this dev
-    # environment the ~30MB/s axon relay bounds the loop (~110MB of
-    # scan words round-trip per 16K-frame batch); sustained_host_fps
-    # shows the host C stages alone keep up far above that.
-    sustained = {}
-    try:
-        if dev_complete_fps:
+        # ---- sustained end-to-end (bytes -> bytes, host C in the loop) -----
+        with sect("full_sustained"):
+            from amv_tpu.pipeline.transcode import (transcode_complete_async,
+                                                    pick_sb)
+            KC = int(os.environ.get("AMV_BENCH_COMPLETE_K", "112"))
+            sb_c = pick_sb(F * KC)
             B_SUS = int(os.environ.get("AMV_BENCH_SUSTAIN_BATCHES", "4"))
-            ord_s = ord_k
+            ord_s = np.argsort(np.tile(lens_c1, KC), kind="stable")
             inv_s = np.argsort(ord_s)
             rows_host = np.tile(rows_c1, (KC, 1))[ord_s]
 
-            # this section needs the real words/bits outputs (escaped back
-            # to bytes per batch), so it compiles its own full-output jit
-            # at the big shape — the timed headline jit above is
-            # scalar-only so pipelined calls hold no big buffers.  Warm it
-            # outside the timed loop (remote compile is 1-3 min).
-            complete_k = make_complete(sb_c)
-            warm = complete_k(jax.device_put(jnp.asarray(rows_host)),
-                              jnp.int32(0))
+            @jax.jit
+            def complete_fullout(rw, salt):
+                words, bits, ok = transcode_complete_async(
+                    rw, M, qk, w_out=1024, win_fetch=64, win_emit=64,
+                    enc="async", sb=sb_c)
+                return words, bits, ok, (jnp.sum(words[::31, ::17]) +
+                                         jnp.sum(bits) + salt)
+
+            warm = complete_fullout(jax.device_put(jnp.asarray(rows_host)),
+                                    jnp.int32(0))
             jax.block_until_ready(warm[0])
             del warm
 
             def one_batch(dev_prev):
-                words, bits, _, _ = complete_k(jax.device_put(
+                words, bits, _, _ = complete_fullout(jax.device_put(
                     jnp.asarray(rows_host)), jnp.int32(0))
                 out_prev = None
                 if dev_prev is not None:
@@ -937,7 +1140,7 @@ def main():
                                         np.asarray(bp)[inv_s])
             done += len(last)
             t_sus = time.perf_counter() - t0
-            sustained["sustained_e2e_fps"] = round(done / t_sus, 1)
+            detail["sustained_e2e_fps"] = round(done / t_sus, 1)
 
             # host C stages alone, pipelined rate (no device/link)
             t0 = time.perf_counter()
@@ -945,344 +1148,93 @@ def main():
             t_un = time.perf_counter() - t0
             t0 = time.perf_counter()
             _ = native.escape_frames(np.asarray(wp), np.asarray(bp))
-            t_es = time.perf_counter() - t0
-            sustained["sustained_host_fps"] = round(
-                (F * KC) / max(t_un, t_es), 1)
-    except Exception as e:
-        print(f"# sustained e2e section skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
+            t_es2 = time.perf_counter() - t0
+            detail["sustained_host_fps"] = round(
+                (F * KC) / max(t_un, t_es2), 1)
 
-    # ---------------- COMPLETE device encode (pixels -> scan words) ---------
-    # BASELINE config 4's device-resident half: YUV planes in HBM -> FDCT +
-    # quant (XLA) -> Pallas Huffman pack; only framed payload bytes leave.
-    # Gated at K=1: framed payloads must equal the host encoder's bytes.
-    dev_completeenc_fps = None
-    try:
-        from amv_tpu.pipeline.transcode import encode_planes_layout
-        want_enc = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
-        lens_en = np.array([len(p) for p in want_enc])
-        KE2 = int(os.environ.get("AMV_BENCH_COMPLETEENC_K", "32"))
-        FE2 = F * KE2
-        ids_en = np.tile(np.arange(F), KE2)[
-            np.argsort(np.tile(lens_en, KE2), kind="stable")]
+        # ---- complete device encode (pixels -> scan words) -----------------
+        with sect("full_complete_encode"):
+            from amv_tpu.pipeline.transcode import encode_planes_layout
+            want_enc = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
+            lens_en = np.array([len(p) for p in want_enc])
+            KE2 = int(os.environ.get("AMV_BENCH_COMPLETEENC_K", "32"))
+            FE2 = F * KE2
+            ids_en = np.tile(np.arange(F), KE2)[
+                np.argsort(np.tile(lens_en, KE2), kind="stable")]
 
-        @jax.jit
-        def complete_encode(yy, cc, rr, salt):
-            yy = (yy.astype(jnp.int32) + salt * 0).astype(jnp.uint8)
-            words, bits = encode_planes_layout(yy, cc, rr, mb_w, mb_h, qk,
-                                               w_out=1024, win_emit=64)
-            return words, bits, (jnp.sum(words[::31, ::17]) +
-                                 jnp.sum(bits) + salt)
+            @jax.jit
+            def complete_encode(yy, cc, rr, salt):
+                yy = (yy.astype(jnp.int32) + salt * 0).astype(jnp.uint8)
+                words, bits = encode_planes_layout(
+                    yy, cc, rr, mb_w, mb_h, qk, w_out=1024, win_emit=64)
+                return words, bits, (jnp.sum(words[::31, ::17]) +
+                                     jnp.sum(bits) + salt)
 
-        y1, cb1d, cr1d = (jax.device_put(jnp.asarray(x))
-                          for x in (yh, cbh, crh))
-        w1, b1, _ = complete_encode(y1, cb1d, cr1d, jnp.int32(0))
-        got_enc = native.escape_frames(np.asarray(w1), np.asarray(b1))
-        assert got_enc == want_enc, \
-            "complete device encode != host encoder payloads"
+            y1, cb1d, cr1d = (jax.device_put(jnp.asarray(x))
+                              for x in (yh, cbh, crh))
+            w1, b1, _ = complete_encode(y1, cb1d, cr1d, jnp.int32(0))
+            got_enc = native.escape_frames(np.asarray(w1), np.asarray(b1))
+            assert got_enc == want_enc, \
+                "complete device encode != host encoder payloads"
 
-        ys, cbs, crs = (jax.device_put(jnp.asarray(
-            np.tile(x, (KE2, 1, 1))[ids_en])) for x in (yh, cbh, crh))
-        jax.block_until_ready((ys, cbs, crs))
-        _ = int(complete_encode(ys, cbs, crs, jnp.int32(0))[2][...])
-        t_ce = best_time(lambda: int(complete_encode(
-            ys, cbs, crs, jnp.int32(np.random.randint(1000)))[2][...]))
-        dev_completeenc_fps = FE2 / t_ce
-    except Exception as e:
-        print(f"# complete device encode section skipped: "
-              f"{type(e).__name__}: {e}", file=sys.stderr)
+            ys, cbs, crs = (jax.device_put(jnp.asarray(
+                np.tile(x, (KE2, 1, 1))[ids_en])) for x in (yh, cbh, crh))
+            jax.block_until_ready((ys, cbs, crs))
+            _ = int(complete_encode(ys, cbs, crs, jnp.int32(0))[2][...])
+            t_ce = best_time(lambda: int(complete_encode(
+                ys, cbs, crs, jnp.int32(np.random.randint(1000)))[2][...]))
+            detail["device_complete_encode_fps"] = round(FE2 / t_ce, 1)
 
-    # optional: the pure-XLA two-stage path (pre-Pallas headline)
-    t_xla = None
-    if os.environ.get("AMV_BENCH_XLA") == "1":
-        KX = TILE
+        # ---- optional: pure-XLA two-stage path (pre-Pallas headline) -------
+        if os.environ.get("AMV_BENCH_XLA") == "1":
+            with sect("full_xla_two_stage"):
+                KX = TILE
 
-        @jax.jit
-        def xla_roundtrip(lv0, salt):
-            lv = jnp.tile(lv0, (KX, 1, 1, 1)) + salt.astype(jnp.int16) * 0
-            yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
-            lv2 = encode_transform(yy, ccb, ccr, mb_w, mb_h, 2)
-            return (jnp.sum(lv2.astype(jnp.int32)) +
-                    jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32)) + salt)
+                @jax.jit
+                def xla_roundtrip(lv0, salt):
+                    lv = (jnp.tile(lv0, (KX, 1, 1, 1)) +
+                          salt.astype(jnp.int16) * 0)
+                    yy, ccb, ccr = decode_transform(lv, mb_w, mb_h, w, h)
+                    lv2 = encode_transform(yy, ccb, ccr, mb_w, mb_h, 2)
+                    return (jnp.sum(lv2.astype(jnp.int32)) +
+                            jnp.sum(yy[::97, ::13, ::17].astype(jnp.int32))
+                            + salt)
 
-        _ = int(xla_roundtrip(levels_dev, jnp.int32(0))[...])
-        t_xla = best_time(lambda: int(
-            xla_roundtrip(levels_dev, jnp.int32(np.random.randint(1000)))[...]))
-        t_xla = F * KX / t_xla
+                levels_dev = jax.device_put(jnp.asarray(levels))
+                _ = int(xla_roundtrip(levels_dev, jnp.int32(0))[...])
+                t_xla = best_time(lambda: int(xla_roundtrip(
+                    levels_dev, jnp.int32(np.random.randint(1000)))[...]))
+                detail["xla_two_stage_fps"] = round(F * KX / t_xla, 1)
 
-    # ---------------- host entropy + link: end-to-end -------------------------
-    def e2e_decode():
-        lv = huffman_decode_frames(payloads, mb_w * mb_h)
-        out = decode_transform(jnp.asarray(lv), mb_w, mb_h, w, h)
-        return [np.asarray(o) for o in out]
+        # ---- optional: device-entropy e2e encode ---------------------------
+        if os.environ.get("AMV_BENCH_DEVENT") == "1":
+            with sect("full_e2e_device_entropy"):
+                from amv_tpu.kernels.entropy_encode import \
+                    encode_frames_device
 
-    t_e2e_dec = best_time(e2e_decode, iters=2)
+                def e2e_encode_devent():
+                    lv = encode_transform(
+                        jnp.asarray(yh), jnp.asarray(cbh), jnp.asarray(crh),
+                        mb_w, mb_h, 2)
+                    payload, lens = encode_frames_device(lv, max_bytes=4096)
+                    payload, lens = np.asarray(payload), np.asarray(lens)
+                    return [payload[f, :lens[f]].tobytes()
+                            for f in range(F)]
 
-    def e2e_encode():
-        lv = np.asarray(encode_transform(
-            jnp.asarray(yh), jnp.asarray(cbh), jnp.asarray(crh), mb_w, mb_h, 2))
-        return [huffman_encode_frame(lv[f]) for f in range(F)]
+                enc_devent = e2e_encode_devent()  # compile+warm
+                assert enc_devent[0] == tpu_payload0, \
+                    "device entropy != host entropy"
+                detail["e2e_tunnel_encode_device_entropy_fps"] = round(
+                    F / best_time(e2e_encode_devent, iters=2), 1)
 
-    t_e2e_enc = best_time(e2e_encode, iters=2)
-
-    # device-entropy variant: only payload bytes cross the link.
-    # costs one extra remote compile (~2 min cold), so it is opt-in.
-    t_e2e_enc_dev = None
-    if os.environ.get("AMV_BENCH_DEVENT") == "1":
-        from amv_tpu.kernels.entropy_encode import encode_frames_device
-
-        def e2e_encode_devent():
-            lv = encode_transform(jnp.asarray(yh), jnp.asarray(cbh),
-                                  jnp.asarray(crh), mb_w, mb_h, 2)
-            payload, lens = encode_frames_device(lv, max_bytes=4096)
-            payload, lens = np.asarray(payload), np.asarray(lens)
-            return [payload[f, :lens[f]].tobytes() for f in range(F)]
-
-        enc_devent = e2e_encode_devent()  # compile+warm
-        assert enc_devent[0] == tpu_payload0, "device entropy != host entropy"
-        t_e2e_enc_dev = best_time(e2e_encode_devent, iters=2)
-
-    # ---------------- ADPCM -----------------------------------------------
-    maxlen = int(alens.max())
-    payload_a = np.zeros((len(achunks), maxlen), np.uint8)
-    for i, c in enumerate(achunks):
-        payload_a[i, :alens[i]] = np.frombuffer(c, np.uint8)[8:]
-    # tile-factor sweep (scripts/measure_adpcm_k.py, 2026-08-19, all
-    # checksum-OK): 256 -> 2.58 Gs/s, 512 -> 3.98, 1024 -> 5.32,
-    # 2048 -> 6.28, 4096 -> 7.18 blocking — the ~22-32 ms relay dispatch
-    # was ~40% of the wall at 256; the marginal device rate is ~8.4 Gs/s.
-    # 4096 stages ~3.6 GB of nibbles+PCM (16 GB chip).
-    KA_T = int(os.environ.get("AMV_BENCH_ADPCM_K", "4096"))
-    n_samples = int(2 * alens.sum()) * KA_T
-
-    # expected checksum from the single-core C reference over the padded
-    # payload rows (the device decodes the zero pad up to maxlen too, so
-    # the C expectation must as well); int32 wrap emulated on host.
-    csum_host = 0
-    for i in range(len(achunks)):
-        pcm_i = native.ref_adpcm_decode(payload_a[i].tobytes(),
-                                        int(pred[i]), int(sidx[i]))
-        csum_host += int(pcm_i.astype(np.int64).sum())
-    exp_adpcm_cs = ((csum_host * KA_T) + 2**31) % 2**32 - 2**31
-    nb_valid = 2 * payload_a.shape[1]
-
-    @jax.jit
-    def fused_adpcm_pallas(pl, pr, si, salt):
-        # checksum over the valid region only, computed in packed layout
-        # (total minus the nbytes-padding tail) — no transpose back.
-        # The KA_T-times replication is split two ways: a small pre-tile
-        # r_pre brings the chunk count to an exact SB*128 lane-block
-        # multiple (252 -> 252*512 = 63 full blocks, zero pad lanes),
-        # and decode_layout_wrap supplies the remaining KA_T/r_pre
-        # copies through wrapping chunk-block index maps — so the bulk
-        # of the tiled input slab never materializes while the lockstep
-        # grid still runs exactly 252*KA_T real chunk decodes (the
-        # r4 ADVICE fix: wrapping the 2048-lane PADDED base ran 8.1x
-        # the work and a ~24 GB output).  exp_adpcm_cs is
-        # layout-invariant (sums; zero pad rows decode to zero PCM).
-        lanes = KPA.SB * 128
-        r_pre = lanes // int(np.gcd(pl.shape[0], lanes))
-        rep = KA_T // r_pre if KA_T % r_pre == 0 else 1
-        if rep == 1:
-            r_pre = KA_T
-        pl2 = jnp.tile(pl, (r_pre, 1))
-        pr2 = jnp.tile(pr, (r_pre,)) + salt * 0
-        si2 = jnp.tile(si, (r_pre,))
-        bts, prl, sil = KPA.to_layout(pl2, pr2, si2)
-        out = KPA.decode_layout_wrap(bts, prl, sil, repeat=rep)
-        s_all = jnp.sum(out.astype(jnp.int32))
-        s_pad = jnp.sum(out[:, nb_valid:].astype(jnp.int32))
-        return s_all - s_pad + salt
-
-    @jax.jit
-    def fused_adpcm_xla(pl, pr, si, salt):
-        pl2 = jnp.tile(pl, (KA_T, 1))
-        pr2 = jnp.tile(pr, (KA_T,)) + salt * 0
-        si2 = jnp.tile(si, (KA_T,))
-        pcm = KA.decode_chunks(pl2, pr2, si2)
-        return jnp.sum(pcm.astype(jnp.int32)) + salt
-
-    adpcm_kernel = "pallas"
-    adpcm_pipe_sps = None
-    pa, pp, ps = (jax.device_put(jnp.asarray(x))
-                  for x in (payload_a, pred, sidx))
-    try:
-        cs0 = int(fused_adpcm_pallas(pa, pp, ps, jnp.int32(0))[...])
-        assert cs0 == exp_adpcm_cs, \
-            f"ADPCM pallas checksum {cs0} != C reference {exp_adpcm_cs}"
-        t_adpcm = best_time(lambda: int(fused_adpcm_pallas(
-            pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
-        # ~192 ms/call at KA_T=4096: the relay RTT is ~12% of the
-        # blocking wall; the queued steady state is the serving number
-        adpcm_pipe_sps = pipelined_fps(
-            lambda sv: fused_adpcm_pallas(pa, pp, ps, jnp.int32(sv)),
-            n_samples)
-    except AssertionError:
-        raise  # a bit-exactness violation must fail the bench, not fall back
-    except Exception:
-        adpcm_kernel = "xla-scan"
-        try:
-            _ = int(fused_adpcm_xla(pa, pp, ps, jnp.int32(0))[...])
-            t_adpcm = best_time(lambda: int(fused_adpcm_xla(
-                pa, pp, ps, jnp.int32(np.random.randint(1000)))[...]))
-        except Exception:
-            t_adpcm = None
-
-    # ---------------- G.729A (default on; AMV_BENCH_G729=0 disables) --------
-    g729_detail = {}
-    if os.environ.get("AMV_BENCH_G729", "1") != "0":
-        from amv_tpu.codecs import g729a
-        rng = np.random.default_rng(0)
-        # B=256 measured 80-102K fps; batch scaling is the decoder's
-        # lever (MEASURED: 138.6K @B=1024, 150.9K @B=4096 / T=32) —
-        # default to 1024 as the steady-state serving configuration
-        T_, B = 64, int(os.environ.get("AMV_BENCH_G729_B", "1024"))
-        frames = rng.integers(0, 256, (T_, B, 10), dtype=np.uint8)
-        # force valid pitch range + parity so no erasure path dominates
-        frames[..., 2] = 0x40
-        pcm = g729a.decode_streams(frames)  # compile+warm + API check
-        # device-resident timing (the project benchmark convention):
-        # decode_streams' np.asarray return moves T*B*80 int16 = 10.5MB
-        # back through the 30MB/s relay (~350ms) INSIDE the old timing
-        # loop — pcm stays on device here, scalar checksum readback only
-        import jax.numpy as jnpg
-        parms_d = jax.device_put(jnpg.asarray(g729a.unpack_frames(frames)))
-
-        @jax.jit
-        def dec_device(parms_all, salt):
-            st = g729a.init_state(B)
-            p = parms_all.at[0, :, 13].set(
-                (parms_all[0, :, 13] + salt) % 16)   # vary GB index
-            _, pcm_ = g729a.decode_frames_scan(st, p)
-            return jnpg.sum(pcm_[:, :, ::17].astype(jnpg.int32))
-
-        _ = int(dec_device(parms_d, jnpg.int32(0))[...])
-        t_g729 = np.inf
-        for it in range(4):
-            t0 = time.perf_counter()
-            _ = int(dec_device(parms_d, jnpg.int32(it + 1))[...])
-            t_g729 = min(t_g729, time.perf_counter() - t0)
-        g729_detail = {
-            "g729_tpu_frames_per_s": round(T_ * B / t_g729, 1),
-            "g729_tpu_pipelined_frames_per_s": round(pipelined_fps(
-                lambda sv: dec_device(parms_d, jnpg.int32(sv)),
-                T_ * B), 1),
-            "g729_batch": f"{B} streams x {T_} frames",
-        }
-        # default on since the static-grid rewrite (54.8K fps at B=1024,
-        # 2.6x the gather-based round-1 kernel); AMV_BENCH_G729ENC=0 skips
-        if os.environ.get("AMV_BENCH_G729ENC", "1") != "0":
-            import jax.numpy as jnp2
-            from amv_tpu.codecs.g729a_encoder_tpu import encode_frames_scan
-            Be = int(os.environ.get("AMV_BENCH_G729ENC_B", "1024"))
-            Te = 16
-            rng2 = np.random.default_rng(1)
-            # device-resident [T, B, 80] frame stack: the old per-frame
-            # jnp.asarray staging moved 328KB/frame through the 30MB/s
-            # tunnel (~11 ms/frame) and hid the true device time (the
-            # historical 54-95K readings were transfer-bound; measured
-            # 213K f/s clean with the lax.scan chain)
-            sig = jnp2.asarray((3000 * rng2.standard_normal(
-                (Te, Be, 80))).astype(np.float32))
-            ste = __import__("amv_tpu.codecs.g729a",
-                             fromlist=["init_state"]).init_state(Be)
-            hh = jnp2.zeros((Be, 160))
-            ste, hh, pm = encode_frames_scan(ste, hh, sig)
-            _ = np.asarray(pm[-1])
-            t_enc = np.inf
-            for rep in range(4):
-                t0 = time.perf_counter()
-                ste, hh, pm = encode_frames_scan(ste, hh, sig)
-                _ = np.asarray(pm[-1, :, 0])
-                t_enc = min(t_enc, (time.perf_counter() - t0) / Te)
-            g729_detail["g729_tpu_encode_frames_per_s"] = \
-                round(Be / t_enc, 1)
-            # chained steady state: the scan re-feeds its own carried
-            # state, so 8 calls queued without intermediate readbacks
-            # overlap each call's relay dispatch with the previous
-            # call's execution (16 frames/call at ~77 ms blocking wall,
-            # ~25 ms of it RTT)
-            D_ENC = 8
-            t0 = time.perf_counter()
-            ste2, hh2, pm2 = ste, hh, pm
-            for _ in range(D_ENC):
-                ste2, hh2, pm2 = encode_frames_scan(ste2, hh2, sig)
-            jax.block_until_ready(pm2)
-            t_pipe = (time.perf_counter() - t0) / (D_ENC * Te)
-            g729_detail["g729_tpu_encode_pipelined_frames_per_s"] = \
-                round(Be / t_pipe, 1)
-
-    out = {
-        "metric": "AMV decode+encode frames/sec/chip (bit-exact, device-resident batch)",
-        "value": round(dev_fps, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(dev_fps / fps_c, 2),
-        "detail": {
-            "corpus": f"AMV1.amv (252+4 pad) x{K} = {FK8} frames 128x96",
-            "path": "fused Pallas transcode kernel (dequant+IDCT+FDCT+quant "
-                    "in one VMEM pass), checksum-gated vs C-verified outputs",
-            **({"device_transform_pipelined_fps": round(dev_pipe_fps, 1)}
-               if dev_pipe_fps else {}),
-            **({"fps_160x120": round(fps_160, 1)} if fps_160 else {}),
-            **({"xla_two_stage_fps": round(t_xla, 1)} if t_xla else {}),
-            "c1core_decode_fps": round(F / tc_dec, 1),
-            "c1core_encode_fps": round(F / tc_enc, 1),
-            "e2e_tunnel_decode_fps": round(F / t_e2e_dec, 1),
-            "e2e_tunnel_encode_fps": round(F / t_e2e_enc, 1),
-            **({"e2e_tunnel_encode_device_entropy_fps":
-                round(F / t_e2e_enc_dev, 1)} if t_e2e_enc_dev else {}),
-            "host_entropy_decode_fps": round(F / t_entropy_dec, 1),
-            **({"device_full_decode_fps": round(dev_fulldec_fps, 1)}
-               if dev_fulldec_fps else {}),
-            **({"device_full_transcode_fps": round(dev_fulltrans_fps, 1)}
-               if dev_fulltrans_fps else {}),
-            **({"device_complete_transcode_fps": round(dev_complete_fps, 1)}
-               if dev_complete_fps else {}),
-            **({"device_complete_median_fps": round(dev_complete_med_fps, 1)}
-               if dev_complete_med_fps else {}),
-            **({"device_complete_pipelined_fps":
-                round(dev_complete_pipe_fps, 1)}
-               if dev_complete_pipe_fps else {}),
-            **({"device_complete_lockstep_fps":
-                round(dev_complete_lockstep_fps, 1)}
-               if dev_complete_lockstep_fps else {}),
-            **({"device_complete_clustered_fps":
-                round(dev_complete_clustered_fps, 1)}
-               if dev_complete_clustered_fps else {}),
-            **({"device_complete_160x120_fps": round(dev_complete160_fps, 1)}
-               if dev_complete160_fps else {}),
-            **({"device_complete_160x120_pipelined_fps":
-                round(dev_complete160_pipe_fps, 1)}
-               if dev_complete160_pipe_fps else {}),
-            **({"device_complete_320x240_fps": round(dev_complete320_fps, 1)}
-               if dev_complete320_fps else {}),
-            **({"device_complete_320x240_pipelined_fps":
-                round(dev_complete320_pipe_fps, 1)}
-               if dev_complete320_pipe_fps else {}),
-            **sustained,
-            **({"device_complete_encode_fps": round(dev_completeenc_fps, 1)}
-               if dev_completeenc_fps else {}),
-            **({"host_unescape_fps": round(unescape_fps, 1)}
-               if unescape_fps else {}),
-            **({"progressive_host_fps": round(prog_fps, 1)}
-               if prog_fps else {}),
-            "adpcm_kernel": adpcm_kernel,
-            **({"adpcm_tpu_msamples": round(n_samples / t_adpcm / 1e6, 1)}
-               if t_adpcm else {}),
-            **({"adpcm_tpu_pipelined_msamples": round(adpcm_pipe_sps / 1e6, 1)}
-               if adpcm_pipe_sps else {}),
-            "adpcm_c1core_msamples": round(2 * int(alens.sum()) / tc_adpcm / 1e6, 1),
-            "note": "device-resident timing amortizes the ~32ms axon relay "
-                    "RTT and ~30MB/s tunnel of this dev environment; "
-                    "e2e_tunnel_* include them; *_pipelined_fps = depth-8 "
-                    "queued dispatch (steady-state serving: call N+1's "
-                    "relay RTT hides under call N's device execution)",
-            "device": str(jax.devices()[0]),
-            **({"roofline": roofline} if roofline else {}),
-            **g729_detail,
-        },
-    }
-    print(json.dumps(out))
+    # fall back the headline to the product chain if the transform
+    # section failed (the driver JSON must always carry a number)
+    if not out["value"] and dev_complete_fps:
+        out["value"] = round(dev_complete_fps, 1)
+        out["vs_baseline"] = round(dev_complete_fps / fps_c, 2)
+        out["metric"] = ("AMV complete transcode frames/sec/chip "
+                         "(bit-exact, device-resident batch)")
+    emit()
 
 
 if __name__ == "__main__":

@@ -210,6 +210,34 @@ TARGETS = {
 }
 
 
+LOCKFILE = "/tmp/amv_fuzz_soak.lock"
+LOAD_MAX = 1.5   # this host has ONE core; anything compiling pushes >1
+
+
+def _wait_for_quiet_host(max_wait_s=600):
+    """Refuse to fuzz on a contended host (r3 verdict item 8: a worker
+    that replays in 0.2 s blew an 1800 s timeout because it ran beside a
+    1684 s single-core XLA compile).  Waits up to max_wait_s for the
+    1-min loadavg to drop, then aborts rather than produce a false
+    positive."""
+    t0 = time.time()
+    while True:
+        try:
+            load = os.getloadavg()[0]
+        except OSError:
+            return
+        if load <= LOAD_MAX:
+            return
+        if time.time() - t0 > max_wait_s:
+            print(f"ABORT: host load {load:.1f} > {LOAD_MAX} for "
+                  f"{max_wait_s}s — run the soak when nothing is "
+                  f"compiling (subprocess timeouts would be starvation, "
+                  f"not hangs)", flush=True)
+            sys.exit(2)
+        print(f"# waiting for quiet host (load {load:.1f})...", flush=True)
+        time.sleep(30)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", default=None)
@@ -223,6 +251,20 @@ def main():
         TARGETS[args.worker](rng, args.n)
         return
 
+    # single-instance lock: two soaks (or a soak over a stale lock from a
+    # dead master) must not share the one host core
+    if os.path.exists(LOCKFILE):
+        try:
+            other = int(open(LOCKFILE).read().strip())
+            os.kill(other, 0)
+            print(f"ABORT: soak already running (pid {other}, {LOCKFILE})",
+                  flush=True)
+            sys.exit(2)
+        except (ValueError, ProcessLookupError, PermissionError):
+            pass  # stale lock
+    open(LOCKFILE, "w").write(str(os.getpid()))
+    _wait_for_quiet_host()
+
     deadline = time.time() + args.minutes * 60
     seed = int(time.time()) & 0xFFFFFF
     fails = []
@@ -231,6 +273,7 @@ def main():
         for name in TARGETS:
             if time.time() >= deadline:
                 break
+            _wait_for_quiet_host()
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
                  name, "--seed", str(seed), "--n", str(args.n)],
@@ -245,6 +288,10 @@ def main():
         rounds += 1
     print(f"done: {rounds} rounds, {len(fails)} failures: {fails}",
           flush=True)
+    try:
+        os.remove(LOCKFILE)
+    except OSError:
+        pass
     sys.exit(1 if fails else 0)
 
 

@@ -26,6 +26,47 @@ if not _TPU_SMOKE:
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------- tiering
+# r3 verdict item 6: the full suite is 50-60 min on the one host core
+# (interpret-mode Pallas XLA compiles dominate), so the practical default
+# loop skipped most of it.  Files listed here are auto-marked `slow`;
+# everything else is marked `fast`.  The default gate is
+#     python -m pytest tests/ -m fast -x -q        (~6 min, measured
+#     2026-08-20 — see BASELINE.md round-4 table)
+# and the full suite (fast + slow) stays the pre-commit bar for kernel
+# changes.  The list is duration-measured (pytest --durations), not
+# guessed: every file whose wall time exceeds ~60 s is slow.
+SLOW_FILES = {
+    "test_serving.py",              # ~7.5 min: serving interpret configs
+    "test_entropy_async.py",
+    "test_entropy_async_dense.py",
+    "test_entropy_async_encode.py",
+    "test_entropy_enc_async_dense.py",
+    "test_entropy_enc_parallel.py",
+    "test_entropy_pallas.py",
+    "test_entropy_encode_pallas.py",
+    "test_entropy_decode_device.py",
+    "test_entropy_device.py",
+    "test_transcode_layout.py",
+    "test_transcode_fused_pipeline.py",
+    "test_sb_width.py",
+    "test_encode_segmented.py",
+    "test_sharding.py",
+    "test_g729_encoder_tpu.py",
+    "test_robustness.py",
+    "test_pipeline.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
+
 SAMPLE_AMV = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
 
 
