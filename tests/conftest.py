@@ -55,6 +55,9 @@ SLOW_FILES = {
     "test_g729_encoder_tpu.py",
     "test_robustness.py",
     "test_pipeline.py",
+    "test_transcode_pallas.py",     # 294 s (4 interpret-mode kernel gates)
+    "test_g729_tpu.py",             # 97 s (batched bit-exact oracle)
+    "test_transcode.py",            # 59 s (device corpus roundtrip)
 }
 
 
