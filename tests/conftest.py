@@ -36,28 +36,22 @@ import pytest  # noqa: E402
 # and the full suite (fast + slow) stays the pre-commit bar for kernel
 # changes.  The list is duration-measured (pytest --durations), not
 # guessed: every file whose wall time exceeds ~60 s is slow.
-SLOW_FILES = {
-    "test_serving.py",              # ~7.5 min: serving interpret configs
-    "test_entropy_async.py",
-    "test_entropy_async_dense.py",
-    "test_entropy_async_encode.py",
-    "test_entropy_enc_async_dense.py",
-    "test_entropy_enc_parallel.py",
-    "test_entropy_pallas.py",
-    "test_entropy_encode_pallas.py",
-    "test_entropy_decode_device.py",
-    "test_entropy_device.py",
-    "test_transcode_layout.py",
-    "test_transcode_fused_pipeline.py",
-    "test_sb_width.py",
-    "test_encode_segmented.py",
-    "test_sharding.py",
-    "test_g729_encoder_tpu.py",
-    "test_robustness.py",
-    "test_pipeline.py",
-    "test_transcode_pallas.py",     # 294 s (4 interpret-mode kernel gates)
-    "test_g729_tpu.py",             # 97 s (batched bit-exact oracle)
-    "test_transcode.py",            # 59 s (device corpus roundtrip)
+SLOW_FILES = {                      # per-file wall, isolated process,
+    "test_sharding.py",             # 996 s      measured 2026-08-20
+    "test_entropy_enc_parallel.py",  # 1173 s
+    "test_entropy_async_encode.py",  # 708 s
+    "test_entropy_enc_async_dense.py",  # 632 s
+    "test_sb_width.py",             # 602 s
+    "test_transcode_layout.py",     # 581 s
+    "test_entropy_async_dense.py",  # 490 s
+    "test_serving.py",              # 482 s
+    "test_encode_segmented.py",     # 393 s
+    "test_transcode_pallas.py",     # 270 s
+    "test_g729_encoder_tpu.py",     # 212 s
+    "test_transcode_fused_pipeline.py",  # 119 s
+    "test_entropy_async.py",        # 104 s
+    "test_g729_tpu.py",             # 98 s
+    "test_transcode.py",            # 68 s
 }
 
 
