@@ -469,6 +469,13 @@ def main():
                                          jnp.int32(0)) + salt
             return complete_rep
 
+        # single-dispatch blocking number (one batch-pass per call, pays
+        # the full relay RTT) reported alongside for transparency — the
+        # r2/r3 numbers used this convention
+        t_c1 = best_time(lambda: int(complete_full(
+            rows_ct, jnp.int32(np.random.randint(1000)))[3][...]))
+        detail["device_complete_single_dispatch_fps"] = round(FC / t_c1, 1)
+
         if R_REP > 1:
             complete_rep = make_rep(rows_ct)
             cs_single = int(complete_full(rows_ct, jnp.int32(0))[3][...])
@@ -568,6 +575,11 @@ def main():
             "160x120 complete transcode != host re-encode payloads"
         del w160, b160
 
+        t_160_1 = best_time(lambda: int(complete160_full(
+            rows160_k, jnp.int32(np.random.randint(1000)))[2][...]))
+        detail["device_complete_160x120_single_dispatch_fps"] = round(
+            FB160 / t_160_1, 1)
+
         # rep-loop timing (see the complete section): R_REP batch-passes
         # per dispatch, checksum-gated vs R x the byte-gated single pass
         R160 = int(os.environ.get("AMV_BENCH_REPS", "4"))
@@ -652,6 +664,11 @@ def main():
         assert got320 == want320, \
             "320x240 segmented complete transcode != host re-encode"
         del w320, b320
+
+        t_320_1 = best_time(lambda: int(complete320_full(
+            rows320_d, jnp.int32(np.random.randint(1000)))[2][...]))
+        detail["device_complete_320x240_single_dispatch_fps"] = round(
+            F320 / t_320_1, 1)
 
         # rep-loop timing (see the complete section): R_REP batch-passes
         # per dispatch, checksum-gated vs R x the byte-gated single pass
