@@ -72,6 +72,18 @@ def test_bit_exact_with_erasures():
     np.testing.assert_array_equal(run_ours(frames), run_oracle(frames))
 
 
+def test_bit_exact_minimum_pitch_delay():
+    """P1 = 0 forces the minimum pitch delay (pd 19+1/3) — the fractional
+    interpolation corner the CLI adversarial probes exercise (verify
+    skill: clearing P1@18:8).  Differential vs the compiled reference."""
+    rng = np.random.default_rng(5)
+    frames = []
+    for i in range(24):
+        frames.append(make_frame(rng, p1_range=(0, 4) if i % 3 else
+                                 (0, 1)))
+    np.testing.assert_array_equal(run_ours(frames), run_oracle(frames))
+
+
 def test_bit_exact_high_pitch_and_bad_parity():
     rng = np.random.default_rng(3)
     frames = []
