@@ -441,6 +441,16 @@ def main():
         want_payloads = [huffman_encode_frame(lv_enc[f]) for f in range(F)]
         assert got_payloads == want_payloads, \
             "complete device transcode != host re-encode payloads"
+        # r4 ADVICE hardening: also gate each frame's LAST replica (a
+        # different lane position) so a lane-position-dependent encode bug
+        # in non-first replicas is caught directly, not only via checksum
+        up_last = len(frame_of) - 1 - np.unique(
+            frame_of[::-1], return_index=True)[1]
+        got_last = native.escape_frames(
+            np.asarray(w0[jnp.asarray(up_last)]),
+            np.asarray(b0[jnp.asarray(up_last)]))
+        assert got_last == want_payloads, \
+            "complete device transcode: last-replica payload mismatch"
         del w0, b0, ok0, cs0
 
         # Timing runs R_REP full batch-passes inside ONE dispatched
@@ -937,8 +947,11 @@ def main():
                         jnp.where(ok, 0, 1 << 30) + salt)
 
             _ = int(complete_t(rows_ct, jnp.int32(0))[...])
-            detail["device_complete_pipelined_fps"] = round(pipelined_fps(
-                lambda sv: complete_t(rows_ct, jnp.int32(sv)), FC), 1)
+            # distinct key from the budget-mode rep-loop number (r4 ADVICE:
+            # same key carried different measurement semantics in FULL runs)
+            detail["device_complete_pipelined_single_pass_fps"] = round(
+                pipelined_fps(
+                    lambda sv: complete_t(rows_ct, jnp.int32(sv)), FC), 1)
 
         # ---- round-2 lockstep chain (regression reference), K=64 -----------
         with sect("full_lockstep"):

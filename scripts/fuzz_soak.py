@@ -252,46 +252,65 @@ def main():
         return
 
     # single-instance lock: two soaks (or a soak over a stale lock from a
-    # dead master) must not share the one host core
-    if os.path.exists(LOCKFILE):
+    # dead master) must not share the one host core.  Acquisition is
+    # atomic (O_CREAT|O_EXCL) and release is a try/finally so abort paths
+    # (_wait_for_quiet_host sys.exit, worker TimeoutExpired) cannot leave
+    # the lock behind (r4 ADVICE).
+    for attempt in range(2):
         try:
-            other = int(open(LOCKFILE).read().strip())
-            os.kill(other, 0)
-            print(f"ABORT: soak already running (pid {other}, {LOCKFILE})",
-                  flush=True)
-            sys.exit(2)
-        except (ValueError, ProcessLookupError, PermissionError):
-            pass  # stale lock
-    open(LOCKFILE, "w").write(str(os.getpid()))
-    _wait_for_quiet_host()
+            fd = os.open(LOCKFILE, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                other = int(open(LOCKFILE).read().strip())
+                os.kill(other, 0)
+                print(f"ABORT: soak already running (pid {other}, "
+                      f"{LOCKFILE})", flush=True)
+                sys.exit(2)
+            except (ValueError, ProcessLookupError, PermissionError):
+                # stale lock: remove and retry the atomic create once
+                try:
+                    os.remove(LOCKFILE)
+                except OSError:
+                    pass
+    else:
+        print("ABORT: could not acquire soak lock", flush=True)
+        sys.exit(2)
 
-    deadline = time.time() + args.minutes * 60
-    seed = int(time.time()) & 0xFFFFFF
-    fails = []
-    rounds = 0
-    while time.time() < deadline:
-        for name in TARGETS:
-            if time.time() >= deadline:
-                break
-            _wait_for_quiet_host()
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker",
-                 name, "--seed", str(seed), "--n", str(args.n)],
-                capture_output=True, text=True, timeout=1800)
-            if r.returncode != 0:
-                fails.append((name, seed, r.returncode))
-                print(f"FAIL {name} seed={seed} rc={r.returncode}\n"
-                      f"--- stderr tail ---\n{r.stderr[-2000:]}", flush=True)
-            else:
-                print(f"ok {name} seed={seed} n={args.n}", flush=True)
-        seed += 1
-        rounds += 1
-    print(f"done: {rounds} rounds, {len(fails)} failures: {fails}",
-          flush=True)
     try:
-        os.remove(LOCKFILE)
-    except OSError:
-        pass
+        _wait_for_quiet_host()
+
+        deadline = time.time() + args.minutes * 60
+        seed = int(time.time()) & 0xFFFFFF
+        fails = []
+        rounds = 0
+        while time.time() < deadline:
+            for name in TARGETS:
+                if time.time() >= deadline:
+                    break
+                _wait_for_quiet_host()
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--worker",
+                     name, "--seed", str(seed), "--n", str(args.n)],
+                    capture_output=True, text=True, timeout=1800)
+                if r.returncode != 0:
+                    fails.append((name, seed, r.returncode))
+                    print(f"FAIL {name} seed={seed} rc={r.returncode}\n"
+                          f"--- stderr tail ---\n{r.stderr[-2000:]}",
+                          flush=True)
+                else:
+                    print(f"ok {name} seed={seed} n={args.n}", flush=True)
+            seed += 1
+            rounds += 1
+        print(f"done: {rounds} rounds, {len(fails)} failures: {fails}",
+              flush=True)
+    finally:
+        try:
+            os.remove(LOCKFILE)
+        except OSError:
+            pass
     sys.exit(1 if fails else 0)
 
 

@@ -10,7 +10,11 @@ set -e
 cd "$(dirname "$0")/.."
 echo "== bench.py (budget mode) =="
 t0=$(date +%s)
-python bench.py 2>bench_close.stderr | tail -1 | tee /tmp/bench_close.json
+# explicit exit-status check: under plain sh a `python | tail` pipeline's
+# status is tail's, so set -e would not stop on a bench failure (r4 ADVICE)
+python bench.py >/tmp/bench_close.out 2>bench_close.stderr || {
+    echo "bench.py FAILED (see bench_close.stderr)"; exit 1; }
+tail -1 /tmp/bench_close.out | tee /tmp/bench_close.json
 echo "bench wall: $(( $(date +%s) - t0 )) s"
 echo "== dryrun_multichip(8) =="
 t1=$(date +%s)

@@ -56,12 +56,28 @@ SLOW_FILES = {                      # per-file wall, isolated process,
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
     for item in items:
         fname = os.path.basename(str(item.fspath))
+        seen.add(fname)
         if fname in SLOW_FILES:
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.fast)
+    # r4 ADVICE: a renamed/removed SLOW_FILES entry would silently move
+    # minutes of interpret-mode compiles into the fast gate — fail loudly.
+    # Only checked on directory-level collection (explicit-file runs
+    # legally collect a subset).
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    dir_run = any(
+        os.path.isdir(a.split("::")[0]) and os.path.samefile(
+            a.split("::")[0], tests_dir)
+        for a in config.args if os.path.exists(a.split("::")[0]))
+    if dir_run:
+        stale = SLOW_FILES - seen
+        assert not stale, (
+            f"conftest.SLOW_FILES entries matched no collected test file "
+            f"(renamed?): {sorted(stale)}")
 
 
 SAMPLE_AMV = "/root/reference/C-AMVDecoder/bin/AMV1.amv"
