@@ -21,6 +21,9 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#ifdef __SSE2__
+#include <emmintrin.h>
+#endif
 
 #define API __attribute__((visibility("default")))
 
@@ -98,7 +101,14 @@ static const int32_t mpeg1_intra[64] = {
 /* Huffman decode LUTs (16-bit peek)                                   */
 /* ------------------------------------------------------------------ */
 
-typedef struct { uint8_t sym[65536]; uint8_t len[65536]; } DecTable;
+/* One fused entry per 16-bit peek: (sym << 5) | len, len in 1..16
+ * (0 = invalid code).  One load + one cache line per token instead of
+ * the two parallel byte arrays the r4 decoder used.  e1 is an
+ * L1-resident 256-entry first level for codes of <= 8 bits (the vast
+ * majority of tokens): the 128 KB e[] table is effectively a random
+ * L2 access per token (the low peek bits are the *next* stream bits),
+ * and that load latency sits on the serial token critical path. */
+typedef struct { uint16_t e1[256]; uint16_t e[65536]; } DecTable;
 typedef struct { uint16_t code[256]; uint8_t size[256]; } EncTable;
 
 static DecTable dt_dc_l, dt_dc_c, dt_ac_l, dt_ac_c;
@@ -112,7 +122,8 @@ static int tables_ready = 0;
  * LUT — a heap overflow (found by tests/test_fuzz_parsers.py). */
 static int build_tables_one(DecTable *dt, EncTable *et,
                             const uint8_t *bits, const uint8_t *vals) {
-    memset(dt->len, 0, sizeof(dt->len));
+    memset(dt->e, 0, sizeof(dt->e));
+    memset(dt->e1, 0, sizeof(dt->e1));
     memset(et->size, 0, sizeof(et->size));
     uint32_t code = 0; int k = 0;
     for (int L = 1; L <= 16; L++) {
@@ -123,13 +134,16 @@ static int build_tables_one(DecTable *dt, EncTable *et,
             et->size[sym] = (uint8_t)L;
             uint32_t prefix = code << (16 - L);
             uint32_t span = 1u << (16 - L);
-            for (uint32_t t = 0; t < span; t++) {
-                dt->sym[prefix + t] = (uint8_t)sym;
-                dt->len[prefix + t] = (uint8_t)L;
-            }
+            uint16_t ent = (uint16_t)((sym << 5) | L);
+            for (uint32_t t = 0; t < span; t++)
+                dt->e[prefix + t] = ent;
             code++;
         }
         code <<= 1;
+    }
+    for (int p = 0; p < 256; p++) {
+        uint16_t ent = dt->e[p << 8];
+        dt->e1[p] = (uint16_t)((ent & 31) <= 8 ? ent : 0);
     }
     return 0;
 }
@@ -161,7 +175,22 @@ static void br_init(BitReader *br, const uint8_t *buf, size_t size) {
 }
 
 static inline void br_fill(BitReader *br) {
-    while (br->bits <= 56) {
+    if (br->bits >= 56) return;               /* >= 56 valid bits already */
+    if (br->byte_pos + 8 <= br->size) {
+        /* bulk refill: one 8-byte unaligned load + bswap replaces the
+         * r4 per-byte while loop (a branch per byte was the decode hot
+         * loop's biggest single cost).  Mask keeps the "bits above
+         * `bits` are zero" invariant the tail path relies on. */
+        uint64_t v;
+        memcpy(&v, br->buf + br->byte_pos, 8);
+        int nb = br->bits | 56;               /* new valid-bit count */
+        br->cache |= (__builtin_bswap64(v) >> br->bits) &
+                     (~0ull << (64 - nb));
+        br->byte_pos += (size_t)((nb - br->bits) >> 3);
+        br->bits = nb;
+        return;
+    }
+    while (br->bits <= 56) {                  /* zero-fill tail */
         uint64_t b = (br->byte_pos < br->size) ? br->buf[br->byte_pos] : 0;
         br->byte_pos++;
         br->cache |= b << (56 - br->bits);
@@ -179,13 +208,22 @@ static inline void br_skip(BitReader *br, int n) {
     br->bits -= n;
 }
 
+static inline int32_t br_get_xbits_nf(BitReader *br, int n) {
+    /* no-refill variant: caller guarantees >= n valid bits (true right
+     * after a peek-fill + skip(<=16): bits >= 56-16 = 40 >= 16).
+     * Branchless JPEG extend: the sign bit of a coefficient is random,
+     * so the naive `if (v < 2^(n-1))` mispredicts ~half of all level
+     * tokens (~15 cycles each on this core). */
+    uint32_t v = (uint32_t)(br->cache >> (64 - n));
+    br_skip(br, n);
+    uint32_t neg = ((v >> (n - 1)) & 1u) - 1u;   /* 0 or all-ones */
+    return (int32_t)(v - (neg & ((1u << n) - 1u)));
+}
+
 static inline int32_t br_get_xbits(BitReader *br, int n) {
     /* JPEG extend: value v of n bits; if MSB==0 -> v - 2^n + 1 */
     br_fill(br);
-    uint32_t v = (uint32_t)(br->cache >> (64 - n));
-    br_skip(br, n);
-    if (v < (1u << (n - 1))) return (int32_t)v - (1 << n) + 1;
-    return (int32_t)v;
+    return br_get_xbits_nf(br, n);
 }
 
 /* ------------------------------------------------------------------ */
@@ -199,6 +237,33 @@ static inline int32_t br_get_xbits(BitReader *br, int n) {
  * carries a trailing marker prefix byte. */
 static size_t unescape(const uint8_t *src, size_t n, uint8_t *dst) {
     size_t i = 0, j = 0;
+#ifdef __SSE2__
+    /* bulk path: 0xFF bytes are rare (~1/256 of scan data), so scan 16
+     * bytes per compare+movemask and memcpy FF-free spans wholesale;
+     * each FF is then handled by the same scalar sequence as the tail
+     * loop below (identical semantics, byte for byte). */
+    {
+        const __m128i ff = _mm_set1_epi8((char)0xFF);
+        while (i + 16 <= n) {
+            __m128i v = _mm_loadu_si128((const __m128i *)(src + i));
+            int m = _mm_movemask_epi8(_mm_cmpeq_epi8(v, ff));
+            if (m == 0) {
+                _mm_storeu_si128((__m128i *)(dst + j), v);
+                i += 16; j += 16;
+                continue;
+            }
+            int k = __builtin_ctz((unsigned)m);
+            memcpy(dst + j, src + i, (size_t)k);
+            i += (size_t)k; j += (size_t)k;
+            dst[j++] = src[i++];               /* the 0xFF itself */
+            while (i < n && src[i] == 0xFF) i++;
+            if (i >= n) return j;
+            uint8_t x = src[i++];
+            if (x >= 0xD0 && x <= 0xD7) dst[j++] = x;
+            else if (x) { j--; return j; }     /* marker: scan ends */
+        }
+    }
+#endif
     while (i < n) {
         uint8_t x = src[i++];
         dst[j++] = x;
@@ -221,25 +286,32 @@ static int decode_scan_levels(const uint8_t *scan, size_t scan_len,
                               int n_mcu, int16_t *out /* [n_mcu*6*64] */) {
     BitReader br;
     br_init(&br, scan, scan_len);
-    memset(out, 0, (size_t)n_mcu * 6 * 64 * sizeof(int16_t));
     for (int m = 0; m < n_mcu; m++) {
         for (int b = 0; b < 6; b++) {
             int luma = b < 4;
             DecTable *dc = luma ? &dt_dc_l : &dt_dc_c;
             DecTable *ac = luma ? &dt_ac_l : &dt_ac_c;
             int16_t *blk = out + ((size_t)m * 6 + b) * 64;
+            /* zero per block, not per frame: the 36 KB frame memset
+             * evicted its own lines from L1 before the sparse level
+             * stores came back to them */
+            memset(blk, 0, 64 * sizeof(int16_t));
             uint32_t peek = br_peek16(&br);
-            int len = dc->len[peek];
+            uint32_t ent = dc->e1[peek >> 8];
+            if (!ent) ent = dc->e[peek];
+            int len = (int)(ent & 31);
             if (!len) return -(int)(m * 6 + b + 1);
-            int sym = dc->sym[peek];
+            int sym = (int)(ent >> 5);
             br_skip(&br, len);
-            blk[0] = sym ? (int16_t)br_get_xbits(&br, sym) : 0;
+            blk[0] = sym ? (int16_t)br_get_xbits_nf(&br, sym) : 0;
             int i = 0;
             for (;;) {
                 peek = br_peek16(&br);
-                len = ac->len[peek];
+                ent = ac->e1[peek >> 8];
+                if (!ent) ent = ac->e[peek];
+                len = (int)(ent & 31);
                 if (!len) return -(int)(m * 6 + b + 1);
-                sym = ac->sym[peek];
+                sym = (int)(ent >> 5);
                 br_skip(&br, len);
                 if (sym == 0x00) break;          /* EOB */
                 int run = sym >> 4, size = sym & 0xF;
@@ -248,7 +320,7 @@ static int decode_scan_levels(const uint8_t *scan, size_t scan_len,
                     i += 16;                      /* ZRL */
                     continue;
                 }
-                int32_t level = br_get_xbits(&br, size);
+                int32_t level = br_get_xbits_nf(&br, size);
                 i += run + 1;
                 if (i > 63) return -(int)(m * 6 + b + 1);
                 blk[i] = (int16_t)level;
@@ -452,21 +524,25 @@ API int amv_decode_scans_custom(const uint8_t *scan_blob,
                 DecTable *ac = &tabs[tab_ids[b * 2 + 1]];
                 int16_t *blk = out + ((size_t)m * n_blk + b) * 64;
                 uint32_t peek = br_peek16(&br);
-                int len = dc->len[peek];
+                uint32_t ent = dc->e1[peek >> 8];
+                if (!ent) ent = dc->e[peek];
+                int len = (int)(ent & 31);
                 if (!len) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
-                int sym = dc->sym[peek];
+                int sym = (int)(ent >> 5);
                 /* custom tables may map any 0..255 value here, but a DC
                  * size > 15 is malformed (and would shift-overflow the
                  * 64-bit xbits read) — mjpegdec.c rejects it the same */
                 if (sym > 15) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
                 br_skip(&br, len);
-                blk[0] = sym ? (int16_t)br_get_xbits(&br, sym) : 0;
+                blk[0] = sym ? (int16_t)br_get_xbits_nf(&br, sym) : 0;
                 int i = 0;
                 for (;;) {
                     peek = br_peek16(&br);
-                    len = ac->len[peek];
+                    ent = ac->e1[peek >> 8];
+                    if (!ent) ent = ac->e[peek];
+                    len = (int)(ent & 31);
                     if (!len) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
-                    sym = ac->sym[peek];
+                    sym = (int)(ent >> 5);
                     br_skip(&br, len);
                     if (sym == 0x00) break;
                     int run = sym >> 4, size = sym & 0xF;
@@ -475,7 +551,7 @@ API int amv_decode_scans_custom(const uint8_t *scan_blob,
                         i += 16;
                         continue;
                     }
-                    int32_t level = br_get_xbits(&br, size);
+                    int32_t level = br_get_xbits_nf(&br, size);
                     i += run + 1;
                     if (i > 63) { rc = -(int)(m * n_blk + b + 1) - 3000000; break; }
                     blk[i] = (int16_t)level;
@@ -506,17 +582,21 @@ static int decode_scan_levels_soa(const uint8_t *scan, size_t scan_len,
             DecTable *ac = luma ? &dt_ac_l : &dt_ac_c;
             int16_t *col = out + (size_t)m * 6 + b;
             uint32_t peek = br_peek16(&br);
-            int len = dc->len[peek];
+            uint32_t ent = dc->e1[peek >> 8];
+            if (!ent) ent = dc->e[peek];
+            int len = (int)(ent & 31);
             if (!len) return -(int)(m * 6 + b + 1);
-            int sym = dc->sym[peek];
+            int sym = (int)(ent >> 5);
             br_skip(&br, len);
-            col[0] = sym ? (int16_t)br_get_xbits(&br, sym) : 0;
+            col[0] = sym ? (int16_t)br_get_xbits_nf(&br, sym) : 0;
             int i = 0;
             for (;;) {
                 peek = br_peek16(&br);
-                len = ac->len[peek];
+                ent = ac->e1[peek >> 8];
+                if (!ent) ent = ac->e[peek];
+                len = (int)(ent & 31);
                 if (!len) return -(int)(m * 6 + b + 1);
-                sym = ac->sym[peek];
+                sym = (int)(ent >> 5);
                 br_skip(&br, len);
                 if (sym == 0x00) break;          /* EOB */
                 int run = sym >> 4, size = sym & 0xF;
@@ -525,7 +605,7 @@ static int decode_scan_levels_soa(const uint8_t *scan, size_t scan_len,
                     i += 16;                      /* ZRL */
                     continue;
                 }
-                int32_t level = br_get_xbits(&br, size);
+                int32_t level = br_get_xbits_nf(&br, size);
                 i += run + 1;
                 if (i > 63) return -(int)(m * 6 + b + 1);
                 col[(int64_t)i * stride] = (int16_t)level;
@@ -1013,10 +1093,10 @@ static uint32_t pb_bits(PBits *b, int n) {
 }
 
 static int32_t pb_xbits(PBits *b, int n) {
-    int32_t v = (int32_t)pb_bits(b, n);
-    if (v < (1 << (n - 1)))
-        return v - (1 << n) + 1;
-    return v;
+    /* branchless JPEG extend (random sign bit mispredicts otherwise) */
+    uint32_t v = pb_bits(b, n);
+    uint32_t neg = ((v >> (n - 1)) & 1u) - 1u;
+    return (int32_t)(v - (neg & ((1u << n) - 1u)));
 }
 
 static int pb_rst(PBits *b) {

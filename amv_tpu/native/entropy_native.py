@@ -61,7 +61,9 @@ def decode_frames(payloads: list[bytes], n_mcu: int) -> np.ndarray:
     offsets = np.zeros(len(payloads), dtype=np.int64)
     sizes = np.array([len(p) for p in payloads], dtype=np.int64)
     np.cumsum(sizes[:-1], out=offsets[1:])
-    out = np.zeros((len(payloads), n_mcu, 6, 64), dtype=np.int16)
+    # np.empty: amv_decode_frames zeroes every block itself; np.zeros
+    # paid a second 9 MB lazy-zero page touch per call
+    out = np.empty((len(payloads), n_mcu, 6, 64), dtype=np.int16)
     rc = _lib.amv_decode_frames(
         blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
