@@ -32,17 +32,27 @@ from .adpcm_pallas import SB, T_BLOCK, _pad, _step_lookup
 
 
 def _compress(p, s, sample, reset):
-    """One compress step; returns (p, s, nibble, sidx_before)."""
+    """One compress step; returns (p, s, nibble, sidx_before).
+
+    The quantizer ``min(7, |delta|*4 // step)`` is 7 *parallel*
+    threshold compares (q >= k <=> |delta|*4 >= k*step, exact for
+    nonnegative ints) tree-summed in depth 3: the samples are a serial
+    recurrence, so per-sample dependency DEPTH is what the kernel pays
+    (same latency-bound model as the entropy kernels' tree reductions) —
+    the k*step products all issue one multiply after `step`, vs the
+    r4-era serial ``acc += step`` chain of depth 14."""
     p = jnp.where(reset, sample, p)
     step = _step_lookup(s)
     delta = sample - p
     neg = delta < 0
     ad4 = jnp.abs(delta) << 2
-    mag = jnp.zeros_like(s)
-    acc = step
-    for _ in range(7):
-        mag = mag + (ad4 >= acc).astype(jnp.int32)
-        acc = acc + step
+    cmps = [(ad4 >= step * k).astype(jnp.int32) for k in range(1, 8)]
+    while len(cmps) > 1:
+        nxt = [cmps[i] + cmps[i + 1] for i in range(0, len(cmps) - 1, 2)]
+        if len(cmps) % 2:
+            nxt.append(cmps[-1])
+        cmps = nxt
+    mag = cmps[0]
     nib = mag + jnp.where(neg, 8, 0)
     recon = step * (2 * mag + 1)
     recon = jnp.where(neg, -(recon >> 3), recon >> 3)
@@ -102,6 +112,63 @@ def encode_layout(x, r, sidx0, interpret: bool = False):
                         pltpu.VMEM((SB, 128), jnp.int32)],
         interpret=interpret,
     )(x, r, sidx0)
+
+
+@partial(jax.jit, static_argnames=("repeat", "interpret"))
+def encode_layout_wrap(x, r, sidx0, repeat: int, interpret: bool = False):
+    """encode_layout over a *logically* repeat-times chunk-block-tiled
+    input, without materializing the tiled slab.
+
+    Bit-identical to
+        encode_layout(jnp.tile(x, (repeat, 1, 1, 1)),
+                      jnp.tile(r, (repeat, 1, 1, 1)),
+                      jnp.tile(sidx0, (repeat, 1, 1)))
+    but the input BlockSpecs wrap (i % cb) — the mirror of
+    adpcm_pallas.decode_layout_wrap for the compress direction.  The
+    replicated sample/reset planes are fetched from the small base; the
+    per-sample quantizer-feedback work and the full-size byte/sidx
+    outputs are unchanged."""
+    cb, n2 = x.shape[0], x.shape[1]
+    nb = n2 // 2
+    return pl.pallas_call(
+        _kernel,
+        out_shape=(jax.ShapeDtypeStruct((cb * repeat, nb, SB, 128),
+                                        jnp.uint8),
+                   jax.ShapeDtypeStruct((cb * repeat, nb, SB, 128),
+                                        jnp.uint8)),
+        grid=(cb * repeat, nb // T_BLOCK),
+        in_specs=[
+            pl.BlockSpec((1, 2 * T_BLOCK, SB, 128),
+                         lambda i, j: (i % cb, j, 0, 0)),
+            pl.BlockSpec((1, 2 * T_BLOCK, SB, 128),
+                         lambda i, j: (i % cb, j, 0, 0)),
+            pl.BlockSpec((1, SB, 128), lambda i, j: (i % cb, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, T_BLOCK, SB, 128),
+                                lambda i, j: (i, j, 0, 0)),
+                   pl.BlockSpec((1, T_BLOCK, SB, 128),
+                                lambda i, j: (i, j, 0, 0))),
+        scratch_shapes=[pltpu.VMEM((SB, 128), jnp.int32),
+                        pltpu.VMEM((SB, 128), jnp.int32)],
+        interpret=interpret,
+    )(x, r, sidx0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def to_layout_enc(samples, reset, sidx0, interpret: bool = False):
+    """int16 [B, n] + reset uint8/bool [B, n] + int32 [B] -> packed
+    encode_layout inputs (x [CB, np, SB, 128], r same, s0 [CB, SB, 128]).
+    Mirror of adpcm_pallas.to_layout for the encode input planes."""
+    b, n = samples.shape
+    bp = _pad(b, SB * 128)
+    np_ = _pad(n, 2 * T_BLOCK)
+    x = jnp.pad(samples.astype(jnp.int16), ((0, bp - b), (0, np_ - n)))
+    r = jnp.pad(reset.astype(jnp.uint8), ((0, bp - b), (0, np_ - n)))
+    s0 = jnp.pad(sidx0.astype(jnp.int32), (0, bp - b))
+    cbn = bp // (SB * 128)
+    xl = x.reshape(cbn, SB, 128, np_).transpose(0, 3, 1, 2)
+    rl = r.reshape(cbn, SB, 128, np_).transpose(0, 3, 1, 2)
+    return xl, rl, s0.reshape(cbn, SB, 128)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

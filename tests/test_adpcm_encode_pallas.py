@@ -70,3 +70,29 @@ def test_encode_pallas_matches_production_chunks():
         assert got_s[pos // 2] == hdr_sidx
         assert got_b[pos // 2: pos // 2 + nbytes].tobytes() == c[8:]
         pos += 2 * nbytes
+
+
+def test_encode_layout_wrap_matches_tiled():
+    """encode_layout_wrap(base, repeat) is bit-identical to encode_layout
+    on the materialized chunk-block-tiled input, including a cb >= 2 base
+    so the wrapping index map `i % cb` must cycle through DISTINCT
+    chunk-blocks (the decode-side r4 ADVICE lesson: cb=1 degenerates to a
+    constant map)."""
+    from amv_tpu.kernels import adpcm_encode_pallas as KE
+    rng = np.random.default_rng(7)
+    B, n = 2 * KE.SB * 128, 2 * KE.T_BLOCK
+    samples = rng.integers(-32768, 32768, (B, n)).astype(np.int16)
+    reset = np.zeros((B, n), bool)
+    reset[:, 0] = True
+    sidx0 = rng.integers(0, 89, B).astype(np.int32)
+    xl, rl, sl = KE.to_layout_enc(jnp.asarray(samples), jnp.asarray(reset),
+                                  jnp.asarray(sidx0), interpret=True)
+    assert xl.shape[0] == 2           # the wrap period under test
+    rep = 2
+    ref_b, ref_s = KE.encode_layout(
+        jnp.tile(xl, (rep, 1, 1, 1)), jnp.tile(rl, (rep, 1, 1, 1)),
+        jnp.tile(sl, (rep, 1, 1)), interpret=True)
+    got_b, got_s = KE.encode_layout_wrap(xl, rl, sl, repeat=rep,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
