@@ -77,6 +77,16 @@ def main(argv=None):
     p.add_argument("-ar", dest="sample_rate", type=int, default=22050)
     p.add_argument("-ac", dest="channels", type=int, default=1)
     p.add_argument("-qscale", dest="qscale", type=int, default=2)
+    p.add_argument("-amv_quant", dest="amv_quant",
+                   choices=["ffmpeg", "q60"], default="ffmpeg",
+                   help="AMV encode quantizer: ffmpeg = bit-exact "
+                        "reference mode (MPEG-1 matrix x qscale, "
+                        "mpegvideo_enc.c:2866-2876 — faithful incl. the "
+                        "~19 dB decode-mismatch bug the reference never "
+                        "fixed); q60 = device-consistent mode quantizing "
+                        "with the decoder's own sp5x Q60 tables "
+                        "(sp5x.h:187-195), >=30 dB round trips — the fix "
+                        "AMVmuxer/README:14-19 set out to find")
     p.add_argument("-vcodec", dest="vcodec",
                    choices=["rawvideo", "mjpeg", "copy"],
                    default="rawvideo",
@@ -199,11 +209,13 @@ def _transcode(args):
     from .pipeline.transcode import transcode_bytes
     with open(args.inputs[0], "rb") as f:
         data = f.read()
-    out = transcode_bytes(data, qscale=args.qscale or 2)
+    out = transcode_bytes(data, qscale=args.qscale or 2,
+                          quant=args.amv_quant)
     with open(args.output, "wb") as f:
         f.write(out)
-    print(f"wrote {args.output}: {len(out)} bytes (requantized "
-          f"qscale={args.qscale or 2})")
+    mode = ("quant=q60" if args.amv_quant == "q60"
+            else f"qscale={args.qscale or 2}")
+    print(f"wrote {args.output}: {len(out)} bytes (requantized {mode})")
     return 0
 
 
@@ -523,7 +535,7 @@ def _encode(args):
         pcm = np.zeros(n_frames * args.sample_rate // args.fps, np.int16)
     size = encode_to_file(args.output, y, cb, cr, pcm, fps=args.fps,
                           sample_rate=args.sample_rate, qscale=args.qscale,
-                          trellis=args.trellis)
+                          trellis=args.trellis, quant=args.amv_quant)
     print(f"wrote {args.output}: {size} bytes, {n_frames} frames")
     if args.psnr:
         # CODEC_FLAG_PSNR summary (mpegvideo_enc.c accumulates per-plane

@@ -179,15 +179,43 @@ def extract_blocks(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
     ], axis=2)
 
 
-@partial(jax.jit, static_argnames=("mb_w", "mb_h", "qscale"))
+@partial(jax.jit, static_argnames=("mb_w", "mb_h", "qscale", "quant"))
 def encode_transform(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
-                     mb_w: int, mb_h: int, qscale: int = 2):
+                     mb_w: int, mb_h: int, qscale: int = 2,
+                     quant: str = "ffmpeg"):
     """YUV420 frames -> quantized levels [F, n_mcu, 6, 64] (zigzag order).
 
     Implements the flip + bottom/right edge replication
     (amv_encode_picture:467-471 + ff_emulated_edge_mc) and the
     fdct+quantize path on device.
+
+    quant="ffmpeg" (default) replicates the reference encoder exactly:
+    MPEG-1 intra matrix x qscale (mpegvideo_enc.c:2866-2876) +
+    dct_quantize_c bias arithmetic — faithful INCLUDING its known bug:
+    the AMV decoder dequantizes with the fixed sp5x Q60 pair
+    (sp5x.h:187-195), not this matrix, so decode(encode(x)) lands at
+    ~19 dB.  quant="q60" is the *device-consistent* mode that finishes
+    what the reference's README set out to do (AMVmuxer/README:14-19):
+    quantize with the same Q60 pair the decoder will use (round to
+    nearest; DC = 128 + round((dct-1024)/q0) so the entropy coder's
+    last_dc=128 chain telescopes into the decoder's 1024 + cumsum*q0
+    reconstruction), giving >=30 dB round trips.
     """
+    if quant == "q60":
+        blocks = extract_blocks(y, cb, cr, mb_w, mb_h)
+        coefs = KF.fdct(blocks).reshape(*blocks.shape[:-2], 64)
+        # ff_jpeg_fdct_islow output is the JPEG DCT x8; decoder-side
+        # reconstruction is level*q (raster, wrap16) + 1024 DC offset
+        off = np.zeros((6, 64), np.int32)
+        off[:, 0] = 8192                     # 8 x the decoder's 1024 DC
+        num = coefs - jnp.asarray(off)
+        den = jnp.asarray(8 * _QM_RASTER)    # [6, 64]
+        mag = (jnp.abs(num) + (den >> 1)) // den
+        lv = jnp.clip(jnp.where(num < 0, -mag, mag), -1023, 1023)
+        lv = lv.at[..., 0].add(128)          # absolute DC for last_dc=128
+        return lv.astype(jnp.int16)[..., _ZZ]
+    if quant != "ffmpeg":
+        raise ValueError(f"unknown quant mode {quant!r}")
     qmat = jnp.asarray(
         ((1 << 22) // (8 * _encoder_quant_matrix(qscale).astype(np.int64)))
         .astype(np.int32))
@@ -215,15 +243,25 @@ def _encoder_quant_matrix(qscale: int) -> np.ndarray:
 
 
 def encode_frames(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                  qscale: int = 2, device_entropy: bool = False) -> list[bytes]:
+                  qscale: int = 2, device_entropy: bool = False,
+                  quant: str = "ffmpeg") -> list[bytes]:
     """Encode YUV420 frames into AMV '00dc' payloads.
 
     device_entropy=True packs the Huffman bitstream on device too
     (kernels/entropy_encode.py), so only final payload bytes cross the
     host link; the default routes levels through the host/C packer.
+
+    quant="q60" selects the device-consistent quantizer (see
+    encode_transform); it routes through the levels path (the fused
+    segmented chain is single-matrix).
     """
     F, H, W = y.shape
     mb_w, mb_h = (W + 15) // 16, (H + 15) // 16
+    if quant == "q60":
+        levels = np.asarray(encode_transform(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), mb_w, mb_h,
+            qscale, quant="q60"))
+        return [huffman_encode_frame(levels[f]) for f in range(F)]
     if device_entropy:
         from ..pipeline.transcode import pick_segments
         segs = pick_segments(mb_w * mb_h)

@@ -23,10 +23,16 @@ def av_rescale_near(a: int, b: int, c: int) -> int:
 def encode_to_bytes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     pcm: np.ndarray, *, fps: int = 16,
                     sample_rate: int = 22050, qscale: int = 2,
-                    trellis: bool = False) -> bytes:
-    """Encode video frames + PCM into a complete .amv file."""
+                    trellis: bool = False, quant: str = "ffmpeg") -> bytes:
+    """Encode video frames + PCM into a complete .amv file.
+
+    quant="q60" selects the device-consistent quantizer (decode-matched
+    sp5x Q60 tables, >=30 dB round trips) instead of the reference's
+    faithful-but-inconsistent MPEG-1-matrix mode — see
+    codecs/amv_video.encode_transform."""
     F, H, W = y.shape
-    video_chunks = amv_video.encode_frames(y, cb, cr, qscale=qscale)
+    video_chunks = amv_video.encode_frames(y, cb, cr, qscale=qscale,
+                                           quant=quant)
     frame_size = av_rescale_near(sample_rate, 1, fps)
     audio_chunks = amv_audio.encode_stream(
         np.asarray(pcm, np.int16), frame_size, sample_rate, trellis=trellis)

@@ -461,9 +461,15 @@ def encode_planes_layout(y, cb_p, cr_p, mb_w: int, mb_h: int, qmat_key,
     return wout, bout
 
 
-def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
+def transcode_bytes(data: bytes, *, qscale: int = 2,
+                    quant: str = "ffmpeg") -> bytes:
     """Re-encode a complete .amv file (video re-quantized at qscale;
     audio chunks are already bit-exact ADPCM and pass through).
+
+    quant="q60" re-quantizes with the decoder's own Q60 tables
+    (device-consistent mode, codecs/amv_video.encode_transform); it
+    routes through the two-stage transform path (the fused chains are
+    single-matrix).
 
     On TPU, MB-aligned sizes run the zero-relayout complete device
     chain (both entropy stages + transform in one program) over a
@@ -480,7 +486,7 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
     # each frame into lane-parallel segments (pick_segments); only
     # geometries with no usable segmentation fall back to host entropy
     segs = pick_segments(mb_w * mb_h)
-    if mb_aligned and on_tpu and s.video_chunks and segs:
+    if quant == "ffmpeg" and mb_aligned and on_tpu and s.video_chunks and segs:
         from ..codecs.amv_video import _encoder_quant_qmat_np
         from ..native import entropy_native as native
         # long inputs route through the fixed-shape serving path: one
@@ -529,7 +535,10 @@ def transcode_bytes(data: bytes, *, qscale: int = 2) -> bytes:
         except ValueError:
             pass  # a segment overflowed the word budget: host entropy
     levels = huffman_decode_frames(s.video_chunks, mb_w * mb_h)
-    if mb_aligned:
+    if quant == "q60":
+        y, cb, cr = decode_transform(jnp.asarray(levels), mb_w, mb_h, w, h)
+        lv2 = encode_transform(y, cb, cr, mb_w, mb_h, quant="q60")
+    elif mb_aligned:
         lv2, _ = transcode_levels_fused(jnp.asarray(levels), qscale)
     else:
         y, cb, cr = decode_transform(jnp.asarray(levels), mb_w, mb_h, w, h)
