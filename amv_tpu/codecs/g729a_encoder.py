@@ -136,7 +136,7 @@ def _quantize_lsf(enc, lsf_rad):
         lq_target = ((target_q13 << 15) - pred) / msum
         # stage 1: full search over 128
         d1 = np.abs(T.CB_L1.astype(np.float64) - lq_target).sum(axis=1)
-        for L1 in np.argsort(d1)[:8]:
+        for L1 in np.argsort(d1)[:enc.lsf_width]:
             resid = lq_target - T.CB_L1[L1]
             L2 = int(np.argmin(
                 ((T.CB_L2_L3[:, :5] - resid[:5]) ** 2).sum(axis=1)))
@@ -165,12 +165,34 @@ def _parity(P1):
 
 
 class G729Encoder:
-    """Stateful single-stream encoder: encode_frame(80 samples) -> 10 bytes."""
+    """Stateful single-stream encoder: encode_frame(80 samples) -> 10 bytes.
 
-    def __init__(self):
+    Quality knobs (defaults = the measured r5 optimum on the HP-chain
+    metric, scripts/measure_g729_quality.py):
+    * topk: closed-loop pitch candidates given the full FC+gain
+      refinement (the r2 "top-2 measured worse" note was an artifact of
+      the raw-input metric);
+    * requant: after the gain VQ, re-search the fixed codebook against
+      the QUANTIZED pitch-gain residual and redo the gain pair, keeping
+      the better subframe error;
+    * lsf_width: LSF stage-1 candidates surviving to exact rescoring.
+    """
+
+    def __init__(self, topk: int = 1, requant: bool = False,
+                 lsf_width: int = 8, ol_span: int = 5, olp: str = "raw",
+                 frame_select: bool = False):
         self.shadow = D.G729Decoder()   # decoder-mirror state
         self.hist = np.zeros(160)       # past input for LP window
         self._res_hist = np.zeros(PITCH_MAX)
+        self.topk = topk
+        self.requant = requant
+        self.lsf_width = lsf_width
+        self.ol_span = ol_span
+        self.olp = olp
+        self.frame_select = frame_select
+        if frame_select:
+            self.mirror = D.G729Decoder()   # full decode (postfilter+HP)
+            self._refhp = D.G729Decoder()   # HP state of the reference
 
     # -- helpers operating on the shadow decoder state ----------------------
 
@@ -184,10 +206,11 @@ class G729Encoder:
             h[n] = -np.dot(a[:min(10, n)], h[n - 1::-1][:10])
         return h
 
-    def _zero_input_response(self, lp_q12):
+    def _zero_input_response(self, lp_q12, st=None):
         """ZIR of 1/A(z) from the shadow synthesis history."""
+        st = st if st is not None else self.shadow
         a = np.array(lp_q12, dtype=np.float64) / 4096.0
-        buf = np.concatenate([np.array(self.shadow.syn_filter_data,
+        buf = np.concatenate([np.array(st.syn_filter_data,
                                        dtype=np.float64), np.zeros(SUBFRAME)])
         for n in range(SUBFRAME):
             buf[10 + n] = -np.dot(a, buf[10 + n - 1::-1][:10])
@@ -198,13 +221,13 @@ class G729Encoder:
         """Zero-state response of 1/A to excitation x (truncated conv)."""
         return np.convolve(x, h)[:SUBFRAME]
 
-    def _ac_candidate(self, off, t, frac):
+    def _ac_candidate(self, off, t, frac, st=None):
         """Float replica of the decoder's AC-vector interpolation
         (ref_g729.decode_ac_vector): 1/3-resolution delay t - frac/3 over
         the current excitation history, self-extending for t < 40.
         Used only to *score* closed-loop candidates; the chosen candidate
         is materialized exactly via the shadow decoder."""
-        st = self.shadow
+        st = st if st is not None else self.shadow
         base = st.exc_off + off
         span = PITCH_MAX + D.INTERPOL_LEN
         o = span
@@ -227,15 +250,26 @@ class G729Encoder:
             buf[o + n] = v / 16384.0
         return buf[o:]
 
-    def encode_frame(self, samples: np.ndarray) -> bytes:
+    def encode_frame(self, samples: np.ndarray,
+                     lookahead: np.ndarray | None = None) -> bytes:
         samples = np.asarray(samples, dtype=np.float64)
         assert samples.shape == (FRAME,)
+        raw = samples                    # un-scaled input (frame_select ref)
         # pre-processing (spec 3.1): scale by 1/2 — the decoder's output
         # high-pass stage upscales by 2 (spec 4.2.5 / g729_high_pass_filter)
         samples = samples * 0.5
 
         # --- LP analysis over windowed history+frame+lookahead -------------
-        buf = np.concatenate([self.hist, samples])[-240:]
+        # spec 3.2.1: the asymmetric window's 40-sample cosine fall covers
+        # 40 samples of the NEXT frame; without the lookahead the fall
+        # lands on the current frame's tail and the LP fit lags the
+        # signal by ~half a subframe (r5 A/B: +0.6 dB HP-chain segSNR,
+        # scripts/measure_g729_quality.py)
+        la = (np.zeros(40) if lookahead is None
+              else np.asarray(lookahead, dtype=np.float64)[:40] * 0.5)
+        if len(la) < 40:
+            la = np.concatenate([la, np.zeros(40 - len(la))])
+        buf = np.concatenate([self.hist, samples, la])[-240:]
         w = buf * _WLP
         r = np.array([np.dot(w[:240 - k], w[k:]) for k in range(11)])
         r[0] = max(r[0] * 1.0001 + 10.0, 1e-3)
@@ -265,7 +299,28 @@ class G729Encoder:
             np.dot(resid, hist_res[len(hist_res) - FRAME - t:
                                    len(hist_res) - t])
             for t in range(PITCH_MIN, PITCH_MAX + 1)])
-        t_op = int(np.argmax(corr)) + PITCH_MIN
+        if self.olp == "spec":
+            # spec 3.4 shape: normalized correlation maxima in three
+            # delay ranges, lower ranges favored to dodge pitch
+            # multiples (weights ~0.85 per octave drop)
+            en = np.array([
+                float(np.dot(hist_res[len(hist_res) - FRAME - t:
+                                      len(hist_res) - t],
+                             hist_res[len(hist_res) - FRAME - t:
+                                      len(hist_res) - t]))
+                for t in range(PITCH_MIN, PITCH_MAX + 1)])
+            nc = corr / np.sqrt(np.maximum(en, 1e-9))
+            ranges = [(20, 39), (40, 79), (80, 143)]
+            best_t, best_v = None, None
+            for lo, hi in reversed(ranges):          # high range first
+                seg = nc[lo - PITCH_MIN:hi - PITCH_MIN + 1]
+                t_r = int(np.argmax(seg)) + lo
+                v_r = float(seg[t_r - lo])
+                if best_t is None or v_r > 0.85 * best_v:
+                    best_t, best_v = t_r, max(v_r, best_v or v_r)
+            t_op = best_t
+        else:
+            t_op = int(np.argmax(corr)) + PITCH_MIN
         self._res_hist = hist_res[-PITCH_MAX:]
 
         parm = {"ma_predictor": L0, "quantizer_1st": L1,
@@ -274,122 +329,180 @@ class G729Encoder:
                 "pulses_signs": [0, 0], "ga_cb_index": [0, 0],
                 "gb_cb_index": [0, 0]}
 
-        prev_int = None
+        if not self.frame_select:
+            prev_int = None
+            for i in range(2):
+                lp_i = lp[i * 10:(i + 1) * 10]
+                speech_sub = samples[i * SUBFRAME:(i + 1) * SUBFRAME]
+                cands = self._search_subframe(st, i, lp_i, speech_sub,
+                                              t_op, prev_int)
+                t_int = self._commit_subframe(st, i, lp_i, parm, cands[0])
+                if i == 0:
+                    prev_int = t_int
+            st.exc_base[:PITCH_MAX + D.INTERPOL_LEN] = \
+                st.exc_base[2 * SUBFRAME:
+                            2 * SUBFRAME + PITCH_MAX + D.INTERPOL_LEN]
+            self.hist = np.concatenate([self.hist, samples])[-160:]
+            return pack_parameters(parm)
+
+        # frame-select mode (r5): branch on the top `topk` pitch
+        # candidates per subframe, then pick the packed frame whose FULL
+        # decode — including the adaptive postfilter and output
+        # high-pass, the stages the subframe target error cannot see
+        # (the long-term postfilter comb-filters at the TRANSMITTED
+        # pitch delay, g729a_native.c:1124) — lands closest to the
+        # HP-chain reference of this frame's input.  The mirror decoder
+        # advances on the chosen frame, so selection is exact for the
+        # deployed decode chain.
+        import copy as _copy
+        ref = self._ref_frame(raw)
+        branches = [(st, parm, None)]
         for i in range(2):
             lp_i = lp[i * 10:(i + 1) * 10]
             speech_sub = samples[i * SUBFRAME:(i + 1) * SUBFRAME]
-            h = self._impulse_response(lp_i)
-            target = speech_sub - self._zero_input_response(lp_i)
+            nxt = []
+            for stb, parmb, prevb in branches:
+                cands = self._search_subframe(stb, i, lp_i, speech_sub,
+                                              t_op, prevb)
+                for ch in cands[:self.topk]:
+                    st2 = _copy.deepcopy(stb)
+                    parm2 = {k: (list(v) if isinstance(v, list) else v)
+                             for k, v in parmb.items()}
+                    t_int = self._commit_subframe(st2, i, lp_i, parm2, ch)
+                    nxt.append((st2, parm2,
+                                t_int if i == 0 else prevb))
+            branches = nxt
+        best = None
+        for stb, parmb, _ in branches:
+            by = pack_parameters(parmb)
+            dm = _copy.deepcopy(self.mirror)
+            outf = np.array(dm.decode_frame(by), dtype=np.float64)
+            err = float(np.sum((outf - ref) ** 2))
+            if best is None or err < best[0]:
+                best = (err, by, stb, dm)
+        _, by, stb, dm = best
+        self.shadow = stb
+        self.mirror = dm
+        stb.exc_base[:PITCH_MAX + D.INTERPOL_LEN] = \
+            stb.exc_base[2 * SUBFRAME:
+                         2 * SUBFRAME + PITCH_MAX + D.INTERPOL_LEN]
+        self.hist = np.concatenate([self.hist, samples])[-160:]
+        return by
 
-            # --- closed-loop pitch at 1/3 resolution -------------------------
-            # pd3x = 3t + frac + 1 (decoder: int = pd3x//3,
-            # frac = pd3x%3 - 1); fractions exist for t <= 84 in subframe 1
-            # and everywhere in subframe 2's 5-bit relative window.
-            if i == 0:
-                ints = sorted(set(
-                    list(range(max(PITCH_MIN, t_op - 5),
-                               min(PITCH_MAX, t_op + 5) + 1)) +
-                    [t for t in (t_op // 2, t_op * 2)
-                     if PITCH_MIN <= t <= PITCH_MAX]))
-                cands = [(t, f) for t in ints
-                         for f in ((-1, 0, 1) if t <= 84 else (0,))
-                         if not (t == PITCH_MIN and f == -1)]
-            else:
-                base = min(max(prev_int - 5, PITCH_MIN), PITCH_MAX - 9)
-                cands = [(base + k, f) for k in range(10)
-                         for f in (-1, 0, 1)
-                         if PITCH_MIN <= base + k <= PITCH_MAX]
-            scored = []
-            for tc, fc_ in cands:
-                y = self._zsr(h, self._ac_candidate(i * SUBFRAME, tc, fc_))
-                e = float(np.dot(y, y))
-                c = max(float(np.dot(y, target)), 0.0)
-                score = c * c / e if e > 0 else 0.0
-                scored.append((score, tc, fc_))
-            scored.sort(key=lambda s: -s[0])
-            # MEASURED: joint top-2 pitch refinement (full FC+gain search
-            # per candidate, keep lower subframe error) gives 6.72 dB vs
-            # 6.83 dB segSNR on the fixtures speech — the decoder's
-            # adaptive postfilter reshapes around the pitch delay, so
-            # lower pre-postfilter error does not mean better output.
-            # Single candidate kept (same finding as the quantized-gain
-            # re-search note below).
-            pitch_cands = [(tc, fc_) for _, tc, fc_ in scored[:1]]
+    def _ref_frame(self, raw):
+        """This frame's HP-chain reference: raw input >> 1 through the
+        decoder's 100 Hz output high-pass (persistent filter state)."""
+        ch = [int(v) >> 1 for v in raw]
+        self._refhp.high_pass_filter(ch)
+        return np.array(ch, dtype=np.float64)
 
-            P0 = np.arange(0, SUBFRAME, 5)
-            P1v = P0 + 1
-            P2v = P0 + 2
-            P3v = np.concatenate([P0 + 3, P0 + 4])     # track 3 + jitter bit
-            pred_snapshot = list(st.pred_energ_q)
-            seg_lo = st.exc_off + i * SUBFRAME
-            seg_hi = seg_lo + SUBFRAME
-            exc_snapshot = list(st.exc_base[seg_lo:seg_hi])
+    def _search_subframe(self, st, i, lp_i, speech_sub, t_op, prev_int):
+        """Closed-loop pitch + FC + gain search on shadow state `st`
+        (restored afterwards).  Returns candidate tuples
+        (err, fc_idx, signs, ga, gb, t_int, t_frac) sorted by err,
+        one per evaluated pitch candidate (up to self.topk)."""
+        h = self._impulse_response(lp_i)
+        target = speech_sub - self._zero_input_response(lp_i, st)
 
-            def eval_pitch(t_int, t_frac):
-                """Full FC + gain search for one pitch candidate.
-                Restores exc/pred state afterwards; returns the winning
-                (err, fc_idx, signs, ga, gb, y_ac, fc)."""
-                # exact AC vector via shadow decoder (mutates exc seg)
-                st.decode_ac_vector(t_int, t_frac, i * SUBFRAME)
-                acv = np.array(st.exc_base[seg_lo:seg_hi], dtype=np.float64)
-                y_ac = self._zsr(h, acv)
-                e_ac = float(np.dot(y_ac, y_ac))
-                gp_f = float(np.dot(y_ac, target)) / e_ac if e_ac > 0 else 0.0
-                gp_f = min(max(gp_f, 0.0), 1.2)  # gain codebook headroom
+        # --- closed-loop pitch at 1/3 resolution ---------------------------
+        # pd3x = 3t + frac + 1 (decoder: int = pd3x//3,
+        # frac = pd3x%3 - 1); fractions exist for t <= 84 in subframe 1
+        # and everywhere in subframe 2's 5-bit relative window.
+        if i == 0:
+            sp = self.ol_span
+            ints = sorted(set(
+                list(range(max(PITCH_MIN, t_op - sp),
+                           min(PITCH_MAX, t_op + sp) + 1)) +
+                [t for t in (t_op // 2, t_op * 2)
+                 if PITCH_MIN <= t <= PITCH_MAX]))
+            cands = [(t, f) for t in ints
+                     for f in ((-1, 0, 1) if t <= 84 else (0,))
+                     if not (t == PITCH_MIN and f == -1)]
+        else:
+            base = min(max(prev_int - 5, PITCH_MIN), PITCH_MAX - 9)
+            cands = [(base + k, f) for k in range(10)
+                     for f in (-1, 0, 1)
+                     if PITCH_MIN <= base + k <= PITCH_MAX]
+        scored = []
+        for tc, fc_ in cands:
+            y = self._zsr(h, self._ac_candidate(i * SUBFRAME, tc, fc_, st))
+            e = float(np.dot(y, y))
+            c = max(float(np.dot(y, target)), 0.0)
+            score = c * c / e if e > 0 else 0.0
+            scored.append((score, tc, fc_))
+        scored.sort(key=lambda s: -s[0])
+        pitch_cands = [(tc, fc_) for _, tc, fc_ in scored[:self.topk]]
 
-                # --- fixed codebook + gains -------------------------------
-                # (a quantized-gain re-search pass was tried and measured
-                # slightly WORSE downstream — local subframe error does not
-                # align with multi-frame quality — so one pass is kept)
-                h2 = h.copy()
-                gp_sh = st.pitch_sharp / 16384.0
-                if t_int < SUBFRAME:
-                    for n in range(t_int, SUBFRAME):
-                        h2[n] += gp_sh * h2[n - t_int]
-                hpad = np.concatenate([h2, np.zeros(SUBFRAME)])
-                phi = np.array([[np.dot(hpad[:SUBFRAME - max(a, b)],
-                                        hpad[abs(a - b):SUBFRAME - min(a, b)])
-                                 for b in range(SUBFRAME)]
-                                for a in range(SUBFRAME)])
+        P0 = np.arange(0, SUBFRAME, 5)
+        P1v = P0 + 1
+        P2v = P0 + 2
+        P3v = np.concatenate([P0 + 3, P0 + 4])     # track 3 + jitter bit
+        pred_snapshot = list(st.pred_energ_q)
+        seg_lo = st.exc_off + i * SUBFRAME
+        seg_hi = seg_lo + SUBFRAME
+        exc_snapshot = list(st.exc_base[seg_lo:seg_hi])
 
-                def search_fc(r):
-                    d = np.array([np.dot(r[n:], h2[:SUBFRAME - n])
-                                  for n in range(SUBFRAME)])
-                    sgn = np.where(d >= 0, 1.0, -1.0)
-                    dabs = np.abs(d)
-                    phi_s = phi * sgn[:, None] * sgn[None, :]
-                    num = (dabs[P0][:, None, None, None]
-                           + dabs[P1v][None, :, None, None]
-                           + dabs[P2v][None, None, :, None]
-                           + dabs[P3v][None, None, None, :])
-                    den = (phi_s[P0, P0][:, None, None, None]
-                           + phi_s[P1v, P1v][None, :, None, None]
-                           + phi_s[P2v, P2v][None, None, :, None]
-                           + phi_s[P3v, P3v][None, None, None, :]
-                           + 2.0 * (phi_s[P0[:, None], P1v[None, :]][:, :, None, None]
-                                    + phi_s[P0[:, None], P2v[None, :]][:, None, :, None]
-                                    + phi_s[P0[:, None], P3v[None, :]][:, None, None, :]
-                                    + phi_s[P1v[:, None], P2v[None, :]][None, :, :, None]
-                                    + phi_s[P1v[:, None], P3v[None, :]][None, :, None, :]
-                                    + phi_s[P2v[:, None], P3v[None, :]][None, None, :, :]))
-                    score = num * num / np.maximum(den, 1e-9)
-                    k0, k1, k2, k3 = np.unravel_index(int(np.argmax(score)),
-                                                      score.shape)
-                    chosen = [(int(P0[k0]), 0), (int(P1v[k1]), 1),
-                              (int(P2v[k2]), 2), (int(P3v[k3]), 3)]
-                    fci = 0
-                    sg = 0
-                    for pos, tr in chosen:
-                        s_bit = 1 if sgn[pos] > 0 else 0
-                        if tr < 3:
-                            fci |= (pos // 5) << (3 * tr)
-                        else:
-                            jbit = 1 if pos % 5 == 4 else 0
-                            fci |= ((pos // 5) << 10) | (jbit << 9)
-                        sg |= s_bit << tr
-                    return fci, sg
+        def eval_pitch(t_int, t_frac):
+            """Full FC + gain search for one pitch candidate.
+            Restores exc/pred state afterwards."""
+            # exact AC vector via shadow decoder (mutates exc seg)
+            st.decode_ac_vector(t_int, t_frac, i * SUBFRAME)
+            acv = np.array(st.exc_base[seg_lo:seg_hi], dtype=np.float64)
+            y_ac = self._zsr(h, acv)
+            e_ac = float(np.dot(y_ac, y_ac))
+            gp_f = float(np.dot(y_ac, target)) / e_ac if e_ac > 0 else 0.0
+            gp_f = min(max(gp_f, 0.0), 1.2)  # gain codebook headroom
 
-                fc_idx, signs = search_fc(target - gp_f * y_ac)
+            h2 = h.copy()
+            gp_sh = st.pitch_sharp / 16384.0
+            if t_int < SUBFRAME:
+                for n in range(t_int, SUBFRAME):
+                    h2[n] += gp_sh * h2[n - t_int]
+            hpad = np.concatenate([h2, np.zeros(SUBFRAME)])
+            phi = np.array([[np.dot(hpad[:SUBFRAME - max(a, b)],
+                                    hpad[abs(a - b):SUBFRAME - min(a, b)])
+                             for b in range(SUBFRAME)]
+                            for a in range(SUBFRAME)])
+
+            def search_fc(r):
+                d = np.array([np.dot(r[n:], h2[:SUBFRAME - n])
+                              for n in range(SUBFRAME)])
+                sgn = np.where(d >= 0, 1.0, -1.0)
+                dabs = np.abs(d)
+                phi_s = phi * sgn[:, None] * sgn[None, :]
+                num = (dabs[P0][:, None, None, None]
+                       + dabs[P1v][None, :, None, None]
+                       + dabs[P2v][None, None, :, None]
+                       + dabs[P3v][None, None, None, :])
+                den = (phi_s[P0, P0][:, None, None, None]
+                       + phi_s[P1v, P1v][None, :, None, None]
+                       + phi_s[P2v, P2v][None, None, :, None]
+                       + phi_s[P3v, P3v][None, None, None, :]
+                       + 2.0 * (phi_s[P0[:, None], P1v[None, :]][:, :, None, None]
+                                + phi_s[P0[:, None], P2v[None, :]][:, None, :, None]
+                                + phi_s[P0[:, None], P3v[None, :]][:, None, None, :]
+                                + phi_s[P1v[:, None], P2v[None, :]][None, :, :, None]
+                                + phi_s[P1v[:, None], P3v[None, :]][None, :, None, :]
+                                + phi_s[P2v[:, None], P3v[None, :]][None, None, :, :]))
+                score = num * num / np.maximum(den, 1e-9)
+                k0, k1, k2, k3 = np.unravel_index(int(np.argmax(score)),
+                                                  score.shape)
+                chosen = [(int(P0[k0]), 0), (int(P1v[k1]), 1),
+                          (int(P2v[k2]), 2), (int(P3v[k3]), 3)]
+                fci = 0
+                sg = 0
+                for pos, tr in chosen:
+                    s_bit = 1 if sgn[pos] > 0 else 0
+                    if tr < 3:
+                        fci |= (pos // 5) << (3 * tr)
+                    else:
+                        jbit = 1 if pos % 5 == 4 else 0
+                        fci |= ((pos // 5) << 10) | (jbit << 9)
+                    sg |= s_bit << tr
+                return fci, sg
+
+            def fc_and_gains(gp_target):
+                fc_idx, signs = search_fc(target - gp_target * y_ac)
                 fc, _ = st.decode_fc_vector(fc_idx, signs)
                 st.fix_fc_vector(t_int, fc)
                 fcv = np.array(fc, dtype=np.float64)
@@ -400,68 +513,77 @@ class G729Encoder:
                         st.pred_energ_q = list(pred_snapshot)
                         gp = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
                         gc = st.get_gain_code(ga, gb, fc)
-                        rec = y_ac * (gp / 16384.0) + y_fc * (gc / 16384.0)
+                        rec = (y_ac * (gp / 16384.0) +
+                               y_fc * (gc / 16384.0))
                         err = float(np.sum((target - rec) ** 2))
                         if best_g is None or err < best_g[0]:
                             best_g = (err, ga, gb)
-                st.pred_energ_q = list(pred_snapshot)
-                st.exc_base[seg_lo:seg_hi] = exc_snapshot  # undo AC write
                 err, ga, gb = best_g
                 return err, fc_idx, signs, ga, gb
 
-            best_c = None
-            for tc, fc_ in pitch_cands:
-                r = eval_pitch(tc, fc_)
-                if best_c is None or r[0] < best_c[0]:
-                    best_c = r + (tc, fc_)
-            _, fc_idx, signs, ga, gb, t_int, t_frac = best_c
-            prev_int = t_int if i == 0 else prev_int
+            best = fc_and_gains(gp_f)
+            if self.requant:
+                # re-search against the QUANTIZED pitch-gain residual
+                gp_q = (int(T.CB_GA[best[3]][0]) +
+                        int(T.CB_GB[best[4]][0])) / 16384.0
+                if abs(gp_q - gp_f) > 1e-9:
+                    cand = fc_and_gains(gp_q)
+                    if cand[0] < best[0]:
+                        best = cand
+            st.pred_energ_q = list(pred_snapshot)
+            st.exc_base[seg_lo:seg_hi] = exc_snapshot  # undo AC write
+            return best
 
-            if i == 0:
-                # P1 < 197: pd3x = P1 + 59 -> P1 = 3t + frac - 58;
-                # P1 >= 197: pd3x = 3*P1 - 335 (integer-only delays > 84)
-                if t_int <= 84:
-                    P1 = 3 * t_int + t_frac - 58
-                else:
-                    P1 = t_int + 112
-                parm["ac_index"][0] = P1
-                parm["parity"] = _parity(P1)
+        results = []
+        for tc, fc_ in pitch_cands:
+            r = eval_pitch(tc, fc_)
+            results.append(r + (tc, fc_))
+        results.sort(key=lambda r: r[0])
+        return results
+
+    def _commit_subframe(self, st, i, lp_i, parm, choice):
+        """Materialize one candidate exactly on `st`, writing the wire
+        parameters; returns the integer pitch delay."""
+        _, fc_idx, signs, ga, gb, t_int, t_frac = choice
+        if i == 0:
+            # P1 < 197: pd3x = P1 + 59 -> P1 = 3t + frac - 58;
+            # P1 >= 197: pd3x = 3*P1 - 335 (integer-only delays > 84)
+            if t_int <= 84:
+                P1 = 3 * t_int + t_frac - 58
             else:
-                # pd3x = P2 + 3*base - 1 -> P2 = 3*(t-base) + frac + 2
-                base = min(max(prev_int - 5, PITCH_MIN), PITCH_MAX - 9)
-                parm["ac_index"][1] = 3 * (t_int - base) + t_frac + 2
+                P1 = t_int + 112
+            parm["ac_index"][0] = P1
+            parm["parity"] = _parity(P1)
+        else:
+            # pd3x = P2 + 3*base - 1 -> P2 = 3*(t-base) + frac + 2
+            base = min(max(st.pitch_delay_int_prev - 5, PITCH_MIN),
+                       PITCH_MAX - 9)
+            parm["ac_index"][1] = 3 * (t_int - base) + t_frac + 2
 
-            # materialize the chosen candidate exactly
-            st.decode_ac_vector(t_int, t_frac, i * SUBFRAME)
-            fc, _ = st.decode_fc_vector(fc_idx, signs)
-            st.fix_fc_vector(t_int, fc)
-            parm["fc_indexes"][i] = fc_idx
-            parm["pulses_signs"][i] = signs
-            parm["ga_cb_index"][i] = ga
-            parm["gb_cb_index"][i] = gb
+        st.decode_ac_vector(t_int, t_frac, i * SUBFRAME)
+        fc, _ = st.decode_fc_vector(fc_idx, signs)
+        st.fix_fc_vector(t_int, fc)
+        parm["fc_indexes"][i] = fc_idx
+        parm["pulses_signs"][i] = signs
+        parm["ga_cb_index"][i] = ga
+        parm["gb_cb_index"][i] = gb
 
-
-            # --- exact state update (what the decoder will do) ---------------
-            st.gain_pitch = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
-            st.gain_code = st.get_gain_code(ga, gb, fc)
-            st.pitch_sharp = min(max(st.gain_pitch, D.SHARP_MIN), D.SHARP_MAX)
-            st.mem_update(fc, st.gain_pitch, st.gain_code, i * SUBFRAME)
+        # --- exact state update (what the decoder will do) -----------------
+        st.gain_pitch = int(T.CB_GA[ga][0]) + int(T.CB_GB[gb][0])
+        st.gain_code = st.get_gain_code(ga, gb, fc)
+        st.pitch_sharp = min(max(st.gain_pitch, D.SHARP_MIN), D.SHARP_MAX)
+        st.mem_update(fc, st.gain_pitch, st.gain_code, i * SUBFRAME)
+        exc_sub = st.exc_base[st.exc_off + i * SUBFRAME:
+                              st.exc_off + (i + 1) * SUBFRAME]
+        out, ovf = st.lp_synthesis_filter(lp_i, exc_sub,
+                                          st.syn_filter_data, 1)
+        if ovf:
+            st.exc_base = [x >> 2 for x in st.exc_base]
             exc_sub = st.exc_base[st.exc_off + i * SUBFRAME:
                                   st.exc_off + (i + 1) * SUBFRAME]
-            out, ovf = st.lp_synthesis_filter(lp_i, exc_sub,
-                                              st.syn_filter_data, 1)
-            if ovf:
-                st.exc_base = [x >> 2 for x in st.exc_base]
-                exc_sub = st.exc_base[st.exc_off + i * SUBFRAME:
-                                      st.exc_off + (i + 1) * SUBFRAME]
-                st.lp_synthesis_filter(lp_i, exc_sub, st.syn_filter_data, 0)
-            st.pitch_delay_int_prev = t_int
-
-        st.exc_base[:PITCH_MAX + D.INTERPOL_LEN] = \
-            st.exc_base[2 * SUBFRAME:2 * SUBFRAME + PITCH_MAX + D.INTERPOL_LEN]
-
-        self.hist = np.concatenate([self.hist, samples])[-160:]
-        return pack_parameters(parm)
+            st.lp_synthesis_filter(lp_i, exc_sub, st.syn_filter_data, 0)
+        st.pitch_delay_int_prev = t_int
+        return t_int
 
 
 def pack_parameters(parm) -> bytes:
@@ -507,10 +629,29 @@ def pack_parameters_batch(pn: np.ndarray) -> np.ndarray:
     return np.packbits(np.stack(bits, axis=-1), axis=-1)
 
 
-def encode_stream(pcm: np.ndarray) -> list[bytes]:
-    """int16 PCM (8 kHz mono) -> list of packed 10-byte G.729A frames."""
+QUALITY_PRESETS = {
+    # measured on the HP-chain metric, scripts/measure_g729_quality.py
+    # (2026-08-20, 3-fixture mean / worst):
+    #   fast  12.76 / 11.80 dB   (~0.04 s/frame)
+    #   high  13.94 / 12.72 dB   (~0.23 s/frame)
+    #   best  14.17 / 12.77 dB   (~0.35 s/frame)
+    "fast": {},
+    "high": {"topk": 4, "requant": True, "frame_select": True},
+    "best": {"topk": 5, "requant": True, "frame_select": True},
+}
+
+
+def encode_stream(pcm: np.ndarray, quality: str = "high",
+                  **kw) -> list[bytes]:
+    """int16 PCM (8 kHz mono) -> list of packed 10-byte G.729A frames.
+
+    Feeds each frame the spec's 40-sample lookahead (zeros at stream
+    end) — the encoder buffers input, it does not delay output.
+    quality presets select the search effort (see QUALITY_PRESETS);
+    explicit kwargs override the preset."""
     pcm = np.asarray(pcm, dtype=np.float64)
     n_frames = len(pcm) // FRAME
-    enc = G729Encoder()
-    return [enc.encode_frame(pcm[f * FRAME:(f + 1) * FRAME])
+    enc = G729Encoder(**{**QUALITY_PRESETS[quality], **kw})
+    return [enc.encode_frame(pcm[f * FRAME:(f + 1) * FRAME],
+                             pcm[(f + 1) * FRAME:(f + 1) * FRAME + 40])
             for f in range(n_frames)]

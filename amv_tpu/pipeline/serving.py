@@ -69,7 +69,8 @@ class AsyncTranscoder:
                  batch_frames: int = 4096, depth: int = 4,
                  w_bytes: int | None = None, sb: int | None = None,
                  interpret: bool = False, mesh=None,
-                 win_fetch: int = 64, win_emit: int = 64):
+                 win_fetch: int = 64, win_emit: int = 64,
+                 w_out: int | None = None):
         segs = pick_segments(n_mcu)
         if not segs:
             raise ValueError(f"no usable device segmentation for {n_mcu} "
@@ -78,7 +79,10 @@ class AsyncTranscoder:
         self.qscale = qscale
         self.segs = segs
         ms = n_mcu // segs
-        self.w_out = min(1664, 1024 * ((ms + 47) // 48))
+        # w_out override: tiny-geometry gates (dryrun) shrink the word
+        # budget so interpret-mode compiles stay cheap
+        self.w_out = (min(1664, 1024 * ((ms + 47) // 48))
+                      if w_out is None else w_out)
         self.batch_frames = batch_frames
         self.depth = max(1, depth)
         self.w_bytes = w_bytes

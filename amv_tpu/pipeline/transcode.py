@@ -156,7 +156,8 @@ def transcode_complete_layout(scans, n_mcu: int, qmat_key,
                                    "unroll_dec", "unroll_enc", "enc",
                                    "pmax", "wb", "adv", "press",
                                    "enc_unroll", "enc_pmax", "enc_wb",
-                                   "enc_adv", "hbm_decode", "sb"))
+                                   "enc_adv", "hbm_decode", "sb",
+                                   "segs_dec"))
 def transcode_complete_async(scans, n_mcu: int, qmat_key,
                              w_out: int = 1024, interpret: bool = False,
                              win_fetch: int = 64, win_emit: int = 64,
@@ -168,7 +169,8 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
                              enc_pmax: int = 8, enc_wb: int = 8,
                              enc_adv: int = 4,
                              hbm_decode: bool | None = None,
-                             sb: int = 8):
+                             sb: int = 8, segs_dec: int = 1,
+                             seg_perm=None, seg_iperm=None):
     """Lane-async COMPLETE device transcode (dense async decoder).
 
     Same contract as transcode_complete_layout (unescaped scan bytes in,
@@ -192,6 +194,22 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
     token cycles, so wider tiles cut iteration counts at little
     per-iteration cost (decode A/B: 67.3 -> 58.1 ms at sb=32,
     scripts/measure_sb.py).  sb != 8 requires enc="async".
+
+    segs_dec > 1: lane-parallel segmented DECODE (r4 verdict item 3,
+    the decode-side mirror of the encode `segs` splitting,
+    mjpegdec.c:659-736 per segment).  `scans` rows are then bit-aligned
+    per-SEGMENT scans from native.unescape_segment_frames (any row
+    order); each lane decodes n_mcu/segs_dec MCUs — big-frame lanes
+    get segs_dec-x shorter serial token streams, the intrinsic cost the
+    r2 sweep identified.  Cross-segment state is re-linked with two
+    small lane-indexed fixups (no bulk relayout): the DC cumsum gains a
+    per-segment exclusive-prefix base, and the re-encode's initial DC
+    predictors come from the previous segment's lane.  seg_perm[fk] =
+    row index of logical segment fk = frame*segs_dec + k, seg_iperm =
+    its inverse (row -> fk); both int32 [n_rows].  Requires
+    enc="async", segs == 1; output rows are per-segment (row order),
+    to be gathered into fk order and spliced with
+    native.concat_escape_frames(..., segs_dec).
     """
     from ..bitstream import jpeg_tables as T
     from ..kernels.entropy_async_pallas import (decode_scans_async_dense,
@@ -212,10 +230,16 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
         unroll_dec = 1
         enc_unroll = 1
     assert sb == 8 or enc == "async", "sb != 8 requires enc='async'"
+    if segs_dec > 1:
+        assert enc == "async" and segs == 1, \
+            "segs_dec > 1 requires enc='async', segs=1"
+        assert n_mcu % segs_dec == 0 and (sb * 128) % segs_dec == 0
+        assert seg_perm is not None and seg_iperm is not None
+    n_mcu_lane = n_mcu // segs_dec
     F = scans.shape[0]
     fpc = sb * 128
     fp = (F + fpc - 1) // fpc * fpc
-    cb, nb = fp // fpc, n_mcu * 6
+    cb, nb = fp // fpc, n_mcu_lane * 6
     if t_max_dec == 0:
         t_max_dec = default_t_max_dense(nb, scans.shape[1])
     if t_max_enc == 0:
@@ -224,33 +248,75 @@ def transcode_complete_async(scans, n_mcu: int, qmat_key,
             # the dense async encoder's budget counts stall retries too
             t_max_enc = t_max_enc * 3 // 2
     if fp > F:
-        pad = np.frombuffer(empty_scan_bytes(n_mcu), np.uint8)
+        pad = np.frombuffer(empty_scan_bytes(n_mcu_lane), np.uint8)
         width = max(scans.shape[1], len(pad))
         prow = np.zeros((1, width), np.uint8)
         prow[0, :len(pad)] = pad
         scans = jnp.concatenate(
             [jnp.pad(scans, ((0, 0), (0, width - scans.shape[1]))),
              jnp.broadcast_to(jnp.asarray(prow), (fp - F, width))], axis=0)
+        if segs_dec > 1:
+            # pad rows form their own identity-mapped pad frames
+            ext = jnp.arange(F, fp, dtype=jnp.int32)
+            seg_perm = jnp.concatenate([seg_perm.astype(jnp.int32), ext])
+            seg_iperm = jnp.concatenate([seg_iperm.astype(jnp.int32), ext])
     wl = scan_words_layout(scans, sb=sb)
     slab, ok_d = decode_scans_async_dense(wl, nb, t_max_dec,
                                           interpret=interpret,
                                           win=win_fetch, unroll=unroll_dec,
                                           hbm=hbm_decode, wb=wb, adv=adv,
                                           pmax=pmax, press=press, sb=sb)
-    lvl = slab.reshape(cb, n_mcu, 6, 64, sb, 128)
+    lvl = slab.reshape(cb, n_mcu_lane, 6, 64, sb, 128)
     qdc_l = int(T.SP5X_QUANT_LUMA_ZZ[0])
     qdc_c = int(T.SP5X_QUANT_CHROMA_ZZ[0])
     d = lvl[:, :, :, 0].astype(jnp.int32)
-    dy = (jnp.cumsum(d[:, :, :4].reshape(cb, n_mcu * 4, sb, 128) * qdc_l,
-                     axis=1).reshape(cb, n_mcu, 4, sb, 128) + 1024)
+    dy = (jnp.cumsum(d[:, :, :4].reshape(cb, n_mcu_lane * 4, sb, 128)
+                     * qdc_l,
+                     axis=1).reshape(cb, n_mcu_lane, 4, sb, 128) + 1024)
     dcb = jnp.cumsum(d[:, :, 4] * qdc_c, axis=1) + 1024
     dcr = jnp.cumsum(d[:, :, 5] * qdc_c, axis=1) + 1024
+    if segs_dec > 1:
+        # cross-segment DC re-link: the frame's running DC at segment
+        # k's entry is the exclusive prefix (over k) of the per-segment
+        # diff totals — a lane-indexed gather pair on [fp] scalars per
+        # component, no bulk relayout (lane flat order == row order,
+        # scan_words_layout's frame->lane mapping)
+        nfp = fp // segs_dec
+
+        def _seg_base(tot):
+            tfk = tot.reshape(fp)[seg_perm]
+            c = jnp.cumsum(tfk.reshape(nfp, segs_dec), axis=1)
+            base = jnp.concatenate(
+                [jnp.zeros((nfp, 1), c.dtype), c[:, :-1]],
+                axis=1).reshape(fp)
+            return base[seg_iperm].reshape(cb, sb, 128)
+
+        dy = dy + (_seg_base(jnp.sum(d[:, :, :4], axis=(1, 2)))
+                   * qdc_l)[:, None, None]
+        dcb = dcb + (_seg_base(jnp.sum(d[:, :, 4], axis=1))
+                     * qdc_c)[:, None]
+        dcr = dcr + (_seg_base(jnp.sum(d[:, :, 5], axis=1))
+                     * qdc_c)[:, None]
     dc = jnp.concatenate([dy, dcb[:, :, None], dcr[:, :, None]], axis=2)
     lv2 = transcode_mcu_layout(lvl, dc, qmat_key, interpret=interpret)
     if enc == "async":
         from ..kernels.entropy_encode_async_pallas import \
             encode_layout_async_dense
-        if segs == 1:
+        if segs == 1 and segs_dec > 1:
+            # per-lane initial DC predictors = the previous segment
+            # lane's last absolute re-quantized DCs (128 at k == 0)
+            nfp = fp // segs_dec
+            lvr = lv2.reshape(cb, n_mcu_lane, 6, 64, sb, 128)
+            last = lvr[:, -1, 3:6, 0].astype(jnp.int32)  # [cb, 3, sb, 128]
+            arr = last.transpose(0, 2, 3, 1).reshape(fp, 3)
+            fk = arr[seg_perm].reshape(nfp, segs_dec, 3)
+            prev = jnp.concatenate(
+                [jnp.full((nfp, 1, 3), 128, jnp.int32), fk[:, :-1]],
+                axis=1)
+            dc0 = prev.reshape(fp, 3)[seg_iperm]
+            dc0 = dc0.reshape(cb, sb, 128, 3).transpose(0, 3, 1, 2)
+            lvs = lv2.reshape(cb, nb, 64, sb, 128)
+        elif segs == 1:
             lvs, dc0 = lv2.reshape(cb, nb, 64, sb, 128), None
         else:
             # lane-parallel segments, same wiring as

@@ -1027,6 +1027,27 @@ def main():
                 pipelined_fps(
                     lambda sv: complete_t(rows_ct, jnp.int32(sv)), FC), 1)
 
+        # ---- steady-state serving (AsyncTranscoder, r4 verdict item 6) -----
+        # end-to-end product serving rate: host C unescape/escape + padded
+        # fixed-shape batches + depth-4 in-flight dispatch.  Includes the
+        # host byte stages, so it reads below the device-only complete_*
+        # keys by design (it is the cold-stream product number).
+        with sect("full_serving"):
+            from amv_tpu.pipeline.serving import AsyncTranscoder
+            KS = int(os.environ.get("AMV_BENCH_SERVE_K", "16384"))
+            bs = 4096
+            tr = AsyncTranscoder(M, batch_frames=bs, depth=4,
+                                 w_bytes=int(rows_c1.shape[1]))
+            pays = (payloads * ((KS + F - 1) // F))[:KS]
+            warm = tr.transcode((payloads * ((bs + F - 1) // F))[:bs])
+            assert warm[0] == huffman_encode_frame(lv_enc[0]), \
+                "serving warm batch != host re-encode"
+            t0 = time.perf_counter()
+            out_n = sum(1 for _ in tr.stream(iter(pays)))
+            dt = time.perf_counter() - t0
+            assert out_n == KS
+            detail["serving_stream_fps"] = round(KS / dt, 1)
+
         # ---- round-2 lockstep chain (regression reference), K=64 -----------
         with sect("full_lockstep"):
             from amv_tpu.pipeline.transcode import transcode_complete_layout

@@ -46,6 +46,7 @@ SLOW_FILES = {                      # per-file wall, isolated process,
     "test_entropy_async_dense.py",  # 490 s
     "test_serving.py",              # 482 s
     "test_encode_segmented.py",     # 393 s
+    "test_decode_segmented.py",     # 393 s    measured 2026-08-20
     "test_transcode_pallas.py",     # 270 s
     "test_g729_encoder_tpu.py",     # 212 s
     "test_transcode_fused_pipeline.py",  # 119 s

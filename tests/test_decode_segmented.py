@@ -1,0 +1,89 @@
+"""Lane-parallel segmented DECODE (r4 verdict item 3).
+
+The encode side has split big frames into lane-parallel segments since
+round 2 (mjpegenc.c:437-450 analog, spliced by amv_concat_escape_frames);
+decode still walked one serial stream per lane.  The C index pass
+(entropy.c:amv_unescape_segment_frames) token-walks each scan once,
+emitting bit-aligned per-segment rows that the UNMODIFIED batched
+decoder consumes at n_mcu/segs MCUs per lane; the chain re-links
+cross-segment DC state with two lane-indexed gather fixups
+(pipeline/transcode.py segs_dec).  Contract: byte-identical payloads to
+the unsegmented chain.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from amv_tpu.containers import riff
+from amv_tpu.native import entropy_native as native
+from amv_tpu.bitstream.entropy import (huffman_decode_frames,
+                                       huffman_encode_frame)
+
+
+def _synthetic_frames(n_frames, n_mcu, sample_amv_bytes, seed=5):
+    s = riff.demux(sample_amv_bytes)
+    lv = huffman_decode_frames(s.video_chunks, 48)
+    pool = np.asarray(lv).reshape(-1, 6, 64)
+    rng = np.random.default_rng(seed)
+    lvs = pool[rng.integers(0, len(pool), (n_frames, n_mcu))]
+    return [huffman_encode_frame(lvs[f]) for f in range(n_frames)]
+
+
+def test_segment_rows_decode_like_full(sample_amv_bytes):
+    """C segment pass: rows decode (XLA device decoder) to exactly the
+    full-frame levels, segment by segment."""
+    from amv_tpu.kernels.entropy_decode import decode_scans_device
+    n_mcu, segs = 30, 3
+    pay = _synthetic_frames(9, n_mcu, sample_amv_bytes)
+    full = native.decode_frames(pay, n_mcu)
+    rows, lens = native.unescape_segment_frames(pay, n_mcu, segs)
+    seg = np.asarray(decode_scans_device(jnp.asarray(rows), n_mcu // segs))
+    np.testing.assert_array_equal(
+        seg.reshape(9, n_mcu, 6, 64), full)
+
+
+def test_segment_pass_rejects_malformed():
+    bad = b"\xff\xd8" + b"\x55" * 40 + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        native.unescape_segment_frames([bad], 30, 3)
+
+
+def test_complete_chain_segs_dec_byte_equal(sample_amv_bytes):
+    """transcode_complete_async with segs_dec=2 (sorted segment rows,
+    perm-threaded DC re-link) == the unsegmented chain, byte for byte
+    after splicing."""
+    from amv_tpu.pipeline.transcode import transcode_complete_async
+    n_mcu, segs_dec = 8, 2
+    F = 512                                   # * segs_dec = 1024 = fpc
+    pay = _synthetic_frames(F, n_mcu, sample_amv_bytes)
+    qk = tuple(int(v) for v in np.arange(64) * 0 + 1)  # placeholder below
+    from amv_tpu.codecs.amv_video import _encoder_quant_qmat_np
+    qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
+
+    # unsegmented reference chain
+    rows, _ = native.unescape_frames(pay)
+    w0, b0, ok0 = transcode_complete_async(
+        jnp.asarray(rows), n_mcu, qk, w_out=128, interpret=True,
+        enc="async")
+    assert bool(ok0[...])
+    want = native.escape_frames(np.asarray(w0), np.asarray(b0))
+
+    # segmented decode chain, shuffled row order to exercise the perms
+    rows_s, lens_s = native.unescape_segment_frames(pay, n_mcu, segs_dec)
+    L = len(rows_s)
+    rng = np.random.default_rng(3)
+    order = np.argsort(np.repeat(lens_s, 1) + rng.integers(0, 2, L),
+                       kind="stable")          # length-ish sort, shuffled
+    iperm = np.argsort(order)                  # fk -> row
+    w1, b1, ok1 = transcode_complete_async(
+        jnp.asarray(rows_s[order]), n_mcu, qk, w_out=128, interpret=True,
+        enc="async", segs_dec=segs_dec,
+        seg_perm=jnp.asarray(iperm.astype(np.int32)),
+        seg_iperm=jnp.asarray(order.astype(np.int32)))
+    assert bool(ok1[...])
+    wf = np.asarray(w1)[iperm]                 # back to fk order
+    bf = np.asarray(b1)[iperm]
+    got = native.concat_escape_frames(wf, bf, segs_dec)
+    assert got == want

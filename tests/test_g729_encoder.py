@@ -64,7 +64,8 @@ def test_roundtrip_quality():
         p = (b[s0:s0 + 160] ** 2).mean()
         if p > 1e4:
             segs.append(10 * np.log10(max(p, 1) / max(e, 1)))
-    # measured 6.9 dB segSNR vs the RAW input (round 2) — but the
+    # measured 6.9 dB segSNR vs the RAW input (round 2, greedy mode) —
+    # but the
     # decoder's fixed 100 Hz output high-pass phase-distorts the
     # waveform: even a PERFECT encoder caps at 8.3 dB on this fixture
     # measured this way.  Gate with headroom against regressions.
@@ -77,8 +78,12 @@ def test_roundtrip_quality_hp_reference():
 
     This removes the fixed-filter phase-distortion artifact from the
     metric (it is not coding error — it caps the raw-input segSNR at
-    8.3 dB on this fixture no matter the encoder).  Measured (round 2):
-    12.27 dB full chain, 12.85 dB pre-postfilter, corr 0.905."""
+    8.3 dB on this fixture no matter the encoder).  Measured: 12.27 dB
+    (round 2, greedy); 12.77 dB (round 5, the frame-select default:
+    candidate frames are scored through the FULL decode incl. the
+    adaptive postfilter — whose long-term stage comb-filters at the
+    transmitted pitch, so waveform-best pitch is not output-best —
+    and the gate rises 10.5 -> 12.5 per the r4 verdict)."""
     sig = _speechlike(4800)
     # reference chain: x0.5 then the decoder's output HP (gain 2)
     d = G729Decoder()
@@ -100,7 +105,7 @@ def test_roundtrip_quality_hp_reference():
         if p > 1e4:
             segs.append(10 * np.log10(max(p, 1) / max(e, 1)))
     snr = float(np.mean(segs))
-    assert snr > 10.5, f"HP-referenced segSNR too low: {snr:.2f}"
+    assert snr > 12.5, f"HP-referenced segSNR too low: {snr:.2f}"
 
 
 def test_encoder_decoder_state_tracking():
