@@ -111,6 +111,7 @@ def main():
         L = len(rows_s)
         order = np.argsort(lens_s, kind="stable")
         iperm = np.argsort(order).astype(np.int32)
+        sb_s = pick_sb(L)   # segment rows saturate wider lane tiles
 
         # per-segment word budget: segments are ~scan/segs_d bytes, so
         # the full-frame wout (1664) triples what a lane needs AND blows
@@ -122,7 +123,7 @@ def main():
         def seg_full(rw, sp, si, salt, segs_d=segs_d, wout_s=wout_s):
             words, bits, ok = transcode_complete_async(
                 rw, M320, qk, w_out=wout_s, win_fetch=64, win_emit=64,
-                enc="async", sb=sb, segs_dec=segs_d,
+                enc="async", sb=sb_s, segs_dec=segs_d,
                 seg_perm=sp, seg_iperm=si)
             return words, bits, (jnp.sum(words[::31, ::17]) +
                                  jnp.sum(bits) +
