@@ -12,6 +12,29 @@ timed separately (it token-walks each unique frame once).
 Byte gate: unique frames spliced via concat_escape_frames must equal
 the host re-encode, both arms.
 
+RESULTS (2026-08-20, TPU v5e, byte-exact at every point):
+* F=4096 (lane-SATURATED, sb=32 both arms): baseline 133.5 ms =
+  30,689 fps vs segs_dec=4 142.7 ms = 28,703 — a 6.5% NEGATIVE.
+  Root cause: with all sb*128 lanes full, cutting each stream 4x just
+  multiplies chunk-blocks 4x (grid iterations are sequential), so the
+  total serial token count is CONSERVED; the extra chunk transitions
+  and window startups are pure overhead.  The r2 finding stands:
+  at saturation the decode wall is total lockstep token work, not
+  per-lane stream length.
+* F=1024 (latency tier): baseline (sb=8, 1024 full-length lanes)
+  70.0 ms vs segs_dec=4 (4096 quarter-length rows saturating one
+  sb=32 chunk) 55.6 ms = **+26%** — segmentation converts SPARE lane
+  capacity into stream-length cuts.  The 4x iteration cut nets 1.26x
+  because sb 8->32 costs ~1.7x per-iteration per doubling (the known
+  sublane-width tradeoff, scripts/measure_sb.py).
+* Host index+split pass (walk_boundaries + bit-aligned emit):
+  3,800-4,200 fps at 320x240 on the single host core — amortized over
+  batch replication in serving, or ~26% of a 64-frame batch's device
+  wall when cold.
+
+Conclusion: keep segs_dec for latency-tier batches (F*segs <= sb*128
+lanes); the bench 320x240 throughput section stays on the r4 chain.
+
 Usage: python scripts/measure_320_segdec.py [F320] [sweep: segs_dec...]
 """
 import sys
