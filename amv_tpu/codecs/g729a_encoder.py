@@ -265,11 +265,16 @@ class G729Encoder:
         # lands on the current frame's tail and the LP fit lags the
         # signal by ~half a subframe (r5 A/B: +0.6 dB HP-chain segSNR,
         # scripts/measure_g729_quality.py)
-        la = (np.zeros(40) if lookahead is None
-              else np.asarray(lookahead, dtype=np.float64)[:40] * 0.5)
-        if len(la) < 40:
-            la = np.concatenate([la, np.zeros(40 - len(la))])
-        buf = np.concatenate([self.hist, samples, la])[-240:]
+        if lookahead is None:
+            # per-frame API callers without a buffered next frame keep
+            # the r4 window (ends on real signal) — zero-filling the
+            # cosine fall would regress them below the old baseline
+            buf = np.concatenate([self.hist, samples])[-240:]
+        else:
+            la = np.asarray(lookahead, dtype=np.float64)[:40] * 0.5
+            if len(la) < 40:
+                la = np.concatenate([la, np.zeros(40 - len(la))])
+            buf = np.concatenate([self.hist, samples, la])[-240:]
         w = buf * _WLP
         r = np.array([np.dot(w[:240 - k], w[k:]) for k in range(11)])
         r[0] = max(r[0] * 1.0001 + 10.0, 1e-3)

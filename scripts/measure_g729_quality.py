@@ -27,17 +27,13 @@ from amv_tpu.codecs import g729a_encoder as E
 from amv_tpu.verify.ref_g729 import G729Decoder
 
 
+sys.path.insert(0, "/root/repo/tests")
+from test_g729_encoder import _speechlike   # noqa: E402 (the gate fixture)
+
+
 def speechlike(n=4800, seed=7):
-    rng = np.random.default_rng(seed)
-    exc = rng.standard_normal(n) * 300
-    pt = np.zeros(n)
-    pt[::75] = 4000
-    voiced = (np.sin(2 * np.pi * np.arange(n) / 3000) > 0)
-    exc = np.where(voiced, exc * 0.3 + pt, exc)
-    sig = exc.copy()
-    for i in range(2, n):
-        sig[i] = exc[i] + 1.5 * sig[i - 1] - 0.7 * sig[i - 2]
-    return np.clip(sig * 0.5, -20000, 20000).astype(np.int16)
+    # the same generator the 12.5 dB gate runs on (one source of truth)
+    return _speechlike(n, seed)
 
 
 def hp_reference(sig):
@@ -66,7 +62,10 @@ def metric(sig, out):
 
 
 def roundtrip(sig, **kw):
-    frames = E.encode_stream(sig, **kw)
+    # quality="fast" pins the greedy encoder as the lever baseline —
+    # encode_stream's default preset is now "high" (frame-select), and
+    # merging kw over it would silently measure preset+lever composites
+    frames = E.encode_stream(sig, quality="fast", **kw)
     dec = G729Decoder()
     out = np.concatenate([dec.decode_frame(f) for f in frames])
     return out

@@ -75,9 +75,12 @@ def pytest_collection_modifyitems(config, items):
             a.split("::")[0], tests_dir)
         for a in config.args if os.path.exists(a.split("::")[0]))
     if dir_run:
-        stale = SLOW_FILES - seen
+        # only flag entries that no longer EXIST (renamed/deleted) —
+        # a --ignore/--deselect run legitimately collects a subset
+        stale = {f for f in SLOW_FILES - seen
+                 if not os.path.exists(os.path.join(tests_dir, f))}
         assert not stale, (
-            f"conftest.SLOW_FILES entries matched no collected test file "
+            f"conftest.SLOW_FILES entries match no test file on disk "
             f"(renamed?): {sorted(stale)}")
 
 

@@ -58,7 +58,6 @@ def test_complete_chain_segs_dec_byte_equal(sample_amv_bytes):
     n_mcu, segs_dec = 8, 2
     F = 512                                   # * segs_dec = 1024 = fpc
     pay = _synthetic_frames(F, n_mcu, sample_amv_bytes)
-    qk = tuple(int(v) for v in np.arange(64) * 0 + 1)  # placeholder below
     from amv_tpu.codecs.amv_video import _encoder_quant_qmat_np
     qk = tuple(int(v) for v in _encoder_quant_qmat_np(2))
 
